@@ -1,0 +1,160 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Request lifecycle types for continuous batching.
+
+Public surface kept compatible with the reference's vLLM-derived types
+(reference request.py:18-228): RequestStatus, SamplingParams, Request,
+RequestOutput. TPU-specific additions: the slot index and host-side
+block accounting used by the fixed-slot scheduler.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Union
+
+
+class RequestStatus(enum.IntEnum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    PREEMPTED = enum.auto()
+    FINISHED_STOPPED = enum.auto()
+    FINISHED_LENGTH_CAPPED = enum.auto()
+    FINISHED_ABORTED = enum.auto()
+    FINISHED_ERROR = enum.auto()
+
+    @staticmethod
+    def is_finished(status: "RequestStatus") -> bool:
+        return status > RequestStatus.PREEMPTED
+
+    @staticmethod
+    def get_finish_reason(status: "RequestStatus") -> Optional[str]:
+        return {
+            RequestStatus.FINISHED_STOPPED: "stop",
+            RequestStatus.FINISHED_LENGTH_CAPPED: "length",
+            RequestStatus.FINISHED_ABORTED: "abort",
+            RequestStatus.FINISHED_ERROR: "error",
+        }.get(status)
+
+
+@dataclass
+class SamplingParams:
+    max_tokens: int = 256
+    temperature: float = 0.7
+    top_p: float = 0.9
+    top_k: int = 0  # 0 = disabled
+    min_p: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+    stop: Optional[List[str]] = None
+    stop_token_ids: Optional[List[int]] = None
+    logprobs: bool = False
+    seed: Optional[int] = None
+    # Constrained decoding hook: callable(token_ids, vocab) -> allow mask,
+    # or an object implementing the TokenFilter protocol (constrained/).
+    logits_processors: Optional[List[Callable]] = None
+
+    def __post_init__(self) -> None:
+        if self.stop is None:
+            self.stop = []
+        if self.stop_token_ids is None:
+            self.stop_token_ids = []
+
+
+@dataclass
+class Request:
+    request_id: str
+    prompt: Union[str, List[int]]
+    sampling_params: SamplingParams
+    arrival_time: float = field(default_factory=time.time)
+    priority: int = 0
+
+    prompt_token_ids: Optional[List[int]] = None
+    num_prompt_tokens: int = 0
+
+    status: RequestStatus = RequestStatus.WAITING
+    num_computed_tokens: int = 0  # prompt tokens already in the KV pool
+    output_token_ids: List[int] = field(default_factory=list)
+    output_logprobs: List[float] = field(default_factory=list)
+    output_text: str = ""
+
+    # Fixed-slot scheduler state
+    slot: Optional[int] = None
+    blocks: List[int] = field(default_factory=list)  # owned block ids
+
+    # Prefix cache
+    cached_tokens: int = 0
+    cache_hit_type: Optional[str] = None  # exact/prefix/lcp/miss
+    prefix_boundary: int = 0
+
+    # Detokenizer state (owned by the output processor)
+    detok_state: Any = None
+
+    finish_reason: Optional[str] = None
+    first_token_time: Optional[float] = None
+    finish_time: Optional[float] = None
+
+    # Speculative decoding counters
+    mtp_drafts: int = 0
+    mtp_accepted: int = 0
+
+    @property
+    def num_output_tokens(self) -> int:
+        return len(self.output_token_ids)
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_prompt_tokens + self.num_output_tokens
+
+    @property
+    def max_tokens(self) -> int:
+        return self.sampling_params.max_tokens
+
+    def is_finished(self) -> bool:
+        return RequestStatus.is_finished(self.status)
+
+    def get_finish_reason(self) -> Optional[str]:
+        return self.finish_reason or RequestStatus.get_finish_reason(self.status)
+
+    def set_finished(
+        self, status: RequestStatus, reason: Optional[str] = None
+    ) -> None:
+        self.status = status
+        self.finish_reason = reason or RequestStatus.get_finish_reason(status)
+        self.finish_time = time.time()
+
+    def __lt__(self, other: "Request") -> bool:
+        if self.priority != other.priority:
+            return self.priority < other.priority
+        return self.arrival_time < other.arrival_time
+
+    def __hash__(self) -> int:
+        return hash(self.request_id)
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, Request) and self.request_id == other.request_id
+
+
+@dataclass
+class RequestOutput:
+    request_id: str
+    new_token_ids: List[int] = field(default_factory=list)
+    new_text: str = ""
+    output_token_ids: List[int] = field(default_factory=list)
+    output_text: str = ""
+    finished: bool = False
+    finish_reason: Optional[str] = None
+    prompt_tokens: int = 0
+    completion_tokens: int = 0
+    cached_tokens: int = 0
+    mtp_drafts: int = 0
+    mtp_accepted: int = 0
+
+    @property
+    def usage(self) -> Dict[str, int]:
+        return {
+            "prompt_tokens": self.prompt_tokens,
+            "completion_tokens": self.completion_tokens,
+            "total_tokens": self.prompt_tokens + self.completion_tokens,
+        }

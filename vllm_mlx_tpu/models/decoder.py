@@ -1,0 +1,243 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Generic decoder-only transformer forward (functional, paged-KV).
+
+One implementation covers the dense families the reference serves via
+mlx-lm (Llama 3.x, Qwen2, Qwen3 — reference models/llm.py:40) plus
+Qwen3-MoE. Family differences are config-driven: qk-norm (Qwen3),
+attention bias (Qwen2), explicit head_dim, sliding-window layer types,
+MoE layers.
+
+Three entry points share the same layer stack:
+  * ``prefill``      — one sequence's chunk against the paged pool
+  * ``decode``       — one token per batch slot against the paged pool
+  * ``dense_forward``— full sequence, no cache (HF logits-parity tests)
+
+MoE uses ``jax.lax.ragged_dot`` (megablocks-style grouped matmul): tokens
+are sorted by expert so every expert's matmul is one contiguous MXU-
+friendly block — the TPU-native equivalent of mlx-lm's switch_mlp
+(SURVEY.md section 7 design translation).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import attention as att
+from ..ops.layers import (
+    apply_rope,
+    embed,
+    linear,
+    lm_head_logits,
+    rms_norm,
+    rope_cos_sin,
+    swiglu_mlp,
+)
+
+Params = Dict[str, Any]
+
+
+def _layer_window(cfg: ModelConfig, layer_idx: int) -> Optional[int]:
+    if cfg.sliding_window is None:
+        return None
+    if cfg.layer_types is not None:
+        if cfg.layer_types[layer_idx] == "sliding_attention":
+            return cfg.sliding_window
+        return None
+    return cfg.sliding_window
+
+
+def _qkv(
+    cfg: ModelConfig, p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    t = x.shape[0]
+    hd = cfg.head_dim
+    q = linear(x, p["q_proj"], p.get("q_bias")).reshape(t, cfg.num_attention_heads, hd)
+    k = linear(x, p["k_proj"], p.get("k_bias")).reshape(t, cfg.num_key_value_heads, hd)
+    v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
+    if cfg.use_qk_norm:
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    return q, k, v
+
+
+def moe_mlp(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """Sparse MoE block via expert-sorted grouped matmul.
+
+    ``moe_top_k`` implements the reference's documented-but-missing
+    ``--moe-top-k`` expert reduction (reference docs/guides/moe-top-k.md):
+    clamp the router's experts-per-token below the checkpoint's value.
+    """
+    t, h = x.shape
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    if moe_top_k is not None:
+        k = max(1, min(k, moe_top_k))
+    router_logits = linear(x, p["router"]).astype(jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topk_p, topk_i = jax.lax.top_k(probs, k)  # [T, k]
+    if cfg.norm_topk_prob:
+        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+
+    flat_expert = topk_i.reshape(-1)  # [T*k]
+    flat_token = jnp.repeat(jnp.arange(t), k)
+    order = jnp.argsort(flat_expert)
+    sorted_expert = flat_expert[order]
+    sorted_token = flat_token[order]
+    group_sizes = jnp.bincount(sorted_expert, length=e)
+
+    xs = x[sorted_token]  # [T*k, H]
+    g = jax.lax.ragged_dot(xs, p["gate_w"], group_sizes)
+    u = jax.lax.ragged_dot(xs, p["up_w"], group_sizes)
+    hidden = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
+        x.dtype
+    )
+    y = jax.lax.ragged_dot(hidden, p["down_w"], group_sizes)  # [T*k, H]
+    weights = topk_p.reshape(-1)[order].astype(jnp.float32)
+    y = y.astype(jnp.float32) * weights[:, None]
+    out = jax.ops.segment_sum(y, sorted_token, num_segments=t)
+    return out.astype(x.dtype)
+
+
+def _mlp_block(
+    cfg: ModelConfig,
+    layer_idx: int,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int],
+) -> jax.Array:
+    if "moe" in p:
+        return moe_mlp(cfg, p["moe"], x, moe_top_k)
+    return swiglu_mlp(x, p["mlp"])
+
+
+AttendFn = Callable[[jax.Array, int, jax.Array, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+def _stack(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    kv_pool: Optional[jax.Array],
+    attend: AttendFn,
+    moe_top_k: Optional[int] = None,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Shared layer stack. ``attend(kv_pool, layer, q, k, v) ->
+    (attn_out, kv_pool)`` encapsulates cache writing + attention."""
+    x = embed(token_ids, params["embed_tokens"])
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    for i, p in enumerate(params["layers"]):
+        h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, p, h, cos, sin)
+        attn_out, kv_pool = attend(kv_pool, i, q, k, v)
+        t = attn_out.shape[0]
+        attn_out = linear(
+            attn_out.reshape(t, -1), p["o_proj"], p.get("o_bias")
+        )
+        x = x + attn_out
+        h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp_block(cfg, i, p, h, moe_top_k)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, kv_pool
+
+
+def _logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed_tokens"]
+    return lm_head_logits(hidden, head)
+
+
+def prefill(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [C]
+    positions: jax.Array,  # [C]
+    kv_pool: jax.Array,
+    block_table: jax.Array,  # [max_blocks]
+    moe_top_k: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Process one sequence's prompt chunk. Returns (hidden [C,H], kv_pool)."""
+    scale = cfg.head_dim**-0.5
+
+    def attend(pool, i, q, k, v):
+        pool = att.write_kv(pool, i, k, v, block_table, positions)
+        out = att.paged_attention_prefill(
+            q, pool, i, block_table, positions, scale, _layer_window(cfg, i)
+        )
+        return out, pool
+
+    hidden, kv_pool = _stack(
+        params, cfg, token_ids, positions, kv_pool, attend, moe_top_k
+    )
+    return hidden, kv_pool
+
+
+def prefill_logits(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    kv_pool: jax.Array,
+    block_table: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Prefill a chunk and return logits of the LAST token only [V]."""
+    hidden, kv_pool = prefill(
+        params, cfg, token_ids, positions, kv_pool, block_table, moe_top_k
+    )
+    return _logits(params, cfg, hidden[-1:]).reshape(-1), kv_pool
+
+
+def decode(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [S]
+    positions: jax.Array,  # [S]
+    kv_pool: jax.Array,
+    block_tables: jax.Array,  # [S, max_blocks]
+    moe_top_k: Optional[int] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step for the whole batch. Returns (logits [S,V], kv_pool)."""
+    scale = cfg.head_dim**-0.5
+
+    def attend(pool, i, q, k, v):
+        pool = att.write_kv_batch(pool, i, k, v, block_tables, positions)
+        out = att.paged_attention_decode(
+            q, pool, i, block_tables, positions, scale, _layer_window(cfg, i)
+        )
+        return out, pool
+
+    hidden, kv_pool = _stack(
+        params, cfg, token_ids, positions, kv_pool, attend, moe_top_k
+    )
+    return _logits(params, cfg, hidden), kv_pool
+
+
+def dense_forward(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [T]
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """Full-sequence causal forward without any KV cache -> logits [T, V]."""
+    scale = cfg.head_dim**-0.5
+
+    def attend(pool, i, q, k, v):
+        out = att.dense_causal_attention(q, k, v, scale, _layer_window(cfg, i))
+        return out, pool
+
+    positions = jnp.arange(token_ids.shape[0])
+    hidden, _ = _stack(params, cfg, token_ids, positions, None, attend, moe_top_k)
+    return _logits(params, cfg, hidden)

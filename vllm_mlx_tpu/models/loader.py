@@ -1,0 +1,187 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Checkpoint loading: HF safetensors -> JAX param pytrees.
+
+The reference delegates weight loading to mlx-lm (reference
+utils/tokenizer.py:52 ``load_model_with_fallback``); the TPU build owns
+it. HF parameter names are mapped onto the pytree layout consumed by
+``models.decoder``. MoE expert weights are stacked into
+``[num_experts, ...]`` arrays transposed for ``jax.lax.ragged_dot``.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+
+Params = Dict[str, Any]
+
+_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
+def iter_safetensors(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {model_path}")
+    for f in files:
+        with safe_open(f, framework="numpy") as st:
+            for name in st.keys():
+                yield name, st.get_tensor(name)
+
+
+def _strip(name: str) -> str:
+    for prefix in ("model.", "language_model.model.", "language_model."):
+        if name.startswith(prefix):
+            return name[len(prefix):]
+    return name
+
+
+def load_params(
+    model_path: str, cfg: ModelConfig, dtype: Optional[str] = None
+) -> Params:
+    """Load a HF checkpoint directory into the decoder param pytree."""
+    jdt = _DTYPES[dtype or cfg.dtype]
+    layers: list = [dict() for _ in range(cfg.num_hidden_layers)]
+    params: Params = {"layers": layers}
+    # staging for MoE expert stacking: {layer: {proj: {expert: np.ndarray}}}
+    moe_stage: Dict[int, Dict[str, Dict[int, np.ndarray]]] = {}
+
+    def put(arr: np.ndarray, *, cast: bool = True) -> jax.Array:
+        a = jnp.asarray(arr)
+        return a.astype(jdt) if cast else a
+
+    for name, tensor in iter_safetensors(model_path):
+        n = _strip(name)
+        if n == "embed_tokens.weight":
+            params["embed_tokens"] = put(tensor)
+        elif n == "norm.weight":
+            params["norm"] = put(tensor)
+        elif n in ("lm_head.weight",):
+            params["lm_head"] = put(tensor)
+        elif n.startswith("layers."):
+            parts = n.split(".")
+            i = int(parts[1])
+            rest = ".".join(parts[2:])
+            ld = layers[i]
+            if rest == "input_layernorm.weight":
+                ld["input_layernorm"] = put(tensor)
+            elif rest == "post_attention_layernorm.weight":
+                ld["post_attention_layernorm"] = put(tensor)
+            elif rest.startswith("self_attn."):
+                sub = rest[len("self_attn."):]
+                proj, kind = sub.rsplit(".", 1)
+                if proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                    key = proj if kind == "weight" else proj[0] + "_bias"
+                    if proj == "o_proj" and kind == "bias":
+                        key = "o_bias"
+                    ld[key] = put(tensor)
+                elif proj in ("q_norm", "k_norm") and kind == "weight":
+                    ld[proj] = put(tensor)
+            elif rest.startswith("mlp.experts."):
+                # mlp.experts.{e}.{gate,up,down}_proj.weight
+                parts2 = rest.split(".")
+                e = int(parts2[2])
+                proj = parts2[3]
+                moe_stage.setdefault(i, {}).setdefault(proj, {})[e] = tensor
+            elif rest in ("mlp.gate.weight",):
+                ld.setdefault("moe", {})["router"] = put(tensor)
+            elif rest.startswith("mlp.") and rest.endswith(".weight"):
+                proj = rest.split(".")[1]
+                if proj in ("gate_proj", "up_proj", "down_proj"):
+                    ld.setdefault("mlp", {})[proj] = put(tensor)
+            elif rest.startswith("mlp.") and rest.endswith(".bias"):
+                proj = rest.split(".")[1]
+                if proj in ("gate_proj", "up_proj", "down_proj"):
+                    ld.setdefault("mlp", {})[proj.split("_")[0] + "_bias"] = put(tensor)
+
+    # Stack MoE experts: ragged_dot wants rhs [E, K_contract, N_out].
+    for i, projs in moe_stage.items():
+        moe = layers[i].setdefault("moe", {})
+        for proj, experts in projs.items():
+            stacked = np.stack([experts[e] for e in sorted(experts)], axis=0)
+            # HF expert weight is [out, in]; transpose to [E, in, out].
+            stacked = np.swapaxes(stacked, 1, 2)
+            key = {"gate_proj": "gate_w", "up_proj": "up_w", "down_proj": "down_w"}[
+                proj
+            ]
+            moe[key] = put(stacked)
+
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    return params
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, dtype: Optional[str] = None) -> Params:
+    """Random-init params with the right shapes (tests / synthetic bench)."""
+    jdt = _DTYPES[dtype or cfg.dtype]
+    rng = np.random.default_rng(seed)
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    def w(*shape, scale=0.02):
+        return jnp.asarray(
+            rng.standard_normal(shape, dtype=np.float32) * scale, dtype=jdt
+        )
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=jdt)
+
+    moe_layers = set(cfg.moe_layer_indices())
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ld: Params = {
+            "input_layernorm": ones(h),
+            "post_attention_layernorm": ones(h),
+            "q_proj": w(nh * hd, h),
+            "k_proj": w(nkv * hd, h),
+            "v_proj": w(nkv * hd, h),
+            "o_proj": w(h, nh * hd),
+        }
+        if cfg.attention_bias:
+            ld["q_bias"] = jnp.zeros(nh * hd, dtype=jdt)
+            ld["k_bias"] = jnp.zeros(nkv * hd, dtype=jdt)
+            ld["v_bias"] = jnp.zeros(nkv * hd, dtype=jdt)
+        if cfg.use_qk_norm:
+            ld["q_norm"] = ones(hd)
+            ld["k_norm"] = ones(hd)
+        if i in moe_layers:
+            e, mi = cfg.num_experts, cfg.moe_intermediate_size
+            ld["moe"] = {
+                "router": w(e, h),
+                "gate_w": w(e, h, mi),
+                "up_w": w(e, h, mi),
+                "down_w": w(e, mi, h),
+            }
+        else:
+            ld["mlp"] = {
+                "gate_proj": w(cfg.intermediate_size, h),
+                "up_proj": w(cfg.intermediate_size, h),
+                "down_proj": w(h, cfg.intermediate_size),
+            }
+        layers.append(ld)
+
+    params: Params = {
+        "embed_tokens": w(cfg.vocab_size, h),
+        "layers": layers,
+        "norm": ones(h),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(cfg.vocab_size, h)
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,135 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Core transformer layer ops (pure functions, XLA-fusable).
+
+These are the building blocks shared by every model family in
+``vllm_mlx_tpu.models``. All functions are shape-polymorphic in the
+leading (token) dimension only via separate jit traces; inside a trace
+everything is static-shaped so XLA can tile onto the MXU.
+
+Matmuls run in the param dtype (bfloat16) with float32 accumulation;
+normalization and softmax statistics are computed in float32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in fp32 statistics, output in input dtype (HF Llama semantics:
+    weight multiply happens after the cast back for llama, but qwen3/gemma
+    multiply in fp32; HF Llama does ``weight * x.to(input_dtype)`` — we
+    match HF Llama/Qwen3: variance in fp32, cast, then scale)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * xf).astype(dtype)
+
+
+def _rope_inv_freq(
+    head_dim: int, rope_theta: float, rope_scaling: Optional[Dict[str, Any]]
+) -> jnp.ndarray:
+    """Inverse frequencies, with HF llama3-style scaling when configured."""
+    inv_freq = 1.0 / (
+        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    if rope_scaling:
+        rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+        if rope_type == "llama3":
+            factor = rope_scaling["factor"]
+            low_factor = rope_scaling["low_freq_factor"]
+            high_factor = rope_scaling["high_freq_factor"]
+            old_ctx = rope_scaling["original_max_position_embeddings"]
+            low_freq_wavelen = old_ctx / low_factor
+            high_freq_wavelen = old_ctx / high_factor
+            wavelen = 2.0 * jnp.pi / inv_freq
+            # smooth interpolation between scaled and unscaled bands
+            smooth = (old_ctx / wavelen - low_factor) / (high_factor - low_factor)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            scaled = inv_freq / factor
+            mid = (1.0 - smooth) * scaled + smooth * inv_freq
+            inv_freq = jnp.where(
+                wavelen < high_freq_wavelen,
+                inv_freq,
+                jnp.where(wavelen > low_freq_wavelen, scaled, mid),
+            )
+        elif rope_type == "linear":
+            inv_freq = inv_freq / rope_scaling["factor"]
+        # "default"/None and unknown types: plain RoPE
+    return inv_freq
+
+
+@functools.lru_cache(maxsize=32)
+def _rope_inv_freq_cached(
+    head_dim: int, rope_theta: float, rope_scaling_items: Optional[tuple]
+) -> jnp.ndarray:
+    scaling = dict(rope_scaling_items) if rope_scaling_items else None
+    return _rope_inv_freq(head_dim, rope_theta, scaling)
+
+
+def rope_cos_sin(
+    positions: jax.Array,
+    head_dim: int,
+    rope_theta: float,
+    rope_scaling: Optional[Dict[str, Any]] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for the given integer positions. Shapes [T, head_dim//2]."""
+    items = tuple(sorted(rope_scaling.items())) if rope_scaling else None
+    inv_freq = _rope_inv_freq_cached(head_dim, float(rope_theta), items)
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(q_or_k: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Apply non-interleaved (HF "rotate_half") rotary embedding.
+
+    q_or_k: [T, heads, head_dim]; cos/sin: [T, head_dim//2].
+    Computed in fp32, returned in the input dtype.
+    """
+    dtype = q_or_k.dtype
+    x = q_or_k.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(dtype)
+
+
+def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
+    """x @ w.T with optional bias. ``w`` is stored HF-style [out, in]."""
+    y = jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def swiglu_mlp(x: jax.Array, p: Params) -> jax.Array:
+    """SwiGLU MLP: down( silu(gate(x)) * up(x) )."""
+    g = linear(x, p["gate_proj"], p.get("gate_bias"))
+    u = linear(x, p["up_proj"], p.get("up_bias"))
+    h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    return linear(h, p["down_proj"], p.get("down_bias"))
+
+
+def embed(token_ids: jax.Array, embedding: jax.Array) -> jax.Array:
+    return jnp.take(embedding, token_ids, axis=0)
+
+
+def lm_head_logits(x: jax.Array, head_weight: jax.Array) -> jax.Array:
+    """Final projection to vocab logits, fp32 output for sampling accuracy."""
+    return jax.lax.dot_general(
+        x,
+        head_weight,
+        (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )

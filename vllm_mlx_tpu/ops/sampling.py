@@ -1,0 +1,185 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Fused batched sampling.
+
+Reference parity: the reference delegates to mlx-lm ``make_sampler(temp,
+top_p, min_p)`` applied to logprobs (``logits - logsumexp``) with filter
+order top_k -> top_p -> min_p after temperature scaling
+(reference scheduler.py:1321-1325, 825-833), plus a windowed
+repetition-penalty logits processor (scheduler.py:2046-2060).
+
+Here sampling is a single device-side op over the whole batch with
+*per-slot* parameters, so heterogeneous requests (greedy next to
+temp=0.8/top_p=0.9) run in one compiled decode step — no per-request
+Python sampler objects on the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+REP_WINDOW = 20  # mlx-lm repetition_context_size default
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SamplingState:
+    """Per-slot sampling parameters + repetition context, device-resident.
+
+    All arrays have leading dim [max_num_seqs]. ``recent_tokens`` is a
+    ring buffer of the last REP_WINDOW generated tokens (-1 = empty).
+    """
+
+    temperature: jax.Array  # [S] f32, 0 = greedy
+    top_k: jax.Array  # [S] i32, 0 = disabled
+    top_p: jax.Array  # [S] f32, 1.0 = disabled
+    min_p: jax.Array  # [S] f32, 0.0 = disabled
+    repetition_penalty: jax.Array  # [S] f32, 1.0 = disabled
+    recent_tokens: jax.Array  # [S, REP_WINDOW] i32, -1 = empty
+    recent_head: jax.Array  # [S] i32 ring-buffer write head
+
+    @staticmethod
+    def init(max_num_seqs: int) -> "SamplingState":
+        s = max_num_seqs
+        return SamplingState(
+            temperature=jnp.zeros((s,), jnp.float32),
+            top_k=jnp.zeros((s,), jnp.int32),
+            top_p=jnp.ones((s,), jnp.float32),
+            min_p=jnp.zeros((s,), jnp.float32),
+            repetition_penalty=jnp.ones((s,), jnp.float32),
+            recent_tokens=jnp.full((s, REP_WINDOW), -1, jnp.int32),
+            recent_head=jnp.zeros((s,), jnp.int32),
+        )
+
+    def set_slot(
+        self,
+        slot: int,
+        *,
+        temperature: float,
+        top_k: int,
+        top_p: float,
+        min_p: float,
+        repetition_penalty: float,
+        prompt_tail: Optional[jnp.ndarray] = None,
+    ) -> "SamplingState":
+        """Host-side admission: write one slot's params (outside jit)."""
+        recent = self.recent_tokens.at[slot].set(-1)
+        head = self.recent_head.at[slot].set(0)
+        if prompt_tail is not None and prompt_tail.size > 0:
+            tail = prompt_tail[-REP_WINDOW:].astype(jnp.int32)
+            recent = recent.at[slot, : tail.shape[0]].set(tail)
+            head = head.at[slot].set(tail.shape[0] % REP_WINDOW)
+        return SamplingState(
+            temperature=self.temperature.at[slot].set(temperature),
+            top_k=self.top_k.at[slot].set(top_k),
+            top_p=self.top_p.at[slot].set(top_p),
+            min_p=self.min_p.at[slot].set(min_p),
+            repetition_penalty=self.repetition_penalty.at[slot].set(
+                repetition_penalty
+            ),
+            recent_tokens=recent,
+            recent_head=head,
+        )
+
+
+def apply_repetition_penalty(
+    logits: jax.Array, state: SamplingState
+) -> jax.Array:
+    """mlx-lm semantics: for each token in the recent window,
+    ``l/p if l > 0 else l*p`` (duplicates read the same source value)."""
+    vocab = logits.shape[-1]
+    tokens = state.recent_tokens  # [S, W]
+    valid = tokens >= 0
+    safe = jnp.where(valid, tokens, 0)
+    rows = jnp.arange(logits.shape[0])[:, None]
+    gathered = logits[rows, safe]
+    pen = state.repetition_penalty[:, None]
+    adjusted = jnp.where(gathered > 0, gathered / pen, gathered * pen)
+    # Route invalid window slots out of bounds so the scatter drops them
+    # (otherwise they'd re-write token 0 with its unpenalized value).
+    oob = jnp.where(valid, safe, vocab)
+    return logits.at[rows, oob].set(adjusted.astype(logits.dtype), mode="drop")
+
+
+def advance_repetition_state(
+    state: SamplingState, tokens: jax.Array, active: jax.Array
+) -> SamplingState:
+    """Push the newly sampled token into each active slot's ring buffer."""
+    rows = jnp.arange(tokens.shape[0])
+    head = state.recent_head
+    new_recent = state.recent_tokens.at[rows, head].set(
+        jnp.where(active, tokens.astype(jnp.int32), state.recent_tokens[rows, head])
+    )
+    new_head = jnp.where(active, (head + 1) % REP_WINDOW, head)
+    return SamplingState(
+        temperature=state.temperature,
+        top_k=state.top_k,
+        top_p=state.top_p,
+        min_p=state.min_p,
+        repetition_penalty=state.repetition_penalty,
+        recent_tokens=new_recent,
+        recent_head=new_head,
+    )
+
+
+def sample_tokens(
+    logits: jax.Array,  # [S, V] f32
+    state: SamplingState,
+    rng_key: jax.Array,
+    allow_mask: Optional[jax.Array] = None,  # [S, V] bool (constrained decoding)
+    greedy_only: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample one token per slot. Returns (tokens [S] i32, logprobs [S] f32).
+
+    logprobs are the log-softmax of the (penalized, masked) logits at the
+    chosen token — i.e. the pre-temperature normalized logprobs, matching
+    the reference's ``logits - logsumexp`` normalization
+    (scheduler.py:825).
+    """
+    has_penalty = state is not None
+    if has_penalty:
+        logits = apply_repetition_penalty(logits, state)
+    if allow_mask is not None:
+        logits = jnp.where(allow_mask, logits, -jnp.inf)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    greedy_tok = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        chosen_lp = jnp.take_along_axis(
+            logprobs, greedy_tok[:, None], axis=-1
+        )[:, 0]
+        return greedy_tok, chosen_lp
+
+    s, v = logits.shape
+    temp = state.temperature
+    safe_temp = jnp.where(temp > 0, temp, 1.0)
+    x = logprobs / safe_temp[:, None]
+
+    # Full descending sort once; all filters become prefix masks.
+    sorted_x, sort_idx = jax.lax.top_k(x, v)
+    probs = jax.nn.softmax(sorted_x, axis=-1)
+    col = jnp.arange(v)[None, :]
+    keep = jnp.ones((s, v), dtype=bool)
+    keep &= jnp.where(state.top_k[:, None] > 0, col < state.top_k[:, None], True)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep &= jnp.where(
+        state.top_p[:, None] < 1.0, (cum - probs) < state.top_p[:, None], True
+    )
+    keep &= jnp.where(
+        state.min_p[:, None] > 0.0,
+        probs >= state.min_p[:, None] * probs[:, 0:1],
+        True,
+    )
+    keep = keep.at[:, 0].set(True)
+    filtered = jnp.where(keep, sorted_x, -jnp.inf)
+    sampled_col = jax.random.categorical(rng_key, filtered, axis=-1)
+    sampled_tok = jnp.take_along_axis(sort_idx, sampled_col[:, None], axis=-1)[
+        :, 0
+    ].astype(jnp.int32)
+
+    tokens = jnp.where(temp > 0, sampled_tok, greedy_tok)
+    chosen_lp = jnp.take_along_axis(logprobs, tokens[:, None], axis=-1)[:, 0]
+    return tokens, chosen_lp
