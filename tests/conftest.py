@@ -10,21 +10,31 @@ validated on an 8-device virtual CPU mesh. Real-TPU tests are marked
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The runtime pre-imports jax with JAX_PLATFORMS=axon (real TPU via a
+# high-latency tunnel); the backend initializes lazily, so switching the
+# platform via jax.config before first device use still works.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Exact f32 matmuls for numeric parity tests (production runs bf16 weights,
 # where XLA's default precision is already the bf16 MXU path).
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: identical HLO across tests/runs compiles once.
+from vllm_mlx_tpu.core.model_runner import (  # noqa: E402
+    enable_persistent_compilation_cache,
+)
+
+enable_persistent_compilation_cache("/tmp/vllm_mlx_tpu_test_jax_cache")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,223 @@
+# SPDX-License-Identifier: Apache-2.0
+"""End-to-end continuous-batching scheduler tests on a tiny model.
+
+Mirrors the reference's deterministic-batching suite
+(tests/test_batching_deterministic.py): batched greedy generation must be
+token-identical to isolated single-request generation, across admission
+order, chunked prefill, and preemption."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_mlx_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+from vllm_mlx_tpu.core.model_runner import ModelRunner
+from vllm_mlx_tpu.core.request import Request, SamplingParams
+from vllm_mlx_tpu.core.scheduler import Scheduler
+from vllm_mlx_tpu.models import decoder, loader
+
+EOS = 1
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return ModelConfig(
+        model_type="llama",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+        eos_token_ids=[EOS],
+        dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_params(tiny_cfg):
+    return loader.init_params(tiny_cfg, seed=7, dtype="float32")
+
+
+def make_scheduler(
+    tiny_cfg,
+    tiny_params,
+    *,
+    num_blocks=64,
+    block_size=8,
+    max_num_seqs=4,
+    max_prefill_tokens=64,
+    chunk_sizes=(16, 64),
+    max_model_len=256,
+    stop_tokens=frozenset({EOS}),
+):
+    cache_cfg = CacheConfig(
+        block_size=block_size, num_blocks=num_blocks, kv_dtype="float32"
+    )
+    sched_cfg = SchedulerConfig(
+        max_num_seqs=max_num_seqs,
+        max_prefill_tokens=max_prefill_tokens,
+        prefill_chunk_sizes=list(chunk_sizes),
+        max_model_len=max_model_len,
+    )
+    runner = ModelRunner(tiny_cfg, tiny_params, cache_cfg, sched_cfg)
+    return Scheduler(runner, tokenizer=None, stop_tokens=set(stop_tokens))
+
+
+def reference_greedy(params, cfg, prompt, max_tokens, stop=(EOS,)):
+    seq = list(prompt)
+    out = []
+    for _ in range(max_tokens):
+        logits = decoder.dense_forward(params, cfg, jnp.asarray(seq))
+        nxt = int(jnp.argmax(logits[-1]))
+        if nxt in stop:
+            break
+        out.append(nxt)
+        seq.append(nxt)
+    return out
+
+
+def run_to_completion(sched, max_steps=500):
+    outputs = {}
+    steps = 0
+    while sched.has_unfinished():
+        for out in sched.step():
+            if out.finished:
+                outputs[out.request_id] = out
+        steps += 1
+        assert steps < max_steps, "scheduler did not converge"
+    return outputs
+
+
+def _req(rid, prompt, max_tokens=16, **kw):
+    return Request(
+        request_id=rid,
+        prompt=prompt,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=max_tokens, **kw),
+    )
+
+
+class TestSchedulerGreedyParity:
+    def test_single_request(self, tiny_cfg, tiny_params, rng):
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        prompt = rng.integers(2, 128, size=11).tolist()
+        sched.add_request(_req("a", prompt, max_tokens=12))
+        outs = run_to_completion(sched)
+        expected = reference_greedy(tiny_params, tiny_cfg, prompt, 12)
+        assert outs["a"].output_token_ids == expected
+
+    def test_batched_matches_single(self, tiny_cfg, tiny_params, rng):
+        prompts = [rng.integers(2, 128, size=n).tolist() for n in (5, 17, 33, 9)]
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        for i, p in enumerate(prompts):
+            sched.add_request(_req(f"r{i}", p, max_tokens=10))
+        outs = run_to_completion(sched)
+        for i, p in enumerate(prompts):
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 10)
+            assert outs[f"r{i}"].output_token_ids == expected, f"request r{i}"
+
+    def test_more_requests_than_slots(self, tiny_cfg, tiny_params, rng):
+        prompts = [rng.integers(2, 128, size=7 + i).tolist() for i in range(9)]
+        sched = make_scheduler(tiny_cfg, tiny_params, max_num_seqs=3)
+        for i, p in enumerate(prompts):
+            sched.add_request(_req(f"r{i}", p, max_tokens=6))
+        outs = run_to_completion(sched)
+        assert len(outs) == 9
+        for i, p in enumerate(prompts):
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 6)
+            assert outs[f"r{i}"].output_token_ids == expected
+
+    def test_chunked_prefill_long_prompt(self, tiny_cfg, tiny_params, rng):
+        prompt = rng.integers(2, 128, size=150).tolist()
+        sched = make_scheduler(
+            tiny_cfg, tiny_params, max_prefill_tokens=32, chunk_sizes=(16, 32)
+        )
+        sched.add_request(_req("long", prompt, max_tokens=8))
+        outs = run_to_completion(sched)
+        expected = reference_greedy(tiny_params, tiny_cfg, prompt, 8)
+        assert outs["long"].output_token_ids == expected
+        # prefill needed multiple steps under the 32-token budget
+        assert sched.stats.num_steps > 4
+
+    def test_preemption_recompute(self, tiny_cfg, tiny_params, rng):
+        # Tiny pool: 2 concurrent sequences cannot both grow; force preempt.
+        prompts = [rng.integers(2, 128, size=12).tolist() for _ in range(2)]
+        sched = make_scheduler(
+            tiny_cfg, tiny_params, num_blocks=7, block_size=8, max_num_seqs=2
+        )
+        for i, p in enumerate(prompts):
+            sched.add_request(_req(f"r{i}", p, max_tokens=20))
+        outs = run_to_completion(sched)
+        assert sched.stats.num_preempted >= 1
+        for i, p in enumerate(prompts):
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 20)
+            assert outs[f"r{i}"].output_token_ids == expected
+
+    def test_max_tokens_and_finish_reason(self, tiny_cfg, tiny_params, rng):
+        prompt = rng.integers(2, 128, size=6).tolist()
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        sched.add_request(_req("a", prompt, max_tokens=3))
+        outs = run_to_completion(sched)
+        assert len(outs["a"].output_token_ids) == 3
+        assert outs["a"].finish_reason == "length"
+
+    def test_stop_token_ids(self, tiny_cfg, tiny_params, rng):
+        prompt = rng.integers(2, 128, size=6).tolist()
+        expected = reference_greedy(tiny_params, tiny_cfg, prompt, 20, stop=())
+        stop_at = expected[4]
+        first_idx = expected.index(stop_at)
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        sched.add_request(
+            _req("a", prompt, max_tokens=20, stop_token_ids=[stop_at])
+        )
+        outs = run_to_completion(sched)
+        assert outs["a"].output_token_ids == expected[:first_idx]
+        assert outs["a"].finish_reason == "stop"
+
+    def test_abort(self, tiny_cfg, tiny_params, rng):
+        prompt = rng.integers(2, 128, size=6).tolist()
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        sched.add_request(_req("a", prompt, max_tokens=50))
+        sched.step()
+        sched.abort_request("a")
+        outs = run_to_completion(sched)
+        assert outs["a"].finish_reason == "abort"
+        # slot and blocks are released
+        assert sched.block_mgr.num_active_blocks == 0
+        assert all(s is None for s in sched.slots)
+
+    def test_pipelined_depth_matches_sync(self, tiny_cfg, tiny_params, rng):
+        """pipeline_depth>0 (the TPU mode: results consumed with a lag)
+        must produce identical tokens to the synchronous mode."""
+        prompts = [rng.integers(2, 128, size=n).tolist() for n in (5, 21, 13)]
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        sched.pipeline_depth = 2
+        for i, p in enumerate(prompts):
+            sched.add_request(_req(f"r{i}", p, max_tokens=9))
+        outs = run_to_completion(sched)
+        for i, p in enumerate(prompts):
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 9)
+            assert outs[f"r{i}"].output_token_ids == expected
+
+    def test_pipelined_preemption(self, tiny_cfg, tiny_params, rng):
+        prompts = [rng.integers(2, 128, size=12).tolist() for _ in range(2)]
+        sched = make_scheduler(
+            tiny_cfg, tiny_params, num_blocks=7, block_size=8, max_num_seqs=2
+        )
+        sched.pipeline_depth = 2
+        for i, p in enumerate(prompts):
+            sched.add_request(_req(f"r{i}", p, max_tokens=20))
+        outs = run_to_completion(sched)
+        for i, p in enumerate(prompts):
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 20)
+            assert outs[f"r{i}"].output_token_ids == expected
+
+    def test_blocks_released_after_finish(self, tiny_cfg, tiny_params, rng):
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        for i in range(5):
+            sched.add_request(
+                _req(f"r{i}", rng.integers(2, 128, size=10).tolist(), max_tokens=4)
+            )
+        run_to_completion(sched)
+        assert sched.block_mgr.num_active_blocks == 0

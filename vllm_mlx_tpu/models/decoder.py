@@ -152,11 +152,14 @@ def _stack(
     return x, kv_pool
 
 
-def _logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+def compute_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     head = params.get("lm_head")
     if head is None:
         head = params["embed_tokens"]
     return lm_head_logits(hidden, head)
+
+
+_logits = compute_logits
 
 
 def prefill(

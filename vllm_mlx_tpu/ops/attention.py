@@ -54,10 +54,18 @@ def write_kv(
     positions: [T] absolute token positions (define the slot in the table).
 
     Works for prefill chunks (T tokens of one sequence) — for batched
-    decode use :func:`write_kv_batch`.
+    decode use :func:`write_kv_batch`. Positions past the end of the
+    block table (bucket padding on a nearly-full sequence) are routed to
+    the reserved scratch block 0 instead of clamping onto a real block.
     """
     block_size = kv_pool.shape[3]
-    block_idx = jnp.take(block_table, positions // block_size)
+    slot_idx = positions // block_size
+    in_range = slot_idx < block_table.shape[0]
+    block_idx = jnp.where(
+        in_range,
+        jnp.take(block_table, jnp.clip(slot_idx, 0, block_table.shape[0] - 1)),
+        0,
+    )
     offset = positions % block_size
     kv_pool = kv_pool.at[layer, 0, block_idx, offset].set(k.astype(kv_pool.dtype))
     kv_pool = kv_pool.at[layer, 1, block_idx, offset].set(v.astype(kv_pool.dtype))
@@ -81,7 +89,13 @@ def write_kv_batch(
     """
     block_size = kv_pool.shape[3]
     rows = jnp.arange(block_tables.shape[0])
-    block_idx = block_tables[rows, positions // block_size]
+    slot_idx = positions // block_size
+    in_range = slot_idx < block_tables.shape[1]
+    block_idx = jnp.where(
+        in_range,
+        block_tables[rows, jnp.clip(slot_idx, 0, block_tables.shape[1] - 1)],
+        0,
+    )
     offset = positions % block_size
     kv_pool = kv_pool.at[layer, 0, block_idx, offset].set(k.astype(kv_pool.dtype))
     kv_pool = kv_pool.at[layer, 1, block_idx, offset].set(v.astype(kv_pool.dtype))

@@ -35,10 +35,13 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 def _rope_inv_freq(
     head_dim: int, rope_theta: float, rope_scaling: Optional[Dict[str, Any]]
-) -> jnp.ndarray:
-    """Inverse frequencies, with HF llama3-style scaling when configured."""
+):
+    """Inverse frequencies (host numpy, so results can be cached across jit
+    traces without leaking tracers), with HF llama3-style scaling."""
+    import numpy as np
+
     inv_freq = 1.0 / (
-        rope_theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
     )
     if rope_scaling:
         rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
@@ -49,27 +52,27 @@ def _rope_inv_freq(
             old_ctx = rope_scaling["original_max_position_embeddings"]
             low_freq_wavelen = old_ctx / low_factor
             high_freq_wavelen = old_ctx / high_factor
-            wavelen = 2.0 * jnp.pi / inv_freq
+            wavelen = 2.0 * np.pi / inv_freq
             # smooth interpolation between scaled and unscaled bands
             smooth = (old_ctx / wavelen - low_factor) / (high_factor - low_factor)
-            smooth = jnp.clip(smooth, 0.0, 1.0)
+            smooth = np.clip(smooth, 0.0, 1.0)
             scaled = inv_freq / factor
             mid = (1.0 - smooth) * scaled + smooth * inv_freq
-            inv_freq = jnp.where(
+            inv_freq = np.where(
                 wavelen < high_freq_wavelen,
                 inv_freq,
-                jnp.where(wavelen > low_freq_wavelen, scaled, mid),
+                np.where(wavelen > low_freq_wavelen, scaled, mid),
             )
         elif rope_type == "linear":
             inv_freq = inv_freq / rope_scaling["factor"]
         # "default"/None and unknown types: plain RoPE
-    return inv_freq
+    return inv_freq.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=32)
 def _rope_inv_freq_cached(
     head_dim: int, rope_theta: float, rope_scaling_items: Optional[tuple]
-) -> jnp.ndarray:
+):
     scaling = dict(rope_scaling_items) if rope_scaling_items else None
     return _rope_inv_freq(head_dim, rope_theta, scaling)
 
@@ -82,7 +85,9 @@ def rope_cos_sin(
 ) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables for the given integer positions. Shapes [T, head_dim//2]."""
     items = tuple(sorted(rope_scaling.items())) if rope_scaling else None
-    inv_freq = _rope_inv_freq_cached(head_dim, float(rope_theta), items)
+    inv_freq = jnp.asarray(
+        _rope_inv_freq_cached(head_dim, float(rope_theta), items)
+    )
     angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
     return jnp.cos(angles), jnp.sin(angles)
 

@@ -1,0 +1,126 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Mesh + sharding rules for tensor/data-parallel serving.
+
+Megatron-style TP layout expressed as ``PartitionSpec`` rules over the
+param pytree; XLA/GSPMD inserts the collectives (all-reduce after
+o_proj/down_proj contractions rides ICI). The paged KV pool shards over
+kv heads on the same axis, so decode attention is fully local per chip.
+
+Axes:
+  * ``dp`` — batch slots of the decode state (replicated params)
+  * ``tp`` — attention heads / FFN / vocab / KV heads / MoE experts' FFN
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = dp * tp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+_LEAF_RULES: Dict[str, P] = {
+    "embed_tokens": P("tp", None),
+    "lm_head": P("tp", None),
+    "q_proj": P("tp", None),
+    "k_proj": P("tp", None),
+    "v_proj": P("tp", None),
+    "q_bias": P("tp"),
+    "k_bias": P("tp"),
+    "v_bias": P("tp"),
+    "o_proj": P(None, "tp"),
+    "o_bias": P(),
+    "gate_proj": P("tp", None),
+    "up_proj": P("tp", None),
+    "down_proj": P(None, "tp"),
+    "gate_bias": P("tp"),
+    "up_bias": P("tp"),
+    "down_bias": P(),
+    "input_layernorm": P(),
+    "post_attention_layernorm": P(),
+    "q_norm": P(),
+    "k_norm": P(),
+    "norm": P(),
+    # MoE: keep experts replicated across tp, shard each expert's FFN dim
+    "router": P(),
+    "gate_w": P(None, None, "tp"),
+    "up_w": P(None, None, "tp"),
+    "down_w": P(None, "tp", None),
+}
+
+
+def param_pspecs(params: Any) -> Any:
+    """PartitionSpec pytree matching ``params`` by leaf key name."""
+
+    def rule(path, leaf):
+        name = None
+        for entry in reversed(path):
+            if isinstance(entry, jax.tree_util.DictKey):
+                name = entry.key
+                break
+        return _LEAF_RULES.get(name, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def state_pspecs(state: Any) -> Any:
+    """PartitionSpecs for the DecodeState: KV heads over tp, slots over dp."""
+    from ..core.model_runner import DecodeState
+    from ..ops.sampling import SamplingState
+
+    sampling = SamplingState(
+        temperature=P("dp"),
+        top_k=P("dp"),
+        top_p=P("dp"),
+        min_p=P("dp"),
+        repetition_penalty=P("dp"),
+        recent_tokens=P("dp", None),
+        recent_head=P("dp"),
+    )
+    return DecodeState(
+        kv_pool=P(None, None, None, None, "tp", None),
+        block_tables=P("dp", None),
+        positions=P("dp"),
+        current_tokens=P("dp"),
+        active=P("dp"),
+        sampling=sampling,
+        step_count=P(),
+    )
+
+
+def _named(mesh: Mesh, specs: Any) -> Any:
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    return jax.device_put(params, _named(mesh, param_pspecs(params)))
+
+
+def shard_decode_state(mesh: Mesh, state: Any) -> Any:
+    return jax.device_put(state, _named(mesh, state_pspecs(state)))
+
+
+def validate_tp(cfg: ModelConfig, tp: int) -> None:
+    if cfg.num_key_value_heads % tp or cfg.num_attention_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide kv heads ({cfg.num_key_value_heads}) "
+            f"and attention heads ({cfg.num_attention_heads})"
+        )
+    if cfg.intermediate_size % tp:
+        raise ValueError(f"tp={tp} must divide intermediate_size")
