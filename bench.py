@@ -1,0 +1,144 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Headline benchmark: Qwen3-0.6B-architecture decode throughput on TPU.
+
+Mirrors the reference's headline number (Qwen3-0.6B-8bit greedy decode,
+417.9 tok/s single-stream on M4 Max — reference README.md:84-88,
+BASELINE.md). Runs the real serving path: fixed-slot runner + pipelined
+scheduler + Pallas paged-attention decode, with random-initialized
+weights in the true Qwen3-0.6B geometry (weights' values don't affect
+timing).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+Secondary numbers go to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SINGLE_STREAM = 417.9  # reference M4 Max, README.md:84-86
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build():
+    import jax
+
+    from vllm_mlx_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+    from vllm_mlx_tpu.core.model_runner import (
+        ModelRunner,
+        enable_persistent_compilation_cache,
+    )
+    from vllm_mlx_tpu.core.scheduler import Scheduler
+    from vllm_mlx_tpu.models import loader
+
+    enable_persistent_compilation_cache()
+    # True Qwen3-0.6B geometry (Qwen/Qwen3-0.6B config.json)
+    cfg = ModelConfig(
+        model_type="qwen3",
+        vocab_size=151936,
+        hidden_size=1024,
+        intermediate_size=3072,
+        num_hidden_layers=28,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        head_dim=128,
+        rms_norm_eps=1e-6,
+        rope_theta=1000000.0,
+        use_qk_norm=True,
+        tie_word_embeddings=True,
+        eos_token_ids=[151645],
+        dtype="bfloat16",
+    )
+    t0 = time.time()
+    params = loader.init_params(cfg, seed=0, dtype="bfloat16")
+    log(f"params init: {time.time()-t0:.1f}s ({loader.param_count(params)/1e6:.0f}M)")
+    cache_cfg = CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16")
+    sched_cfg = SchedulerConfig(
+        max_num_seqs=32,
+        max_prefill_tokens=2048,
+        prefill_chunk_sizes=[128, 512, 2048],
+        max_model_len=2048,
+    )
+    runner = ModelRunner(cfg, params, cache_cfg, sched_cfg)
+    sched = Scheduler(runner, tokenizer=None, stop_tokens={151645})
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    return sched
+
+
+def run_batch(sched, n_streams, prompt_len, max_tokens, seed=0):
+    """Returns (wall, ttft, total_generated)."""
+    from vllm_mlx_tpu.core.request import Request, SamplingParams
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for i in range(n_streams):
+        sched.add_request(
+            Request(
+                request_id=f"bench-{seed}-{i}",
+                prompt=rng.integers(10, 150000, size=prompt_len).tolist(),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=max_tokens
+                ),
+            )
+        )
+    ttft = None
+    done = 0
+    total_tokens = 0
+    while sched.has_unfinished():
+        for out in sched.step():
+            if out.new_token_ids and ttft is None:
+                ttft = time.time() - t0
+            total_tokens += len(out.new_token_ids)
+            if out.finished:
+                done += 1
+    wall = time.time() - t0
+    return wall, ttft, total_tokens
+
+
+def main():
+    sched = build()
+
+    # Warmup: compiles prefill buckets + decode (greedy) and fills caches.
+    t0 = time.time()
+    run_batch(sched, 1, 64, 8, seed=99)
+    log(f"warmup(compile): {time.time()-t0:.1f}s")
+    t0 = time.time()
+    run_batch(sched, 1, 64, 8, seed=98)
+    log(f"warmup(steady): {time.time()-t0:.2f}s")
+
+    # Single stream: the reference's headline metric.
+    wall, ttft, total = run_batch(sched, 1, 64, 256, seed=1)
+    decode_tps = (total - 1) / (wall - ttft) if ttft else total / wall
+    log(
+        f"single-stream: {total} tok in {wall:.2f}s "
+        f"(ttft {1000*ttft:.0f} ms, decode {decode_tps:.1f} tok/s)"
+    )
+
+    # Batched: continuous-batching aggregate throughput.
+    for n in (8, 32):
+        wall_b, ttft_b, total_b = run_batch(sched, n, 64, 128, seed=2 + n)
+        log(
+            f"batch-{n}: {total_b} tok in {wall_b:.2f}s "
+            f"(ttft {1000*ttft_b:.0f} ms, agg {total_b/wall_b:.1f} tok/s)"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "qwen3_0.6b_single_stream_decode",
+                "value": round(decode_tps, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(decode_tps / BASELINE_SINGLE_STREAM, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -142,16 +142,18 @@ class TestSchedulerGreedyParity:
 
     def test_preemption_recompute(self, tiny_cfg, tiny_params, rng):
         # Tiny pool: 2 concurrent sequences cannot both grow; force preempt.
+        # EOS disabled so both must generate all 20 tokens.
         prompts = [rng.integers(2, 128, size=12).tolist() for _ in range(2)]
         sched = make_scheduler(
-            tiny_cfg, tiny_params, num_blocks=7, block_size=8, max_num_seqs=2
+            tiny_cfg, tiny_params, num_blocks=7, block_size=8, max_num_seqs=2,
+            stop_tokens=frozenset(),
         )
         for i, p in enumerate(prompts):
             sched.add_request(_req(f"r{i}", p, max_tokens=20))
         outs = run_to_completion(sched)
         assert sched.stats.num_preempted >= 1
         for i, p in enumerate(prompts):
-            expected = reference_greedy(tiny_params, tiny_cfg, p, 20)
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 20, stop=())
             assert outs[f"r{i}"].output_token_ids == expected
 
     def test_max_tokens_and_finish_reason(self, tiny_cfg, tiny_params, rng):
@@ -166,7 +168,10 @@ class TestSchedulerGreedyParity:
         prompt = rng.integers(2, 128, size=6).tolist()
         expected = reference_greedy(tiny_params, tiny_cfg, prompt, 20, stop=())
         stop_at = expected[4]
-        first_idx = expected.index(stop_at)
+        stops = [
+            i for i, t in enumerate(expected) if t == stop_at or t == EOS
+        ]
+        first_idx = stops[0]
         sched = make_scheduler(tiny_cfg, tiny_params)
         sched.add_request(
             _req("a", prompt, max_tokens=20, stop_token_ids=[stop_at])
@@ -203,14 +208,15 @@ class TestSchedulerGreedyParity:
     def test_pipelined_preemption(self, tiny_cfg, tiny_params, rng):
         prompts = [rng.integers(2, 128, size=12).tolist() for _ in range(2)]
         sched = make_scheduler(
-            tiny_cfg, tiny_params, num_blocks=7, block_size=8, max_num_seqs=2
+            tiny_cfg, tiny_params, num_blocks=7, block_size=8, max_num_seqs=2,
+            stop_tokens=frozenset(),
         )
         sched.pipeline_depth = 2
         for i, p in enumerate(prompts):
             sched.add_request(_req(f"r{i}", p, max_tokens=20))
         outs = run_to_completion(sched)
         for i, p in enumerate(prompts):
-            expected = reference_greedy(tiny_params, tiny_cfg, p, 20)
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 20, stop=())
             assert outs[f"r{i}"].output_token_ids == expected
 
     def test_blocks_released_after_finish(self, tiny_cfg, tiny_params, rng):

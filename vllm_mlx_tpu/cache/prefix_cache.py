@@ -1,0 +1,144 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Automatic prefix caching over paged-KV block hashes.
+
+TPU-native redesign of the reference's prefix caches
+(reference memory_cache.py:635 MemoryAwarePrefixCache — token-granular
+exact/prefix/supersequence/LCP matching over copied KV tensors;
+prefix_cache.py:372 BlockAwarePrefixCache — 64-token block slicing with
+``mx.concatenate`` reconstruction):
+
+Here a cache "entry" is just the hash-chained blocks a finished request
+leaves behind in the preallocated HBM pool. Fetch = longest block-hash
+chain match + refcount (zero tensor copies, SURVEY.md section 7 design
+translation); trim = dropping tail blocks; eviction = the BlockManager's
+LRU reclaiming refcount-0 cached blocks when allocation needs them, so
+the cache automatically fills exactly the KV memory the pool isn't
+using (the reference's memory-budget machinery collapses into the pool
+bound).
+
+Block-granular chain matching subsumes the reference's four hit classes
+up to block granularity: an exact or supersequence entry matches every
+full block of the prompt; prefix/LCP entries match their common leading
+blocks.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from ..core.block_manager import BlockManager, hash_block_tokens
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class PrefixCacheStats:
+    queries: int = 0
+    hits: int = 0
+    hit_tokens: int = 0
+    stored_entries: int = 0
+    stored_blocks: int = 0
+
+    @property
+    def hit_rate(self) -> float:
+        return self.hits / self.queries if self.queries else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "queries": self.queries,
+            "hits": self.hits,
+            "hit_tokens": self.hit_tokens,
+            "hit_rate": self.hit_rate,
+            "stored_entries": self.stored_entries,
+            "stored_blocks": self.stored_blocks,
+        }
+
+
+class PrefixCache:
+    """Host-side index; the KV bytes live in the pool itself."""
+
+    def __init__(self, block_size: int, enabled: bool = True) -> None:
+        self.block_size = block_size
+        self.enabled = enabled
+        self.stats = PrefixCacheStats()
+
+    # ------------------------------------------------------------------ fetch
+    def block_hashes(self, tokens: Sequence[int]) -> List[str]:
+        """Chain hashes for every *full* block of the token sequence."""
+        bs = self.block_size
+        out: List[str] = []
+        parent: Optional[str] = None
+        for i in range(len(tokens) // bs):
+            h = hash_block_tokens(parent, tokens[i * bs : (i + 1) * bs])
+            out.append(h)
+            parent = h
+        return out
+
+    def fetch(
+        self, block_mgr: BlockManager, tokens: Sequence[int]
+    ) -> Tuple[List[int], int, str]:
+        """Longest cached block-chain prefix. Increfs matched blocks and
+        returns (blocks, cached_token_count, hit_type)."""
+        if not self.enabled:
+            return [], 0, "disabled"
+        self.stats.queries += 1
+        hashes = self.block_hashes(tokens)
+        blocks = block_mgr.lookup_prefix(hashes)
+        cached_tokens = len(blocks) * self.block_size
+        if not blocks:
+            return [], 0, "miss"
+        self.stats.hits += 1
+        self.stats.hit_tokens += cached_tokens
+        hit = "exact" if len(blocks) == len(hashes) else "prefix"
+        return blocks, cached_tokens, hit
+
+    # ------------------------------------------------------------------ store
+    def store(
+        self,
+        block_mgr: BlockManager,
+        tokens: Sequence[int],
+        blocks: Sequence[int],
+    ) -> bool:
+        """Publish a finished request's full blocks for future reuse.
+
+        Only blocks fully covered by *KV-written* positions are hashed:
+        the final sampled token's KV may never have been written, so the
+        valid span is ``len(tokens) - 1``. Returns True when the caller
+        should retain the blocks as evictable cache entries.
+        """
+        if not self.enabled or not blocks:
+            return False
+        bs = self.block_size
+        valid = max(len(tokens) - 1, 0)
+        n_full = min(valid // bs, len(blocks))
+        if n_full == 0:
+            return False
+        parent: Optional[str] = None
+        for i in range(n_full):
+            h = hash_block_tokens(parent, tokens[i * bs : (i + 1) * bs])
+            block_mgr.register_block_hash(blocks[i], h)
+            parent = h
+        self.stats.stored_entries += 1
+        self.stats.stored_blocks += n_full
+        return True
+
+    # ------------------------------------------------------------------ admin
+    def clear(self, block_mgr: BlockManager) -> int:
+        """Drop every refcount-0 cached block back to the free list
+        (DELETE /v1/cache semantics, reference server.py:3576)."""
+        n = block_mgr.num_cached_blocks
+        while block_mgr._cached_lru:
+            b, _ = block_mgr._cached_lru.popitem(last=False)
+            block_mgr._drop_hash(b)
+            block_mgr._free.append(b)
+        return n
+
+    def get_stats(self, block_mgr: Optional[BlockManager] = None) -> dict:
+        d = self.stats.as_dict()
+        if block_mgr is not None:
+            d["cached_blocks"] = block_mgr.num_cached_blocks
+            d["active_blocks"] = block_mgr.num_active_blocks
+            d["free_blocks"] = block_mgr.num_free_blocks
+        return d

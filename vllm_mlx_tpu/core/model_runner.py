@@ -1,31 +1,30 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Compiled model execution: fixed-slot decode + bucketed chunked prefill.
+"""Compiled model execution: one unified ragged step.
 
-TPU-native replacement for mlx-lm's mutable BatchGenerator batch
-(reference scheduler.py:21,1341; mllm_batch_generator.py:260-393): all
-per-sequence state lives in fixed-shape device arrays sized
-``max_num_seqs``, so the decode step traces and compiles exactly once.
-Admission/eviction are tiny scatter updates, never reshapes.
+TPU-native replacement for mlx-lm's mutable BatchGenerator
+(reference scheduler.py:21,1341; mllm_batch_generator.py:260-393).
+Every scheduler step is ONE compiled function over a ragged token batch:
+all scheduled sequences' new tokens concatenated — decode sequences
+contribute 1 token, prefilling sequences a prompt chunk — attended via
+``ragged_paged_attention`` against the paged KV pool, then per-sequence
+fused sampling. Batch shape is bucketed on total tokens T, so any
+prefill/decode mix reuses a handful of compiled variants.
 
-Layout of a step:
-  * ``decode_step``  — embed 1 token/slot, write KV into the paged pool,
-    paged attention, sample with per-slot params. One fused jit, donated
-    state, [S] outputs.
-  * ``prefill_chunk`` — one sequence's prompt chunk, padded to a bucket
-    size (padding K/V is routed to the reserved scratch block by the
-    zero-initialized block-table entries and never read). The final
-    chunk samples the first output token in the same jit.
+Device-resident state is minimal:
+  * per-layer KV page pools (donated through each step)
+  * ``device_tokens[slot]`` — each slot's last sampled token, so decode
+    never waits on a host round-trip (~30 ms on this platform)
+  * per-slot SamplingState (temperature/top-k/top-p/min-p/penalties)
 
-Prefill-length bucketing bounds recompiles (SURVEY.md section 7 "hard
-parts" #1); a persistent compilation cache makes warm restarts cheap.
+Everything else (tokens, positions, page tables, ragged offsets) is
+host-built numpy uploaded per step; the upload pipelines behind compute.
 """
 
 from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass, replace
-from functools import partial
+from dataclasses import dataclass, field, replace
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -34,7 +33,7 @@ import numpy as np
 
 from ..config import CacheConfig, ModelConfig, SchedulerConfig
 from ..models import decoder
-from ..ops import attention as att
+from ..ops.ragged_attention import make_kv_pages
 from ..ops.sampling import (
     SamplingState,
     advance_repetition_state,
@@ -59,16 +58,29 @@ def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
 
 @jax.tree_util.register_dataclass
 @dataclass
-class DecodeState:
-    """All device-resident per-slot state. Leading dim S = max_num_seqs."""
-
-    kv_pool: jax.Array  # [L, 2, num_blocks, bs, kvh, hd]
-    block_tables: jax.Array  # [S, max_blocks_per_seq] i32
-    positions: jax.Array  # [S] i32 — seq length so far == next write position
-    current_tokens: jax.Array  # [S] i32 — token to feed at ``positions``
-    active: jax.Array  # [S] bool
+class RunnerState:
+    kv_pages: List[jax.Array]  # per-layer [pages, ps, 2*kvh, hd]
+    device_tokens: jax.Array  # [slots] i32 — last sampled token per slot
     sampling: SamplingState
-    step_count: jax.Array  # scalar i32, folds into the RNG key
+    step_count: jax.Array  # scalar i32 (RNG folding)
+
+
+@dataclass
+class StepInput:
+    """Host-built description of one ragged step (all numpy)."""
+
+    token_ids: np.ndarray  # [T] i32; decode rows overridden from device
+    from_device: np.ndarray  # [T] bool
+    token_slot: np.ndarray  # [T] i32 slot for device-token rows
+    positions: np.ndarray  # [T] i32
+    kv_dest: np.ndarray  # [T] i32 flat page slot; OOB sentinel = dropped
+    kv_lens: np.ndarray  # [S] i32
+    page_indices: np.ndarray  # [S, pages_per_seq] i32
+    cu_q_lens: np.ndarray  # [S+1] i32
+    num_seqs: int
+    seq_slots: np.ndarray  # [S] i32 slot per compact seq
+    advance_mask: np.ndarray  # [S] bool — sampled token is real
+    total_tokens: int  # unpadded T
 
 
 class ModelRunner:
@@ -92,11 +104,15 @@ class ModelRunner:
         self.cache_cfg = cache_cfg
         self.sched_cfg = sched_cfg
         self.max_num_seqs = sched_cfg.max_num_seqs
-        self.block_size = cache_cfg.block_size
-        self.max_blocks_per_seq = max(
+        self.page_size = cache_cfg.block_size
+        self.num_pages = cache_cfg.num_blocks
+        self.pages_per_seq = max(
             1, -(-sched_cfg.max_model_len // cache_cfg.block_size)
         )
-        self.chunk_buckets = sorted(set(sched_cfg.prefill_chunk_sizes))
+        buckets = sorted(set(sched_cfg.prefill_chunk_sizes))
+        if buckets[0] > self.max_num_seqs:
+            buckets = [self.max_num_seqs] + buckets
+        self.token_buckets = buckets
         self._rng_base = jax.random.PRNGKey(rng_seed)
         if kv_dtype is None:
             kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
@@ -105,186 +121,152 @@ class ModelRunner:
         self.kv_dtype = kv_dtype
         self.state = self._init_state()
         if mesh is not None:
-            from ..parallel.mesh import shard_decode_state
+            from ..parallel.mesh import shard_runner_state
 
-            self.state = shard_decode_state(mesh, self.state)
-        self._decode_jit = jax.jit(
-            self._decode_step, static_argnames=("greedy_only",), donate_argnums=(1,)
+            self.state = shard_runner_state(mesh, self.state)
+        self._step_jit = jax.jit(
+            self._step,
+            static_argnames=("greedy_only",),
+            donate_argnums=(1,),
         )
-        self._prefill_jit = jax.jit(self._prefill_step, donate_argnums=(1,))
 
     # ------------------------------------------------------------------ state
-    def _init_state(self) -> DecodeState:
-        c, s = self.cfg, self.max_num_seqs
-        kv_pool = att.make_kv_pool(
-            c.num_hidden_layers,
-            self.cache_cfg.num_blocks,
-            self.block_size,
-            c.num_key_value_heads,
-            c.head_dim,
-            dtype=self.kv_dtype,
-        )
-        return DecodeState(
-            kv_pool=kv_pool,
-            block_tables=jnp.zeros((s, self.max_blocks_per_seq), jnp.int32),
-            positions=jnp.zeros((s,), jnp.int32),
-            current_tokens=jnp.zeros((s,), jnp.int32),
-            active=jnp.zeros((s,), bool),
-            sampling=SamplingState.init(s),
+    def _init_state(self) -> RunnerState:
+        c = self.cfg
+        return RunnerState(
+            kv_pages=make_kv_pages(
+                c.num_hidden_layers,
+                self.num_pages,
+                self.page_size,
+                c.num_key_value_heads,
+                c.head_dim,
+                dtype=self.kv_dtype,
+            ),
+            device_tokens=jnp.zeros((self.max_num_seqs,), jnp.int32),
+            sampling=SamplingState.init(self.max_num_seqs),
             step_count=jnp.zeros((), jnp.int32),
         )
 
     def reset(self) -> None:
         self.state = self._init_state()
 
-    # ----------------------------------------------------------------- decode
-    def _decode_step(
-        self, params: Params, state: DecodeState, greedy_only: bool
-    ) -> Tuple[DecodeState, jax.Array, jax.Array]:
-        logits, kv_pool = decoder.decode(
-            params,
-            self.cfg,
-            state.current_tokens,
-            state.positions,
-            state.kv_pool,
-            state.block_tables,
-            self.sched_cfg.moe_top_k,
+    def kv_pool_bytes(self) -> int:
+        c = self.cfg
+        itemsize = jnp.dtype(self.kv_dtype).itemsize
+        return (
+            c.num_hidden_layers
+            * self.num_pages
+            * self.page_size
+            * 2
+            * c.num_key_value_heads
+            * c.head_dim
+            * itemsize
         )
-        key = jax.random.fold_in(self._rng_base, state.step_count)
-        tokens, logprobs = sample_tokens(
-            logits, state.sampling, key, greedy_only=greedy_only
-        )
-        sampling = advance_repetition_state(state.sampling, tokens, state.active)
-        new_state = replace(
-            state,
-            kv_pool=kv_pool,
-            positions=jnp.where(state.active, state.positions + 1, state.positions),
-            current_tokens=jnp.where(state.active, tokens, state.current_tokens),
-            sampling=sampling,
-            step_count=state.step_count + 1,
-        )
-        return new_state, tokens, logprobs
 
-    def decode(self, greedy_only: bool = False) -> Tuple[jax.Array, jax.Array]:
-        """Run one decode step for all slots; returns (tokens [S], logprobs [S])
-        as device arrays (fetch lazily for pipelining)."""
-        self.state, tokens, logprobs = self._decode_jit(
-            self.params, self.state, greedy_only=greedy_only
-        )
-        return tokens, logprobs
-
-    # ---------------------------------------------------------------- prefill
-    def _prefill_step(
+    # ------------------------------------------------------------------- step
+    def _step(
         self,
         params: Params,
-        state: DecodeState,
-        tokens: jax.Array,  # [C] padded chunk
-        pos0: jax.Array,  # scalar i32: absolute position of tokens[0]
-        last_idx: jax.Array,  # scalar i32: index of last valid token in chunk
-        slot: jax.Array,  # scalar i32
-        is_last: jax.Array,  # scalar bool: final chunk of the prompt
-    ) -> Tuple[DecodeState, jax.Array, jax.Array]:
-        c = tokens.shape[0]
-        positions = pos0 + jnp.arange(c, dtype=jnp.int32)
-        table_row = state.block_tables[slot]
-        hidden, kv_pool = decoder.prefill(
+        state: RunnerState,
+        token_ids: jax.Array,  # [T]
+        from_device: jax.Array,  # [T] bool
+        token_slot: jax.Array,  # [T]
+        positions: jax.Array,  # [T]
+        kv_dest: jax.Array,  # [T]
+        kv_lens: jax.Array,  # [S]
+        page_indices: jax.Array,  # [S, P]
+        cu_q_lens: jax.Array,  # [S+1]
+        num_seqs: jax.Array,  # [1]
+        seq_slots: jax.Array,  # [S]
+        advance_mask: jax.Array,  # [S] bool
+        greedy_only: bool,
+    ) -> Tuple[RunnerState, jax.Array, jax.Array]:
+        s = self.max_num_seqs
+        tokens = jnp.where(
+            from_device, state.device_tokens[token_slot], token_ids
+        )
+        hidden, new_pages = decoder.unified_forward(
             params,
             self.cfg,
             tokens,
             positions,
-            state.kv_pool,
-            table_row,
+            state.kv_pages,
+            kv_dest,
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
             self.sched_cfg.moe_top_k,
         )
-        last_hidden = jax.lax.dynamic_slice_in_dim(hidden, last_idx, 1, axis=0)
-        logits = decoder._logits(params, self.cfg, last_hidden)  # [1, V]
+        last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
+        hs = hidden[last_rows]
+        logits = decoder.compute_logits(params, self.cfg, hs)  # [S, V]
+
+        slot_sampling = jax.tree.map(lambda a: a[seq_slots], state.sampling)
         key = jax.random.fold_in(self._rng_base, state.step_count)
-        slot_sampling = jax.tree.map(
-            lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=0),
-            state.sampling,
+        sampled, logprobs = sample_tokens(
+            logits, slot_sampling, key, greedy_only=greedy_only
         )
-        token, logprob = sample_tokens(logits, slot_sampling, key)
-        tok = token[0]
-        end_pos = pos0 + last_idx + 1
-
-        def write_row(full, row):
-            return jax.lax.dynamic_update_slice_in_dim(full, row, slot, axis=0)
-
+        advanced = advance_repetition_state(
+            slot_sampling, sampled, advance_mask
+        )
+        # scatter updated sampling rows back by slot; masked rows dropped
+        # via an out-of-range sentinel (duplicate padded slots would
+        # otherwise race).
+        scatter_slots = jnp.where(advance_mask, seq_slots, s)
         new_sampling = jax.tree.map(
-            lambda full, row: jnp.where(is_last, write_row(full, row), full),
+            lambda full, rows: full.at[scatter_slots].set(rows, mode="drop"),
             state.sampling,
-            advance_repetition_state(
-                slot_sampling, token, jnp.ones((1,), bool)
-            ),
+            advanced,
         )
-        new_state = replace(
-            state,
-            kv_pool=kv_pool,
-            positions=jnp.where(
-                is_last,
-                state.positions.at[slot].set(end_pos),
-                state.positions,
-            ),
-            current_tokens=jnp.where(
-                is_last,
-                state.current_tokens.at[slot].set(tok),
-                state.current_tokens,
-            ),
-            active=jnp.where(
-                is_last, state.active.at[slot].set(True), state.active
-            ),
+        new_device_tokens = state.device_tokens.at[scatter_slots].set(
+            sampled, mode="drop"
+        )
+        new_state = RunnerState(
+            kv_pages=new_pages,
+            device_tokens=new_device_tokens,
             sampling=new_sampling,
             step_count=state.step_count + 1,
         )
-        return new_state, tok, logprob[0]
+        return new_state, sampled, logprobs
 
-    def prefill_chunk(
-        self,
-        token_ids: Sequence[int],
-        pos0: int,
-        slot: int,
-        is_last: bool,
+    def run_step(
+        self, inp: StepInput, greedy_only: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
-        """Process one prompt chunk (host wrapper: pads to a bucket).
-
-        Returns (first_token, logprob) device scalars — meaningful only
-        when ``is_last``.
-        """
-        n = len(token_ids)
-        bucket = next((b for b in self.chunk_buckets if b >= n), None)
+        """Pad to a token bucket, upload, dispatch. Returns device arrays
+        (sampled [S], logprobs [S]) — fetch asynchronously."""
+        t = inp.total_tokens
+        bucket = next((b for b in self.token_buckets if b >= t), None)
         if bucket is None:
             raise ValueError(
-                f"chunk of {n} tokens exceeds largest bucket "
-                f"{self.chunk_buckets[-1]}"
+                f"{t} tokens exceeds largest bucket {self.token_buckets[-1]}"
             )
-        padded = np.zeros((bucket,), np.int32)
-        padded[:n] = token_ids
-        self.state, tok, lp = self._prefill_jit(
+
+        def pad_t(a: np.ndarray, fill=0):
+            out = np.full((bucket,) + a.shape[1:], fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        oob = self.num_pages * self.page_size
+        self.state, sampled, logprobs = self._step_jit(
             self.params,
             self.state,
-            jnp.asarray(padded),
-            jnp.int32(pos0),
-            jnp.int32(n - 1),
-            jnp.int32(slot),
-            jnp.bool_(is_last),
+            jnp.asarray(pad_t(inp.token_ids)),
+            jnp.asarray(pad_t(inp.from_device)),
+            jnp.asarray(pad_t(inp.token_slot)),
+            jnp.asarray(pad_t(inp.positions)),
+            jnp.asarray(pad_t(inp.kv_dest, fill=oob)),
+            jnp.asarray(inp.kv_lens),
+            jnp.asarray(inp.page_indices),
+            jnp.asarray(inp.cu_q_lens),
+            jnp.asarray(np.array([inp.num_seqs], np.int32)),
+            jnp.asarray(inp.seq_slots),
+            jnp.asarray(inp.advance_mask),
+            greedy_only=greedy_only,
         )
-        return tok, lp
+        return sampled, logprobs
 
     # ------------------------------------------------------- host-side admin
-    def set_block_table_row(self, slot: int, blocks: Sequence[int]) -> None:
-        row = np.zeros((self.max_blocks_per_seq,), np.int32)
-        row[: len(blocks)] = blocks
-        self.state = replace(
-            self.state,
-            block_tables=self.state.block_tables.at[slot].set(jnp.asarray(row)),
-        )
-
-    def extend_block_table(self, slot: int, index: int, block: int) -> None:
-        self.state = replace(
-            self.state,
-            block_tables=self.state.block_tables.at[slot, index].set(block),
-        )
-
     def configure_slot_sampling(
         self,
         slot: int,
@@ -312,22 +294,4 @@ class ModelRunner:
                 repetition_penalty=repetition_penalty,
                 prompt_tail=tail,
             ),
-        )
-
-    def release_slot(self, slot: int) -> None:
-        self.state = replace(
-            self.state, active=self.state.active.at[slot].set(False)
-        )
-
-    def resume_slot(
-        self, slot: int, position: int, current_token: int
-    ) -> None:
-        """Reactivate a slot whose KV is already in the pool (cache hits,
-        preemption resume with intact blocks)."""
-        st = self.state
-        self.state = replace(
-            st,
-            positions=st.positions.at[slot].set(position),
-            current_tokens=st.current_tokens.at[slot].set(current_token),
-            active=st.active.at[slot].set(True),
         )

@@ -1,26 +1,26 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Continuous-batching scheduler over the fixed-slot ModelRunner.
+"""Continuous-batching scheduler over the unified ragged ModelRunner.
 
-vLLM-style waiting/running queues with chunked prefill interleaved into
-every step (reference scheduler.py:1133-2627, with the mlx-lm
-BatchGenerator monkey-patches replaced by first-class code per
-SURVEY.md section 0.4):
+vLLM-style waiting/running queues (reference scheduler.py:1133-2627, with
+the mlx-lm BatchGenerator monkey-patches replaced by first-class code per
+SURVEY.md section 0.4). Each step builds ONE ragged token batch:
 
   step():
     1. drain deferred aborts (reference pattern, scheduler.py:1895-1903)
     2. admit waiting requests into free slots (prefix-cache fetch on admit)
-    3. run prompt chunks within the per-step prefill token budget;
-       a request's final chunk samples its first output token in-jit
-    4. one batched decode step for every active slot
-    5. detokenize, stop-check, emit RequestOutputs, free finished slots
+    3. gather decode sequences (1 token each, read from device state) and
+       prefill chunks (within the per-step token budget) into a single
+       StepInput; dispatch one compiled step
+    4. consume results `pipeline_depth` steps later: detokenize,
+       stop-check, emit RequestOutputs, free finished slots
 
 **Pipelined result processing**: device->host sync on this platform
 costs ~30 ms, so the scheduler never blocks on the step it just
-dispatched. Results are fetched via async copies and consumed
-``pipeline_depth`` steps later; a request that hit its stop condition
-decodes a few zombie tokens (written to the scratch block / discarded)
-before its slot is reclaimed. Bundles are epoch-tagged so slot reuse and
-preemption can never credit a token to the wrong request.
+dispatched. Results are fetched via async copies and consumed a few
+steps later; a request that hit its stop condition decodes a couple of
+zombie tokens (dropped via the scatter's OOB sentinel / discarded on the
+host) before its slot is reclaimed. Bundles are epoch-tagged so slot
+reuse and preemption can never credit a token to the wrong request.
 
 Preemption: when KV blocks run out, the *latest* running request (FCFS
 order) is evicted and re-queued for recompute (prompt + generated so
@@ -42,7 +42,7 @@ import numpy as np
 from ..config import SchedulerConfig
 from .block_manager import BlockManager
 from .detokenizer import StreamingDetokenizer
-from .model_runner import ModelRunner
+from .model_runner import ModelRunner, StepInput
 from .request import Request, RequestOutput, RequestStatus
 
 logger = logging.getLogger(__name__)
@@ -72,20 +72,16 @@ def _all_tokens(req: Request) -> List[int]:
 class _StepBundle:
     """One dispatched step's device handles, consumed with a lag."""
 
-    # rid -> (epoch, token_dev, logprob_dev): prefill-final first tokens
-    first_tokens: Dict[str, Tuple[int, object, object]] = field(
-        default_factory=dict
-    )
-    decode_tokens: Optional[object] = None  # [S] device array
-    decode_logprobs: Optional[object] = None
-    # rid -> (epoch, slot) for requests included in this decode dispatch
-    decode_slots: Dict[str, Tuple[int, int]] = field(default_factory=dict)
+    sampled: Optional[object] = None  # [S] device array
+    logprobs: Optional[object] = None
+    # rid -> (epoch, compact_index) for sequences whose sample is real
+    seq_map: Dict[str, Tuple[int, int]] = field(default_factory=dict)
 
 
 def _default_pipeline_depth() -> int:
     import jax
 
-    return 0 if jax.default_backend() == "cpu" else 2
+    return 0 if jax.default_backend() == "cpu" else 4
 
 
 class Scheduler:
@@ -102,10 +98,8 @@ class Scheduler:
         self.config = config or runner.sched_cfg
         self.tokenizer = tokenizer
         self.detok = StreamingDetokenizer(tokenizer) if tokenizer else None
-        self.block_size = runner.block_size
-        self.block_mgr = BlockManager(
-            runner.cache_cfg.num_blocks, runner.block_size
-        )
+        self.page_size = runner.page_size
+        self.block_mgr = BlockManager(runner.num_pages, runner.page_size)
         self.prefix_cache = prefix_cache
         self.pipeline_depth = (
             pipeline_depth
@@ -122,7 +116,7 @@ class Scheduler:
         self._pending_aborts: Set[str] = set()
         self._immediate_outputs: List[RequestOutput] = []
         self._inflight: Deque[_StepBundle] = deque()
-        # per-request: dispatched-but-unprocessed accounting
+        # per-request accounting of dispatched-but-unprocessed work
         self._epoch: Dict[str, int] = {}
         self._base_len: Dict[str, int] = {}
         self._dispatched: Dict[str, int] = {}
@@ -174,32 +168,18 @@ class Scheduler:
         if self._immediate_outputs:
             outputs.extend(self._immediate_outputs)
             self._immediate_outputs.clear()
-        bundle = _StepBundle()
-        self._run_prefill_chunks(bundle)
-        self._run_decode(bundle)
-        if (
-            bundle.first_tokens
-            or bundle.decode_slots
-            or self._inflight
-        ):
-            if bundle.first_tokens or bundle.decode_slots:
-                self._inflight.append(bundle)
-            while len(self._inflight) > self.pipeline_depth:
+        bundle = self._dispatch_step()
+        if bundle is not None:
+            self._inflight.append(bundle)
+        while len(self._inflight) > self.pipeline_depth:
+            outputs.extend(self._process_bundle(self._inflight.popleft()))
+        if bundle is None:
+            # nothing dispatchable -> drain whatever is in flight
+            while self._inflight:
                 outputs.extend(self._process_bundle(self._inflight.popleft()))
-            # nothing left to dispatch -> drain everything
-            if not self._pending_prompt and not self.waiting:
-                still_running = any(
-                    r.status == RequestStatus.RUNNING for r in self.running
-                )
-                if not still_running:
-                    while self._inflight:
-                        outputs.extend(
-                            self._process_bundle(self._inflight.popleft())
-                        )
         return outputs
 
     def flush(self) -> List[RequestOutput]:
-        """Force-process every in-flight bundle."""
         outputs: List[RequestOutput] = []
         while self._inflight:
             outputs.extend(self._process_bundle(self._inflight.popleft()))
@@ -251,17 +231,16 @@ class Scheduler:
                     self.stats.prefix_cache_hits += 1
                     self.stats.prefix_cached_tokens += cached_tokens
             # Never cache-skip the entire sequence: the last token must be
-            # re-forwarded to produce next-token logits, and it must land in
-            # a private (non-shared) block — drop trailing cached blocks
+            # re-forwarded for next-token logits, into a private block
             # (reference "exact hit: trim 1, replay",
             # mllm_batch_generator.py:1512-1544).
             if cached_tokens >= len(tokens):
-                keep_blocks = (len(tokens) - 1) // self.block_size
+                keep_blocks = (len(tokens) - 1) // self.page_size
                 for b in cached_blocks[keep_blocks:]:
                     self.block_mgr.free([b], cache=True)
                 cached_blocks = cached_blocks[:keep_blocks]
-                cached_tokens = keep_blocks * self.block_size
-            n_needed = -(-(len(tokens) + 1) // self.block_size) - len(
+                cached_tokens = keep_blocks * self.page_size
+            n_needed = -(-(len(tokens) + 1) // self.page_size) - len(
                 cached_blocks
             )
             new_blocks = self.block_mgr.allocate(n_needed)
@@ -269,8 +248,6 @@ class Scheduler:
                 self.block_mgr.free(cached_blocks, cache=True)
                 req.cache_hit_type = None
                 if not self.running and not self._inflight:
-                    # Nothing will ever free more blocks: the request
-                    # cannot fit in the pool at all.
                     self.waiting.popleft()
                     req.set_finished(
                         RequestStatus.FINISHED_ERROR,
@@ -301,7 +278,6 @@ class Scheduler:
             self._base_len[rid] = len(tokens)
             self._dispatched[rid] = 0
             sp = req.sampling_params
-            self.runner.set_block_table_row(slot, req.blocks)
             self.runner.configure_slot_sampling(
                 slot,
                 temperature=sp.temperature,
@@ -314,38 +290,7 @@ class Scheduler:
             if self.detok is not None and req.detok_state is None:
                 req.detok_state = self.detok.new_state(tokens[-6:])
 
-    # ---------------------------------------------------------------- prefill
-    def _run_prefill_chunks(self, bundle: _StepBundle) -> None:
-        budget = self.config.max_prefill_tokens
-        max_bucket = self.runner.chunk_buckets[-1]
-        for req in list(self.running):
-            if budget <= 0:
-                break
-            rid = req.request_id
-            pending = self._pending_prompt.get(rid)
-            if not pending:
-                continue
-            while pending and budget > 0:
-                chunk = pending[: min(budget, max_bucket)]
-                is_last = len(chunk) == len(pending)
-                tok, lp = self.runner.prefill_chunk(
-                    chunk, req.num_computed_tokens, req.slot, is_last
-                )
-                req.num_computed_tokens += len(chunk)
-                self.stats.num_prompt_tokens += len(chunk)
-                budget -= len(chunk)
-                pending = pending[len(chunk):]
-                self._pending_prompt[rid] = pending
-                if is_last:
-                    del self._pending_prompt[rid]
-                    try:
-                        tok.copy_to_host_async()
-                        lp.copy_to_host_async()
-                    except Exception:
-                        pass
-                    bundle.first_tokens[rid] = (self._epoch[rid], tok, lp)
-
-    # ----------------------------------------------------------------- decode
+    # --------------------------------------------------------------- dispatch
     def _decode_ready(self, req: Request) -> bool:
         return (
             req.status == RequestStatus.RUNNING
@@ -358,8 +303,8 @@ class Scheduler:
         rid = req.request_id
         pos = self._base_len[rid] + self._dispatched[rid]
         if pos >= self.config.max_model_len:
-            return True  # zombie/capped writes route to the scratch block
-        idx = pos // self.block_size
+            return True  # zombie/capped writes get the OOB sentinel
+        idx = pos // self.page_size
         while idx >= len(req.blocks):
             blocks = self.block_mgr.allocate(1)
             if blocks is None:
@@ -369,37 +314,136 @@ class Scheduler:
                 self._preempt(req)
                 return False
             req.blocks.append(blocks[0])
-            self.runner.extend_block_table(
-                req.slot, len(req.blocks) - 1, blocks[0]
-            )
         return True
 
-    def _run_decode(self, bundle: _StepBundle) -> None:
-        candidates = [r for r in self.running if self._decode_ready(r)]
-        for req in list(candidates):
-            # an earlier candidate's growth may have preempted this one
+    def _dest_for(self, req: Request, pos: int) -> int:
+        idx = pos // self.page_size
+        if idx >= len(req.blocks):
+            return self.runner.num_pages * self.page_size  # OOB sentinel
+        return req.blocks[idx] * self.page_size + pos % self.page_size
+
+    def _dispatch_step(self) -> Optional[_StepBundle]:
+        s_max = self.runner.max_num_seqs
+        pages_per_seq = self.runner.pages_per_seq
+        max_t = self.runner.token_buckets[-1]
+        budget = self.config.max_prefill_tokens
+
+        # decode sequences (1 token each, token value read from device)
+        decode_reqs = [r for r in self.running if self._decode_ready(r)]
+        for req in list(decode_reqs):
             if not self._decode_ready(req):
-                candidates.remove(req)
+                decode_reqs.remove(req)
                 continue
             if not self._ensure_growth(req):
-                candidates.remove(req)
-        # growth-triggered preemption may have evicted other candidates too
-        decoding = [r for r in candidates if self._decode_ready(r)]
-        if not decoding:
-            return
-        greedy_only = all(r.sampling_params.temperature == 0 for r in decoding)
-        tokens, logprobs = self.runner.decode(greedy_only=greedy_only)
+                decode_reqs.remove(req)
+        decode_reqs = [r for r in decode_reqs if self._decode_ready(r)]
+
+        # prefill chunks
+        prefill: List[Tuple[Request, List[int], bool]] = []
+        t_used = len(decode_reqs)
+        for req in self.running:
+            rid = req.request_id
+            pending = self._pending_prompt.get(rid)
+            if not pending or budget <= 0 or t_used >= max_t:
+                continue
+            chunk = pending[: min(budget, max_t - t_used)]
+            is_final = len(chunk) == len(pending)
+            prefill.append((req, chunk, is_final))
+            t_used += len(chunk)
+            budget -= len(chunk)
+
+        n_seqs = len(decode_reqs) + len(prefill)
+        if n_seqs == 0:
+            return None
+
+        total_t = t_used
+        token_ids = np.zeros(total_t, np.int32)
+        from_device = np.zeros(total_t, bool)
+        token_slot = np.zeros(total_t, np.int32)
+        positions = np.zeros(total_t, np.int32)
+        kv_dest = np.full(
+            total_t, self.runner.num_pages * self.page_size, np.int32
+        )
+        kv_lens = np.zeros(s_max, np.int32)
+        page_indices = np.zeros((s_max, pages_per_seq), np.int32)
+        cu_q_lens = np.zeros(s_max + 1, np.int32)
+        seq_slots = np.zeros(s_max, np.int32)
+        advance_mask = np.zeros(s_max, bool)
+
+        bundle = _StepBundle()
+        t = 0
+        i = 0
+        greedy = True
+        for req in decode_reqs:
+            rid = req.request_id
+            pos = self._base_len[rid] + self._dispatched[rid]
+            pos = min(pos, self.config.max_model_len - 1)
+            from_device[t] = True
+            token_slot[t] = req.slot
+            positions[t] = pos
+            kv_dest[t] = self._dest_for(req, pos)
+            kv_lens[i] = pos + 1
+            blocks = req.blocks[:pages_per_seq]
+            page_indices[i, : len(blocks)] = blocks
+            cu_q_lens[i + 1] = cu_q_lens[i] + 1
+            seq_slots[i] = req.slot
+            advance_mask[i] = True
+            bundle.seq_map[rid] = (self._epoch[rid], i)
+            self._dispatched[rid] += 1
+            if req.sampling_params.temperature != 0:
+                greedy = False
+            t += 1
+            i += 1
+        for req, chunk, is_final in prefill:
+            rid = req.request_id
+            c0 = req.num_computed_tokens
+            n = len(chunk)
+            token_ids[t : t + n] = chunk
+            positions[t : t + n] = np.arange(c0, c0 + n)
+            for j in range(n):
+                kv_dest[t + j] = self._dest_for(req, c0 + j)
+            kv_lens[i] = c0 + n
+            blocks = req.blocks[:pages_per_seq]
+            page_indices[i, : len(blocks)] = blocks
+            cu_q_lens[i + 1] = cu_q_lens[i] + n
+            seq_slots[i] = req.slot
+            advance_mask[i] = is_final
+            if is_final:
+                bundle.seq_map[rid] = (self._epoch[rid], i)
+                if req.sampling_params.temperature != 0:
+                    greedy = False
+                del self._pending_prompt[rid]
+            else:
+                self._pending_prompt[rid] = self._pending_prompt[rid][n:]
+            req.num_computed_tokens += n
+            self.stats.num_prompt_tokens += n
+            t += n
+            i += 1
+        cu_q_lens[i + 1 :] = cu_q_lens[i]
+
+        inp = StepInput(
+            token_ids=token_ids,
+            from_device=from_device,
+            token_slot=token_slot,
+            positions=positions,
+            kv_dest=kv_dest,
+            kv_lens=kv_lens,
+            page_indices=page_indices,
+            cu_q_lens=cu_q_lens,
+            num_seqs=n_seqs,
+            seq_slots=seq_slots,
+            advance_mask=advance_mask,
+            total_tokens=total_t,
+        )
+        sampled, logprobs = self.runner.run_step(inp, greedy_only=greedy)
         try:
-            tokens.copy_to_host_async()
+            sampled.copy_to_host_async()
             logprobs.copy_to_host_async()
         except Exception:
             pass
-        bundle.decode_tokens = tokens
-        bundle.decode_logprobs = logprobs
-        for r in decoding:
-            rid = r.request_id
-            self._dispatched[rid] += 1
-            bundle.decode_slots[rid] = (self._epoch[rid], r.slot)
+        bundle.sampled = sampled
+        bundle.logprobs = logprobs
+        return bundle
 
     # ------------------------------------------------------------- preemption
     def _preempt_someone(self, excluding: Request) -> None:
@@ -431,7 +475,6 @@ class Scheduler:
 
     def _release(self, req: Request) -> None:
         if req.slot is not None:
-            self.runner.release_slot(req.slot)
             self.slots[req.slot] = None
             req.slot = None
         if req.blocks:
@@ -526,18 +569,11 @@ class Scheduler:
 
     def _process_bundle(self, bundle: _StepBundle) -> List[RequestOutput]:
         outs: List[RequestOutput] = []
-        decode_toks = (
-            np.asarray(bundle.decode_tokens)
-            if bundle.decode_tokens is not None
-            else None
-        )
-        decode_lps = (
-            np.asarray(bundle.decode_logprobs)
-            if bundle.decode_logprobs is not None
-            else None
-        )
-        touched: List[Request] = []
-        for rid, (epoch, tok_dev, lp_dev) in bundle.first_tokens.items():
+        if bundle.sampled is None:
+            return outs
+        sampled = np.asarray(bundle.sampled)
+        logprobs = np.asarray(bundle.logprobs)
+        for rid, (epoch, idx) in bundle.seq_map.items():
             req = self.requests.get(rid)
             if (
                 req is None
@@ -545,34 +581,11 @@ class Scheduler:
                 or self._epoch.get(rid) != epoch
             ):
                 continue
-            new_toks, new_txt = self._process_one_token(
-                req, int(np.asarray(tok_dev)), float(np.asarray(lp_dev))
+            gained, text = self._process_one_token(
+                req, int(sampled[idx]), float(logprobs[idx])
             )
-            req._gained = (new_toks, new_txt)  # type: ignore[attr-defined]
-            touched.append(req)
-        for rid, (epoch, slot) in bundle.decode_slots.items():
-            req = self.requests.get(rid)
-            if (
-                req is None
-                or req.status != RequestStatus.RUNNING
-                or self._epoch.get(rid) != epoch
-                or decode_toks is None
-            ):
-                continue
-            new_toks, new_txt = self._process_one_token(
-                req, int(decode_toks[slot]), float(decode_lps[slot])
-            )
-            prev = getattr(req, "_gained", None)
-            if prev is not None and req in touched:
-                req._gained = (prev[0] + new_toks, prev[1] + new_txt)  # type: ignore
-            else:
-                req._gained = (new_toks, new_txt)  # type: ignore[attr-defined]
-                touched.append(req)
-        for req in touched:
-            gained_tokens, gained_text = req._gained  # type: ignore[attr-defined]
-            del req._gained
-            if gained_tokens or gained_text or req.is_finished():
-                outs.append(self._make_output(req, gained_tokens, gained_text))
+            if gained or text or req.is_finished():
+                outs.append(self._make_output(req, gained, text))
             if req.is_finished():
                 self.stats.num_finished += 1
                 self._release(req)

@@ -152,6 +152,55 @@ def _stack(
     return x, kv_pool
 
 
+def unified_forward(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [T] ragged batch: all seqs' new tokens
+    positions: jax.Array,  # [T] absolute positions
+    kv_pages: List[jax.Array],  # per-layer [pages, ps, 2*kvh, hd]
+    kv_dest: jax.Array,  # [T] flat page slot per token (OOB -> dropped)
+    kv_lens: jax.Array,  # [S]
+    page_indices: jax.Array,  # [S, pages_per_seq]
+    cu_q_lens: jax.Array,  # [S+1]
+    num_seqs: jax.Array,  # [1]
+    moe_top_k: Optional[int] = None,
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """One step for a ragged mixed prefill/decode batch.
+
+    Writes each layer's new K/V into the page pool (single scatter),
+    then ragged paged attention over the updated pages. Returns
+    (hidden [T, H], updated kv_pages).
+    """
+    from ..ops.ragged_attention import (
+        interleave_kv,
+        ragged_attention,
+        write_kv_pages,
+    )
+
+    scale = cfg.head_dim**-0.5
+    new_pages: List[jax.Array] = []
+
+    def attend(_, i, q, k, v):
+        pages_i = write_kv_pages(kv_pages[i], interleave_kv(k, v), kv_dest)
+        new_pages.append(pages_i)
+        out = ragged_attention(
+            q,
+            pages_i,
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
+            scale,
+            sliding_window=_layer_window(cfg, i),
+        )
+        return out, None
+
+    hidden, _ = _stack(
+        params, cfg, token_ids, positions, None, attend, moe_top_k
+    )
+    return hidden, new_pages
+
+
 def compute_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     head = params.get("lm_head")
     if head is None:

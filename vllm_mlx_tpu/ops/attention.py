@@ -163,7 +163,33 @@ def paged_attention_decode(
     scale: float,
     window: Optional[int] = None,
 ) -> jax.Array:
-    """Batched decode attention over the paged pool (gather-based)."""
+    """Batched decode attention over the paged pool.
+
+    Dispatches to the Pallas flash-decode kernel on TPU (full attention
+    layers); the gather-based XLA implementation below is the portable
+    fallback (CPU tests, sliding-window layers until the kernel grows
+    window support)."""
+    if window is None and jax.default_backend() == "tpu":
+        from .paged_attention_pallas import paged_attention_decode_tpu
+
+        return paged_attention_decode_tpu(
+            q, kv_pool, layer, block_tables, positions + 1, scale
+        )
+    return _paged_attention_decode_xla(
+        q, kv_pool, layer, block_tables, positions, scale, window
+    )
+
+
+def _paged_attention_decode_xla(
+    q: jax.Array,
+    kv_pool: jax.Array,
+    layer: int,
+    block_tables: jax.Array,
+    positions: jax.Array,
+    scale: float,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Gather-based decode attention (portable reference path)."""
     k_pool = kv_pool[layer, 0]
     v_pool = kv_pool[layer, 1]
     block_size = kv_pool.shape[3]

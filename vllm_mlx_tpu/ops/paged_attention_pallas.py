@@ -38,8 +38,7 @@ def _decode_kernel(
     lens_ref,  # [S] SMEM
     # inputs
     q_ref,  # [1, kvh, g, hd] VMEM (this slot's queries)
-    k_hbm,  # [nb, bs, kvh, hd] HBM
-    v_hbm,  # [nb, bs, kvh, hd] HBM
+    kv_hbm,  # [L, 2, nb, bs, kvh, hd] HBM (full pool; no slice copy)
     # outputs
     out_ref,  # [1, kvh, g, hd] VMEM
     # scratch
@@ -51,6 +50,7 @@ def _decode_kernel(
     k_sems,  # [2, bpc] DMA sems
     v_sems,
     *,
+    layer: int,
     bs: int,
     bpc: int,
     kvh: int,
@@ -72,10 +72,14 @@ def _decode_kernel(
                 (
                     blk_idx * bs < seq_len,
                     pltpu.make_async_copy(
-                        k_hbm.at[bid], k_buf.at[slot, b], k_sems.at[slot, b]
+                        kv_hbm.at[layer, 0, bid],
+                        k_buf.at[slot, b],
+                        k_sems.at[slot, b],
                     ),
                     pltpu.make_async_copy(
-                        v_hbm.at[bid], v_buf.at[slot, b], v_sems.at[slot, b]
+                        kv_hbm.at[layer, 1, bid],
+                        v_buf.at[slot, b],
+                        v_sems.at[slot, b],
                     ),
                 )
             )
@@ -151,12 +155,12 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "blocks_per_chunk", "interpret"),
+    static_argnames=("layer", "scale", "blocks_per_chunk", "interpret"),
 )
 def paged_attention_decode_tpu(
     q: jax.Array,  # [S, num_heads, hd]
-    k_pool: jax.Array,  # [nb, bs, kvh, hd]
-    v_pool: jax.Array,
+    kv_pool: jax.Array,  # [L, 2, nb, bs, kvh, hd]
+    layer: int,
     block_tables: jax.Array,  # [S, max_blk] i32
     seq_lens: jax.Array,  # [S] i32 (valid kv length incl. current token)
     scale: float,
@@ -164,7 +168,7 @@ def paged_attention_decode_tpu(
     interpret: bool = False,
 ) -> jax.Array:
     s, num_heads, hd = q.shape
-    nb, bs, kvh, _ = k_pool.shape
+    _, _, nb, bs, kvh, _ = kv_pool.shape
     g = num_heads // kvh
     max_blk = block_tables.shape[1]
     bpc = min(blocks_per_chunk, max_blk)
@@ -175,7 +179,14 @@ def paged_attention_decode_tpu(
 
     q4 = q.reshape(s, kvh, g, hd)
     kernel = functools.partial(
-        _decode_kernel, bs=bs, bpc=bpc, kvh=kvh, g=g, hd=hd, scale=scale
+        _decode_kernel,
+        layer=layer,
+        bs=bs,
+        bpc=bpc,
+        kvh=kvh,
+        g=g,
+        hd=hd,
+        scale=scale,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -185,14 +196,13 @@ def paged_attention_decode_tpu(
                 (1, kvh, g, hd), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
             (1, kvh, g, hd), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, bpc, bs, kvh, hd), k_pool.dtype),
-            pltpu.VMEM((2, bpc, bs, kvh, hd), v_pool.dtype),
+            pltpu.VMEM((2, bpc, bs, kvh, hd), kv_pool.dtype),
+            pltpu.VMEM((2, bpc, bs, kvh, hd), kv_pool.dtype),
             pltpu.VMEM((kvh, g), jnp.float32),
             pltpu.VMEM((kvh, g), jnp.float32),
             pltpu.VMEM((kvh, g, hd), jnp.float32),
@@ -205,5 +215,5 @@ def paged_attention_decode_tpu(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, kvh, g, hd), q.dtype),
         interpret=interpret,
-    )(block_tables, seq_lens, q4, k_pool, v_pool)
+    )(block_tables, seq_lens, q4, kv_pool)
     return out.reshape(s, num_heads, hd)

@@ -1,0 +1,157 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Unified ragged paged attention: mixed prefill + decode in one call.
+
+TPU path: ``jax.experimental.pallas.ops.tpu.ragged_paged_attention`` —
+the production kernel (double-buffered page DMA, flash softmax,
+sliding-window + quantized-KV support). This module adds:
+
+  * the KV page-pool layout contract
+    ``[num_pages, page_size, 2*num_kv_heads, head_dim]`` per layer,
+    K/V interleaved on the combined-head axis (kernel convention),
+  * a single-scatter page write for each layer's new K/V,
+  * a portable masked XLA reference implementation (CPU tests).
+
+This replaces both the per-request prefill path and the batched decode
+path of the first engine iteration: the scheduler concatenates every
+scheduled sequence's new tokens (decode = 1 token, prefill = chunk) into
+one ragged batch per step, so a single compiled step serves any
+prefill/decode mix (the TPU-native equivalent of the reference's
+chunked-prefill + decode interleave, reference scheduler.py:189-696).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_kv_pages(
+    num_layers: int,
+    num_pages: int,
+    page_size: int,
+    num_kv_heads: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> List[jax.Array]:
+    """Per-layer list (avoids XLA copies from slicing a stacked array)."""
+    return [
+        jnp.zeros((num_pages, page_size, 2 * num_kv_heads, head_dim), dtype)
+        for _ in range(num_layers)
+    ]
+
+
+def interleave_kv(k: jax.Array, v: jax.Array) -> jax.Array:
+    """[T, kvh, hd] x2 -> [T, 2*kvh, hd] with K at even combined heads."""
+    t, kvh, hd = k.shape
+    return jnp.stack([k, v], axis=2).reshape(t, 2 * kvh, hd)
+
+
+def write_kv_pages(
+    pages: jax.Array,  # [num_pages, page_size, 2*kvh, hd]
+    kv_new: jax.Array,  # [T, 2*kvh, hd] interleaved
+    kv_dest: jax.Array,  # [T] flat slot = page*page_size + offset; OOB = drop
+) -> jax.Array:
+    np_, ps, ch, hd = pages.shape
+    flat = pages.reshape(np_ * ps, ch, hd)
+    flat = flat.at[kv_dest].set(
+        kv_new.astype(pages.dtype), mode="drop", unique_indices=True
+    )
+    return flat.reshape(np_, ps, ch, hd)
+
+
+def ragged_attention(
+    q: jax.Array,  # [T, num_q_heads, hd]
+    pages: jax.Array,  # [num_pages, page_size, 2*kvh, hd]
+    kv_lens: jax.Array,  # [S] total kv length per seq (incl. new tokens)
+    page_indices: jax.Array,  # [S, pages_per_seq]
+    cu_q_lens: jax.Array,  # [S+1]
+    num_seqs: jax.Array,  # [1]
+    scale: float,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+            ragged_paged_attention,
+        )
+
+        return ragged_paged_attention(
+            q,
+            pages,
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
+            sm_scale=scale,
+            sliding_window=sliding_window,
+            num_kv_pages_per_block=4,
+            num_queries_per_block=32,
+        )
+    return ragged_attention_xla(
+        q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
+        sliding_window,
+    )
+
+
+def ragged_attention_xla(
+    q: jax.Array,
+    pages: jax.Array,
+    kv_lens: jax.Array,
+    page_indices: jax.Array,
+    cu_q_lens: jax.Array,
+    num_seqs: jax.Array,
+    scale: float,
+    sliding_window: Optional[int] = None,
+) -> jax.Array:
+    """Masked reference implementation (any backend, O(T * max_ctx))."""
+    t, num_q_heads, hd = q.shape
+    np_, ps, ch, _ = pages.shape
+    kvh = ch // 2
+    s, pages_per_seq = page_indices.shape
+    group = num_q_heads // kvh
+
+    # map each query row to its sequence id via cu_q_lens
+    rows = jnp.arange(t)
+    seq_of_row = (
+        jnp.searchsorted(cu_q_lens[1:], rows, side="right")
+    ).astype(jnp.int32)  # [T]
+    seq_of_row = jnp.minimum(seq_of_row, s - 1)
+    valid_row = rows < cu_q_lens[-1]
+    # query's absolute kv position: kv_len - q_len + (row - q_start)
+    q_start = cu_q_lens[seq_of_row]
+    q_len = cu_q_lens[seq_of_row + 1] - q_start
+    kv_len = kv_lens[seq_of_row]
+    q_pos = kv_len - q_len + (rows - q_start)  # [T]
+
+    # gather each row's kv: [T, pages_per_seq*ps, kvh, hd] is too big to
+    # materialize for real sizes, but this path only runs in tests.
+    tbl = page_indices[seq_of_row]  # [T, pages_per_seq]
+    kv = pages[tbl]  # [T, pages_per_seq, ps, ch, hd]
+    kv = kv.reshape(t, pages_per_seq * ps, ch, hd)
+    k = kv[:, :, 0::2, :]
+    v = kv[:, :, 1::2, :]
+    kv_pos = jnp.arange(pages_per_seq * ps)
+
+    qg = q.reshape(t, kvh, group, hd).astype(jnp.float32)
+    scores = jnp.einsum(
+        "tkgh,tmkh->tkgm", qg, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    mask = (kv_pos[None, :] <= q_pos[:, None]) & (
+        kv_pos[None, :] < kv_len[:, None]
+    )
+    if sliding_window is not None:
+        mask &= kv_pos[None, :] > q_pos[:, None] - sliding_window
+    mask &= valid_row[:, None]
+    scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(
+        jnp.any(mask, axis=-1)[:, None, None, None], probs, 0.0
+    )
+    out = jnp.einsum(
+        "tkgm,tmkh->tkgh", probs, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(t, num_q_heads, hd).astype(q.dtype)

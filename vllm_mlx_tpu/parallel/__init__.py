@@ -10,7 +10,7 @@ no NCCL/MPI analogue needed.
 
 from .mesh import (  # noqa: F401
     make_mesh,
-    shard_decode_state,
+    shard_runner_state,
     shard_params,
     state_pspecs,
     param_pspecs,

@@ -76,25 +76,23 @@ def param_pspecs(params: Any) -> Any:
 
 
 def state_pspecs(state: Any) -> Any:
-    """PartitionSpecs for the DecodeState: KV heads over tp, slots over dp."""
-    from ..core.model_runner import DecodeState
+    """PartitionSpecs for the RunnerState: KV combined-heads over tp;
+    sampling/scalar state replicated (tiny)."""
+    from ..core.model_runner import RunnerState
     from ..ops.sampling import SamplingState
 
     sampling = SamplingState(
-        temperature=P("dp"),
-        top_k=P("dp"),
-        top_p=P("dp"),
-        min_p=P("dp"),
-        repetition_penalty=P("dp"),
-        recent_tokens=P("dp", None),
-        recent_head=P("dp"),
+        temperature=P(),
+        top_k=P(),
+        top_p=P(),
+        min_p=P(),
+        repetition_penalty=P(),
+        recent_tokens=P(),
+        recent_head=P(),
     )
-    return DecodeState(
-        kv_pool=P(None, None, None, None, "tp", None),
-        block_tables=P("dp", None),
-        positions=P("dp"),
-        current_tokens=P("dp"),
-        active=P("dp"),
+    return RunnerState(
+        kv_pages=[P(None, None, "tp", None) for _ in state.kv_pages],
+        device_tokens=P(),
         sampling=sampling,
         step_count=P(),
     )
@@ -112,7 +110,7 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, _named(mesh, param_pspecs(params)))
 
 
-def shard_decode_state(mesh: Mesh, state: Any) -> Any:
+def shard_runner_state(mesh: Mesh, state: Any) -> Any:
     return jax.device_put(state, _named(mesh, state_pspecs(state)))
 
 
