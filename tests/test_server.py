@@ -1,0 +1,348 @@
+# SPDX-License-Identifier: Apache-2.0
+"""API server end-to-end tests: a real tiny checkpoint + tokenizer served
+through BatchedEngine over the aiohttp app (in-process test client).
+
+Mirrors the reference's server handler suites (tests/test_batched_engine.py,
+tests/test_openai_compatibility.py style) but against the live engine."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+
+CHAT_TEMPLATE = (
+    "{% for message in messages %}"
+    "<|{{ message.role }}|>{{ message.content }}</s>"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}<|assistant|>{% endif %}"
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    """Tiny random Llama checkpoint + byte-level BPE tokenizer on disk."""
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
+    from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
+
+    d = tmp_path_factory.mktemp("tiny_model")
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=384,
+        special_tokens=["</s>", "<|user|>", "<|assistant|>", "<|system|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "hello world how are you today",
+        "what is the meaning of life and everything",
+        "testing one two three four five six seven",
+    ] * 8
+    tok.train_from_iterator(corpus, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        eos_token="</s>",
+        pad_token="</s>",
+    )
+    fast.chat_template = CHAT_TEMPLATE
+    fast.save_pretrained(d)
+
+    vocab = tok.get_vocab_size()
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=vocab,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=1024,
+        eos_token_id=fast.eos_token_id,
+    )
+    LlamaForCausalLM(cfg).eval().save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def server_client(tiny_model_dir):
+    """(loop, client) for a running in-process server."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from vllm_mlx_tpu.api.server import build_app
+    from vllm_mlx_tpu.engine.batched import BatchedEngine
+
+    loop = asyncio.new_event_loop()
+
+    engine = BatchedEngine(
+        tiny_model_dir,
+        cache_config=CacheConfig(
+            block_size=8, num_blocks=128, kv_dtype="float32"
+        ),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=4,
+            max_prefill_tokens=64,
+            prefill_chunk_sizes=[32, 64],
+            max_model_len=512,
+        ),
+    )
+    # force fp32 compute for the tiny CPU model
+    from vllm_mlx_tpu.config import ModelConfig
+
+    mc = ModelConfig.from_pretrained(tiny_model_dir)
+    mc.dtype = "float32"
+    engine._model_config = mc
+
+    async def _start():
+        await engine.start()
+        app = build_app(
+            engine,
+            served_models=["tiny-llama"],
+            default_max_tokens=16,
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        return client
+
+    client = loop.run_until_complete(_start())
+    yield loop, client
+    loop.run_until_complete(client.close())
+    loop.run_until_complete(engine.stop())
+    loop.close()
+
+
+def _post(server_client, path, body):
+    loop, client = server_client
+
+    async def go():
+        resp = await client.post(path, json=body)
+        data = await resp.json()
+        return resp.status, data
+
+    return loop.run_until_complete(go())
+
+
+def _get(server_client, path):
+    loop, client = server_client
+
+    async def go():
+        resp = await client.get(path)
+        return resp.status, await resp.json()
+
+    return loop.run_until_complete(go())
+
+
+class TestServerEndpoints:
+    def test_health(self, server_client):
+        status, data = _get(server_client, "/health")
+        assert status == 200
+        assert data["status"] == "ok"
+
+    def test_models(self, server_client):
+        status, data = _get(server_client, "/v1/models")
+        assert status == 200
+        assert data["data"][0]["id"] == "tiny-llama"
+
+    def test_chat_completion(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "hello world"}],
+                "max_tokens": 8,
+                "temperature": 0,
+            },
+        )
+        assert status == 200
+        assert data["object"] == "chat.completion"
+        choice = data["choices"][0]
+        assert choice["message"]["role"] == "assistant"
+        assert choice["finish_reason"] in ("stop", "length")
+        assert data["usage"]["prompt_tokens"] > 0
+        assert data["usage"]["completion_tokens"] > 0
+
+    def test_chat_completion_deterministic(self, server_client):
+        body = {
+            "model": "tiny-llama",
+            "messages": [{"role": "user", "content": "the quick brown"}],
+            "max_tokens": 8,
+            "temperature": 0,
+        }
+        _, d1 = _post(server_client, "/v1/chat/completions", body)
+        _, d2 = _post(server_client, "/v1/chat/completions", body)
+        assert (
+            d1["choices"][0]["message"]["content"]
+            == d2["choices"][0]["message"]["content"]
+        )
+
+    def test_unknown_model_404(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "nope",
+                "messages": [{"role": "user", "content": "hi"}],
+            },
+        )
+        assert status == 404
+
+    def test_completions(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/completions",
+            {
+                "model": "tiny-llama",
+                "prompt": "the quick brown",
+                "max_tokens": 6,
+                "temperature": 0,
+            },
+        )
+        assert status == 200
+        assert data["object"] == "text_completion"
+        assert isinstance(data["choices"][0]["text"], str)
+
+    def test_chat_streaming(self, server_client):
+        loop, client = server_client
+
+        async def go():
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "model": "tiny-llama",
+                    "messages": [{"role": "user", "content": "hello"}],
+                    "max_tokens": 6,
+                    "temperature": 0,
+                    "stream": True,
+                    "stream_options": {"include_usage": True},
+                },
+            )
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/event-stream")
+            raw = await resp.text()
+            return raw
+
+        raw = loop.run_until_complete(go())
+        lines = [
+            ln[6:] for ln in raw.splitlines() if ln.startswith("data: ")
+        ]
+        assert lines[-1] == "[DONE]"
+        chunks = [json.loads(ln) for ln in lines[:-1]]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        text = "".join(
+            c["choices"][0]["delta"].get("content") or "" for c in chunks
+        )
+        finals = [
+            c for c in chunks if c["choices"][0]["finish_reason"] is not None
+        ]
+        assert finals and finals[-1]["usage"]["completion_tokens"] > 0
+        # streamed text equals the non-streamed result
+        _, full = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 6,
+                "temperature": 0,
+            },
+        )
+        assert text == (full["choices"][0]["message"]["content"] or "")
+
+    def test_anthropic_messages(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/messages",
+            {
+                "model": "tiny-llama",
+                "max_tokens": 6,
+                "messages": [{"role": "user", "content": "hello"}],
+            },
+        )
+        assert status == 200
+        assert data["type"] == "message"
+        assert data["role"] == "assistant"
+        assert data["content"][0]["type"] == "text"
+        assert data["usage"]["input_tokens"] > 0
+
+    def test_anthropic_streaming(self, server_client):
+        loop, client = server_client
+
+        async def go():
+            resp = await client.post(
+                "/v1/messages",
+                json={
+                    "model": "tiny-llama",
+                    "max_tokens": 5,
+                    "stream": True,
+                    "messages": [{"role": "user", "content": "hi there"}],
+                },
+            )
+            return await resp.text()
+
+        raw = loop.run_until_complete(go())
+        events = [
+            ln[7:] for ln in raw.splitlines() if ln.startswith("event: ")
+        ]
+        assert events[0] == "message_start"
+        assert "content_block_delta" in events
+        assert events[-1] == "message_stop"
+
+    def test_anthropic_count_tokens(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/messages/count_tokens",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "hello world"}],
+            },
+        )
+        assert status == 200
+        assert data["input_tokens"] > 0
+
+    def test_status_and_cache_endpoints(self, server_client):
+        status, data = _get(server_client, "/v1/status")
+        assert status == 200
+        assert "engine" in data
+        status, data = _get(server_client, "/v1/cache/stats")
+        assert status == 200
+        loop, client = server_client
+
+        async def clear():
+            resp = await client.delete("/v1/cache")
+            return resp.status, await resp.json()
+
+        status, data = loop.run_until_complete(clear())
+        assert status == 200
+
+    def test_stop_string(self, server_client):
+        _, free = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "count up"}],
+                "max_tokens": 12,
+                "temperature": 0,
+            },
+        )
+        full_text = free["choices"][0]["message"]["content"] or ""
+        if len(full_text) > 3:
+            stop_str = full_text[2:4]
+            _, stopped = _post(
+                server_client,
+                "/v1/chat/completions",
+                {
+                    "model": "tiny-llama",
+                    "messages": [{"role": "user", "content": "count up"}],
+                    "max_tokens": 12,
+                    "temperature": 0,
+                    "stop": [stop_str],
+                },
+            )
+            text = stopped["choices"][0]["message"]["content"] or ""
+            assert stop_str not in text

@@ -1,0 +1,757 @@
+# SPDX-License-Identifier: Apache-2.0
+"""OpenAI + Anthropic compatible HTTP server on aiohttp.
+
+Parity with the reference FastAPI app (reference server.py — endpoint
+map at :3421-5527): /health, /v1/models, /v1/status, /v1/cache/*,
+/v1/requests/{id}/cancel, /v1/chat/completions, /v1/completions,
+Anthropic /v1/messages (+count_tokens), SSE streaming, API-key auth.
+Built on aiohttp (async, single event loop) rather than FastAPI/uvicorn.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from ..engine.base import BaseEngine, EngineBusy, GenerationOutput
+from .anthropic_adapter import (
+    anthropic_to_openai,
+    convert_stop_reason,
+    openai_to_anthropic,
+)
+from .anthropic_models import (
+    AnthropicCountTokensRequest,
+    AnthropicMessagesRequest,
+)
+from .models import ChatCompletionRequest, CompletionRequest
+
+logger = logging.getLogger(__name__)
+
+ENGINE_KEY = web.AppKey("engine", object)
+STATE_KEY = web.AppKey("state", dict)
+
+
+# ------------------------------------------------------------------ utilities
+def _error(status: int, message: str, err_type: str = "invalid_request_error"):
+    return web.json_response(
+        {"error": {"message": message, "type": err_type}}, status=status
+    )
+
+
+def _sse_response(request: web.Request) -> web.StreamResponse:
+    resp = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+            "X-Accel-Buffering": "no",
+        },
+    )
+    return resp
+
+
+async def _send_sse(resp: web.StreamResponse, data: str, event: str = ""):
+    payload = b""
+    if event:
+        payload += f"event: {event}\n".encode()
+    payload += f"data: {data}\n\n".encode()
+    await resp.write(payload)
+
+
+def _engine(request: web.Request) -> BaseEngine:
+    return request.app[ENGINE_KEY]
+
+
+def _state(request: web.Request) -> dict:
+    return request.app[STATE_KEY]
+
+
+def _check_auth(request: web.Request) -> Optional[web.Response]:
+    api_key = _state(request).get("api_key")
+    if not api_key:
+        return None
+    auth = request.headers.get("Authorization", "")
+    xkey = request.headers.get("x-api-key", "")
+    token = auth[7:] if auth.startswith("Bearer ") else xkey
+    if token != api_key:
+        return _error(401, "Invalid API key", "authentication_error")
+    return None
+
+
+def _sampling_kwargs(
+    req, *, max_tokens_default: int, stop: List[str]
+) -> Dict[str, Any]:
+    kw: Dict[str, Any] = {"max_tokens": max_tokens_default}
+    if req.temperature is not None:
+        kw["temperature"] = req.temperature
+    if req.top_p is not None:
+        kw["top_p"] = req.top_p
+    if getattr(req, "top_k", None) is not None:
+        kw["top_k"] = req.top_k
+    if getattr(req, "min_p", None) is not None:
+        kw["min_p"] = req.min_p
+    if getattr(req, "repetition_penalty", None) is not None:
+        kw["repetition_penalty"] = req.repetition_penalty
+    if stop:
+        kw["stop"] = stop
+    return kw
+
+
+def _validate_model(request: web.Request, name: str) -> Optional[web.Response]:
+    state = _state(request)
+    served = state.get("served_models") or []
+    if served and name not in served:
+        return _error(
+            404,
+            f"The model '{name}' does not exist. Available: {served}",
+            "not_found_error",
+        )
+    return None
+
+
+# ------------------------------------------------------------------ handlers
+async def handle_health(request: web.Request) -> web.Response:
+    engine = _engine(request)
+    return web.json_response(
+        {
+            "status": "ok" if engine.is_running else "starting",
+            "model": getattr(engine, "model_path", None),
+        }
+    )
+
+
+async def handle_models(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    state = _state(request)
+    now = int(time.time())
+    data = [
+        {"id": m, "object": "model", "created": now, "owned_by": "vllm-mlx-tpu"}
+        for m in state.get("served_models", [])
+    ]
+    return web.json_response({"object": "list", "data": data})
+
+
+async def handle_status(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    engine = _engine(request)
+    state = _state(request)
+    return web.json_response(
+        {
+            "server": {
+                "uptime_s": round(time.time() - state["start_time"], 1),
+                "requests_served": state["requests_served"],
+            },
+            "engine": engine.get_stats(),
+        }
+    )
+
+
+async def handle_cache_stats(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    engine = _engine(request)
+    stats = engine.get_stats()
+    return web.json_response({"prefix_cache": stats.get("prefix_cache", {})})
+
+
+async def handle_cache_clear(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    engine = _engine(request)
+    cleared = 0
+    pc = getattr(engine, "prefix_cache", None)
+    sched = getattr(engine, "scheduler", None)
+    if pc is not None and sched is not None:
+        cleared = pc.clear(sched.block_mgr)
+    return web.json_response({"cleared_blocks": cleared})
+
+
+async def handle_cancel_request(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    rid = request.match_info["request_id"]
+    _engine(request).abort_request(rid)
+    return web.json_response({"request_id": rid, "status": "cancelling"})
+
+
+async def handle_metrics(request: web.Request) -> web.Response:
+    state = _state(request)
+    metrics = state.get("metrics")
+    if metrics is None:
+        return web.Response(text="", content_type="text/plain")
+    return web.Response(
+        text=metrics.render(), content_type="text/plain", charset="utf-8"
+    )
+
+
+# ------------------------------------------------------- chat completions
+def _chat_chunk(
+    chat_id: str,
+    model: str,
+    delta: Dict[str, Any],
+    finish_reason: Optional[str] = None,
+    usage: Optional[Dict[str, int]] = None,
+) -> str:
+    body: Dict[str, Any] = {
+        "id": chat_id,
+        "object": "chat.completion.chunk",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [
+            {"index": 0, "delta": delta, "finish_reason": finish_reason}
+        ],
+    }
+    if usage is not None:
+        body["usage"] = usage
+    return json.dumps(body, separators=(",", ":"))
+
+
+async def handle_chat_completions(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    try:
+        req = ChatCompletionRequest(**await request.json())
+    except (ValidationError, json.JSONDecodeError) as e:
+        return _error(400, f"Invalid request: {e}")
+    bad = _validate_model(request, req.model)
+    if bad:
+        return bad
+    engine = _engine(request)
+    state = _state(request)
+    state["requests_served"] += 1
+
+    kwargs = _sampling_kwargs(
+        req,
+        max_tokens_default=req.effective_max_tokens(
+            state.get("default_max_tokens", 32768)
+        ),
+        stop=req.stop_list(),
+    )
+    messages = [m.model_dump(exclude_none=True) for m in req.messages]
+    tools = (
+        [t.model_dump(exclude_none=True, by_alias=True) for t in req.tools]
+        if req.tools
+        else None
+    )
+    request_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
+    chat_kwargs = dict(
+        request_id=request_id,
+        tools=tools,
+        chat_template_kwargs=req.chat_template_kwargs,
+        **kwargs,
+    )
+
+    # tool/reasoning post-processing
+    from ..reasoning import get_reasoning_parser
+    from ..tool_parsers import get_tool_parser
+
+    tool_parser = (
+        get_tool_parser(state.get("tool_parser_name", "auto"), engine.tokenizer)
+        if tools
+        else None
+    )
+    reasoning_parser = None
+    if state.get("reasoning_parser_name"):
+        reasoning_parser = get_reasoning_parser(
+            state["reasoning_parser_name"], engine.tokenizer
+        )
+
+    if not req.stream:
+        try:
+            out = await engine.chat(messages, **chat_kwargs)
+        except EngineBusy:
+            return _error(429, "engine busy", "rate_limit_error")
+        text = out.text
+        reasoning_text = None
+        if reasoning_parser is not None:
+            reasoning_text, text = reasoning_parser.extract_reasoning(text)
+        tool_calls = None
+        finish_reason = out.finish_reason or "stop"
+        if tool_parser is not None:
+            parsed = tool_parser.extract_tool_calls(text)
+            if parsed.tools_called:
+                tool_calls = parsed.tool_calls
+                text = parsed.content or None
+                finish_reason = "tool_calls"
+        message: Dict[str, Any] = {"role": "assistant", "content": text}
+        if reasoning_text:
+            message["reasoning_content"] = reasoning_text
+        if tool_calls:
+            message["tool_calls"] = tool_calls
+        usage = dict(out.usage)
+        if out.cached_tokens:
+            usage["prompt_tokens_details"] = {
+                "cached_tokens": out.cached_tokens
+            }
+        return web.json_response(
+            {
+                "id": request_id,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": req.model,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": message,
+                        "finish_reason": finish_reason,
+                    }
+                ],
+                "usage": usage,
+            }
+        )
+
+    # streaming
+    resp = _sse_response(request)
+    await resp.prepare(request)
+    include_usage = bool(req.stream_options and req.stream_options.include_usage)
+    await _send_sse(
+        resp, _chat_chunk(request_id, req.model, {"role": "assistant"})
+    )
+    final: Optional[GenerationOutput] = None
+    stream_reasoning = (
+        reasoning_parser.make_stream_state() if reasoning_parser else None
+    )
+    stream_tools = (
+        tool_parser.make_stream_state() if tool_parser else None
+    )
+    sent_tool_calls = False
+    try:
+        async for chunk in engine.stream_chat(messages, **chat_kwargs):
+            final = chunk
+            text = chunk.text
+            if not text and not chunk.finished:
+                continue
+            reasoning_delta = ""
+            if stream_reasoning is not None and text:
+                reasoning_delta, text = stream_reasoning.feed(text)
+                if reasoning_delta:
+                    await _send_sse(
+                        resp,
+                        _chat_chunk(
+                            request_id,
+                            req.model,
+                            {"reasoning_content": reasoning_delta},
+                        ),
+                    )
+            if stream_tools is not None and text:
+                deltas = stream_tools.feed(text)
+                for d in deltas:
+                    sent_tool_calls = True
+                    await _send_sse(
+                        resp, _chat_chunk(request_id, req.model, d)
+                    )
+            elif text:
+                await _send_sse(
+                    resp,
+                    _chat_chunk(request_id, req.model, {"content": text}),
+                )
+    except ConnectionResetError:
+        engine.abort_request(request_id)
+        return resp
+    except EngineBusy:
+        await _send_sse(
+            resp,
+            json.dumps(
+                {"error": {"message": "engine busy", "type": "rate_limit"}}
+            ),
+        )
+        await resp.write_eof()
+        return resp
+
+    # flush stream-state tails
+    if stream_reasoning is not None:
+        tail_reasoning, tail_text = stream_reasoning.flush()
+        if tail_reasoning:
+            await _send_sse(
+                resp,
+                _chat_chunk(
+                    request_id, req.model, {"reasoning_content": tail_reasoning}
+                ),
+            )
+        if tail_text and stream_tools is None:
+            await _send_sse(
+                resp,
+                _chat_chunk(request_id, req.model, {"content": tail_text}),
+            )
+    if stream_tools is not None:
+        for d in stream_tools.flush():
+            sent_tool_calls = True
+            await _send_sse(resp, _chat_chunk(request_id, req.model, d))
+
+    finish_reason = (final.finish_reason if final else None) or "stop"
+    if sent_tool_calls:
+        finish_reason = "tool_calls"
+    usage = None
+    if include_usage and final is not None:
+        usage = dict(final.usage)
+    await _send_sse(
+        resp,
+        _chat_chunk(request_id, req.model, {}, finish_reason, usage),
+    )
+    await _send_sse(resp, "[DONE]")
+    await resp.write_eof()
+    return resp
+
+
+# ------------------------------------------------------------- completions
+async def handle_completions(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    try:
+        req = CompletionRequest(**await request.json())
+    except (ValidationError, json.JSONDecodeError) as e:
+        return _error(400, f"Invalid request: {e}")
+    bad = _validate_model(request, req.model)
+    if bad:
+        return bad
+    engine = _engine(request)
+    state = _state(request)
+    state["requests_served"] += 1
+    prompts: List[Any]
+    if isinstance(req.prompt, str):
+        prompts = [req.prompt]
+    elif req.prompt and isinstance(req.prompt[0], int):
+        prompts = [req.prompt]
+    else:
+        prompts = list(req.prompt)
+    kwargs = _sampling_kwargs(
+        req,
+        max_tokens_default=req.max_tokens
+        or state.get("default_max_tokens", 16),
+        stop=req.stop_list(),
+    )
+    cmpl_id = f"cmpl-{uuid.uuid4().hex[:24]}"
+
+    if not req.stream:
+        choices = []
+        usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
+        for i, p in enumerate(prompts):
+            try:
+                out = await engine.generate(p, **kwargs)
+            except EngineBusy:
+                return _error(429, "engine busy", "rate_limit_error")
+            text = out.text
+            if req.echo and isinstance(p, str):
+                text = p + text
+            choices.append(
+                {
+                    "index": i,
+                    "text": text,
+                    "finish_reason": out.finish_reason or "stop",
+                    "logprobs": None,
+                }
+            )
+            usage["prompt_tokens"] += out.prompt_tokens
+            usage["completion_tokens"] += out.completion_tokens
+        usage["total_tokens"] = (
+            usage["prompt_tokens"] + usage["completion_tokens"]
+        )
+        return web.json_response(
+            {
+                "id": cmpl_id,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": req.model,
+                "choices": choices,
+                "usage": usage,
+            }
+        )
+
+    resp = _sse_response(request)
+    await resp.prepare(request)
+    include_usage = bool(
+        req.stream_options and req.stream_options.include_usage
+    )
+    final = None
+    try:
+        async for chunk in engine.stream_generate(prompts[0], **kwargs):
+            final = chunk
+            if not chunk.text and not chunk.finished:
+                continue
+            body = {
+                "id": cmpl_id,
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": req.model,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": chunk.text,
+                        "finish_reason": chunk.finish_reason
+                        if chunk.finished
+                        else None,
+                    }
+                ],
+            }
+            if include_usage and chunk.finished:
+                body["usage"] = dict(chunk.usage)
+            await _send_sse(resp, json.dumps(body, separators=(",", ":")))
+    except ConnectionResetError:
+        return resp
+    await _send_sse(resp, "[DONE]")
+    await resp.write_eof()
+    return resp
+
+
+# ------------------------------------------------------------- anthropic
+async def handle_anthropic_messages(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    try:
+        areq = AnthropicMessagesRequest(**await request.json())
+    except (ValidationError, json.JSONDecodeError) as e:
+        return web.json_response(
+            {
+                "type": "error",
+                "error": {"type": "invalid_request_error", "message": str(e)},
+            },
+            status=400,
+        )
+    engine = _engine(request)
+    state = _state(request)
+    state["requests_served"] += 1
+    oai = anthropic_to_openai(areq)
+    kwargs: Dict[str, Any] = {"max_tokens": oai["max_tokens"]}
+    for k in ("temperature", "top_p", "top_k", "stop"):
+        if k in oai:
+            kwargs[k] = oai[k]
+    request_id = f"msg_{uuid.uuid4().hex[:24]}"
+    from ..reasoning import get_reasoning_parser
+    from ..tool_parsers import get_tool_parser
+
+    tool_parser = (
+        get_tool_parser(state.get("tool_parser_name", "auto"), engine.tokenizer)
+        if oai.get("tools")
+        else None
+    )
+    reasoning_parser = None
+    if state.get("reasoning_parser_name"):
+        reasoning_parser = get_reasoning_parser(
+            state["reasoning_parser_name"], engine.tokenizer
+        )
+
+    if not areq.stream:
+        try:
+            out = await engine.chat(
+                oai["messages"],
+                request_id=request_id,
+                tools=oai.get("tools"),
+                **kwargs,
+            )
+        except EngineBusy:
+            return web.json_response(
+                {
+                    "type": "error",
+                    "error": {
+                        "type": "overloaded_error",
+                        "message": "engine busy",
+                    },
+                },
+                status=529,
+            )
+        text = out.text
+        reasoning_text = None
+        if reasoning_parser is not None:
+            reasoning_text, text = reasoning_parser.extract_reasoning(text)
+        tool_calls = None
+        if tool_parser is not None:
+            parsed = tool_parser.extract_tool_calls(text)
+            if parsed.tools_called:
+                tool_calls = parsed.tool_calls
+                text = parsed.content or ""
+        body = openai_to_anthropic(
+            model=areq.model,
+            text=text,
+            reasoning=reasoning_text,
+            tool_calls=tool_calls,
+            finish_reason=out.finish_reason,
+            prompt_tokens=out.prompt_tokens,
+            completion_tokens=out.completion_tokens,
+            cached_tokens=out.cached_tokens,
+        )
+        body["id"] = request_id
+        return web.json_response(body)
+
+    # streaming (Anthropic event protocol)
+    resp = _sse_response(request)
+    await resp.prepare(request)
+
+    def ev(name: str, obj: Dict[str, Any]) -> tuple:
+        return name, json.dumps(
+            {"type": name, **obj}, separators=(",", ":")
+        )
+
+    name, data = ev(
+        "message_start",
+        {
+            "message": {
+                "id": request_id,
+                "type": "message",
+                "role": "assistant",
+                "model": areq.model,
+                "content": [],
+                "stop_reason": None,
+                "stop_sequence": None,
+                "usage": {"input_tokens": 0, "output_tokens": 0},
+            }
+        },
+    )
+    await _send_sse(resp, data, event=name)
+    name, data = ev(
+        "content_block_start",
+        {"index": 0, "content_block": {"type": "text", "text": ""}},
+    )
+    await _send_sse(resp, data, event=name)
+    final = None
+    try:
+        async for chunk in engine.stream_chat(
+            oai["messages"],
+            request_id=request_id,
+            tools=oai.get("tools"),
+            **kwargs,
+        ):
+            final = chunk
+            if chunk.text:
+                name, data = ev(
+                    "content_block_delta",
+                    {
+                        "index": 0,
+                        "delta": {"type": "text_delta", "text": chunk.text},
+                    },
+                )
+                await _send_sse(resp, data, event=name)
+    except ConnectionResetError:
+        engine.abort_request(request_id)
+        return resp
+    name, data = ev("content_block_stop", {"index": 0})
+    await _send_sse(resp, data, event=name)
+    stop_reason = convert_stop_reason(
+        final.finish_reason if final else "stop"
+    )
+    name, data = ev(
+        "message_delta",
+        {
+            "delta": {"stop_reason": stop_reason, "stop_sequence": None},
+            "usage": {
+                "output_tokens": final.completion_tokens if final else 0
+            },
+        },
+    )
+    await _send_sse(resp, data, event=name)
+    name, data = ev("message_stop", {})
+    await _send_sse(resp, data, event=name)
+    await resp.write_eof()
+    return resp
+
+
+async def handle_anthropic_count_tokens(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    try:
+        areq = AnthropicCountTokensRequest(**await request.json())
+    except (ValidationError, json.JSONDecodeError) as e:
+        return web.json_response(
+            {
+                "type": "error",
+                "error": {"type": "invalid_request_error", "message": str(e)},
+            },
+            status=400,
+        )
+    engine = _engine(request)
+    oai = anthropic_to_openai(
+        AnthropicMessagesRequest(
+            model=areq.model,
+            messages=areq.messages,
+            system=areq.system,
+            tools=areq.tools,
+            max_tokens=1,
+        )
+    )
+    tokenizer = engine.tokenizer
+    if tokenizer is None:
+        return _error(503, "tokenizer not loaded", "api_error")
+    prompt = engine.apply_chat_template(oai["messages"], tools=oai.get("tools"))
+    n = len(tokenizer.encode(prompt))
+    return web.json_response({"input_tokens": n})
+
+
+# ---------------------------------------------------------------- app factory
+def build_app(
+    engine: BaseEngine,
+    *,
+    served_models: Optional[List[str]] = None,
+    api_key: Optional[str] = None,
+    default_max_tokens: int = 32768,
+    tool_parser_name: str = "auto",
+    reasoning_parser_name: Optional[str] = None,
+    metrics=None,
+) -> web.Application:
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app[ENGINE_KEY] = engine
+    app[STATE_KEY] = {
+        "start_time": time.time(),
+        "requests_served": 0,
+        "served_models": served_models or [],
+        "api_key": api_key,
+        "default_max_tokens": default_max_tokens,
+        "tool_parser_name": tool_parser_name,
+        "reasoning_parser_name": reasoning_parser_name,
+        "metrics": metrics,
+    }
+    app.router.add_get("/health", handle_health)
+    app.router.add_get("/metrics", handle_metrics)
+    app.router.add_get("/v1/models", handle_models)
+    app.router.add_get("/v1/status", handle_status)
+    app.router.add_get("/v1/cache/stats", handle_cache_stats)
+    app.router.add_delete("/v1/cache", handle_cache_clear)
+    app.router.add_post(
+        "/v1/requests/{request_id}/cancel", handle_cancel_request
+    )
+    app.router.add_delete("/v1/requests/{request_id}", handle_cancel_request)
+    app.router.add_post("/v1/chat/completions", handle_chat_completions)
+    app.router.add_post("/v1/completions", handle_completions)
+    app.router.add_post("/v1/messages", handle_anthropic_messages)
+    app.router.add_post(
+        "/v1/messages/count_tokens", handle_anthropic_count_tokens
+    )
+    return app
+
+
+async def serve(
+    engine: BaseEngine,
+    host: str = "0.0.0.0",
+    port: int = 8000,
+    **app_kwargs,
+) -> None:
+    await engine.start()
+    app = build_app(engine, **app_kwargs)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, host, port)
+    await site.start()
+    logger.info("serving on http://%s:%d", host, port)
+    try:
+        while True:
+            await asyncio.sleep(3600)
+    finally:
+        await engine.stop()
+        await runner.cleanup()

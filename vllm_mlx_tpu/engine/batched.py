@@ -1,0 +1,215 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Continuous-batching engine (reference engine/batched.py:178).
+
+Loads a checkpoint into the unified TPU runner, starts the engine-core
+thread, and exposes async generate/chat with chat templating. Unlike the
+reference there is no mlx-lm BatchGenerator underneath — the scheduler
+owns batching outright (SURVEY.md section 0.4).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import uuid
+from typing import Any, AsyncIterator, Dict, List, Optional
+
+from ..config import CacheConfig, ModelConfig, SchedulerConfig
+from ..core.engine_core import AsyncEngineCore
+from ..core.model_runner import (
+    ModelRunner,
+    enable_persistent_compilation_cache,
+)
+from ..core.output_collector import RequestStreamState
+from ..core.request import Request, SamplingParams
+from ..core.scheduler import Scheduler
+from ..cache.prefix_cache import PrefixCache
+from ..utils.tokenizer import (
+    apply_chat_template,
+    collect_eos_ids,
+    load_tokenizer,
+)
+from .base import BaseEngine, GenerationOutput
+
+logger = logging.getLogger(__name__)
+
+_SAMPLING_KEYS = {
+    "max_tokens", "temperature", "top_p", "top_k", "min_p",
+    "presence_penalty", "repetition_penalty", "stop", "stop_token_ids",
+    "logprobs", "seed", "logits_processors",
+}
+
+
+class BatchedEngine(BaseEngine):
+    def __init__(
+        self,
+        model_path: str,
+        *,
+        model_config: Optional[ModelConfig] = None,
+        cache_config: Optional[CacheConfig] = None,
+        scheduler_config: Optional[SchedulerConfig] = None,
+        enable_prefix_cache: bool = True,
+        stream_interval: int = 1,
+        seed: int = 0,
+        params: Any = None,
+    ) -> None:
+        self.model_path = model_path
+        self._model_config = model_config
+        self.cache_config = cache_config or CacheConfig()
+        self.scheduler_config = scheduler_config or SchedulerConfig()
+        self.enable_prefix_cache = enable_prefix_cache
+        self.stream_interval = stream_interval
+        self._seed = seed
+        self._preloaded_params = params
+
+        self._tokenizer = None
+        self.core: Optional[AsyncEngineCore] = None
+        self.scheduler: Optional[Scheduler] = None
+        self.prefix_cache: Optional[PrefixCache] = None
+        self._running = False
+
+    # ---------------------------------------------------------------- control
+    async def start(self) -> None:
+        if self._running:
+            return
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(None, self._load)
+        self.core = AsyncEngineCore(self.scheduler)
+        self.core.start()
+        self._running = True
+        logger.info("BatchedEngine started for %s", self.model_path)
+
+    def _load(self) -> None:
+        from ..models import loader
+
+        enable_persistent_compilation_cache()
+        cfg = self._model_config or ModelConfig.from_pretrained(
+            self.model_path
+        )
+        self._model_config = cfg
+        params = self._preloaded_params
+        if params is None:
+            params = loader.load_params(self.model_path, cfg)
+        self._tokenizer = load_tokenizer(self.model_path)
+        eos = collect_eos_ids(self._tokenizer, self.model_path)
+        eos.update(cfg.eos_token_ids)
+        runner = ModelRunner(
+            cfg,
+            params,
+            self.cache_config,
+            self.scheduler_config,
+            rng_seed=self._seed,
+        )
+        if self.enable_prefix_cache:
+            self.prefix_cache = PrefixCache(self.cache_config.block_size)
+        self.scheduler = Scheduler(
+            runner,
+            self._tokenizer,
+            stop_tokens=eos,
+            prefix_cache=self.prefix_cache,
+        )
+
+    async def stop(self) -> None:
+        if self.core is not None:
+            self.core.stop()
+        self._running = False
+
+    @property
+    def is_running(self) -> bool:
+        return self._running
+
+    @property
+    def tokenizer(self):
+        return self._tokenizer
+
+    @property
+    def model_config(self) -> Optional[ModelConfig]:
+        return self._model_config
+
+    # --------------------------------------------------------------- generate
+    def _make_request(
+        self, prompt: Any, request_id: Optional[str] = None, **kwargs
+    ) -> Request:
+        sp = SamplingParams(
+            **{k: v for k, v in kwargs.items() if k in _SAMPLING_KEYS}
+        )
+        return Request(
+            request_id=request_id or f"req-{uuid.uuid4().hex[:16]}",
+            prompt=prompt,
+            sampling_params=sp,
+        )
+
+    async def _stream(
+        self, request: Request
+    ) -> AsyncIterator[GenerationOutput]:
+        state = RequestStreamState(self.stream_interval)
+        pending = GenerationOutput()
+        async for out in self.core.stream_outputs(request):
+            pending.text += out.new_text
+            pending.token_ids.extend(out.new_token_ids)
+            pending.finished = out.finished
+            pending.finish_reason = out.finish_reason
+            pending.prompt_tokens = out.prompt_tokens
+            pending.completion_tokens = out.completion_tokens
+            pending.cached_tokens = out.cached_tokens
+            pending.mtp_drafts = out.mtp_drafts
+            pending.mtp_accepted = out.mtp_accepted
+            if state.should_send(out):
+                yield pending
+                pending = GenerationOutput()
+        if pending.text or pending.token_ids:
+            yield pending
+
+    async def stream_generate(
+        self, prompt: Any, request_id: Optional[str] = None, **kwargs
+    ) -> AsyncIterator[GenerationOutput]:
+        req = self._make_request(prompt, request_id, **kwargs)
+        async for chunk in self._stream(req):
+            yield chunk
+
+    async def stream_chat(
+        self,
+        messages: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        tools: Optional[List[Dict[str, Any]]] = None,
+        chat_template_kwargs: Optional[Dict[str, Any]] = None,
+        **kwargs,
+    ) -> AsyncIterator[GenerationOutput]:
+        prompt = self.apply_chat_template(
+            messages, tools=tools, chat_template_kwargs=chat_template_kwargs
+        )
+        req = self._make_request(prompt, request_id, **kwargs)
+        async for chunk in self._stream(req):
+            yield chunk
+
+    def apply_chat_template(
+        self,
+        messages: List[Dict[str, Any]],
+        tools: Optional[List[Dict[str, Any]]] = None,
+        chat_template_kwargs: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        return apply_chat_template(
+            self._tokenizer,
+            messages,
+            tools=tools,
+            chat_template_kwargs=chat_template_kwargs,
+        )
+
+    # ------------------------------------------------------------------ admin
+    def abort_request(self, request_id: str) -> None:
+        if self.core is not None:
+            self.core.abort_request(request_id)
+
+    def get_stats(self) -> Dict[str, Any]:
+        stats: Dict[str, Any] = {
+            "engine": "batched",
+            "model": self.model_path,
+            "running": self._running,
+        }
+        if self.core is not None:
+            stats.update(self.core.get_stats())
+        if self.prefix_cache is not None and self.scheduler is not None:
+            stats["prefix_cache"] = self.prefix_cache.get_stats(
+                self.scheduler.block_mgr
+            )
+        return stats
