@@ -695,6 +695,25 @@ async def handle_anthropic_count_tokens(request: web.Request) -> web.Response:
 
 
 # ---------------------------------------------------------------- app factory
+@web.middleware
+async def metrics_middleware(request: web.Request, handler):
+    metrics = request.app[STATE_KEY].get("metrics")
+    if metrics is None:
+        return await handler(request)
+    t0 = time.time()
+    try:
+        resp = await handler(request)
+        status = resp.status
+        return resp
+    except web.HTTPException as e:
+        status = e.status
+        raise
+    finally:
+        metrics.record_http(
+            request.path, request.method, status, time.time() - t0
+        )
+
+
 def build_app(
     engine: BaseEngine,
     *,
@@ -705,7 +724,10 @@ def build_app(
     reasoning_parser_name: Optional[str] = None,
     metrics=None,
 ) -> web.Application:
-    app = web.Application(client_max_size=256 * 1024 * 1024)
+    middlewares = [metrics_middleware] if metrics is not None else []
+    app = web.Application(
+        client_max_size=256 * 1024 * 1024, middlewares=middlewares
+    )
     app[ENGINE_KEY] = engine
     app[STATE_KEY] = {
         "start_time": time.time(),

@@ -1,0 +1,164 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Command-line interface (reference cli.py: serve/bench/download/...).
+
+``vllm-mlx-tpu serve <model>`` starts the OpenAI+Anthropic server on the
+TPU engine; ``bench`` runs the local decode benchmark; ``download``
+fetches a checkpoint from the HF hub (when the environment has egress).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+import sys
+from typing import List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+def _add_serve_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("model", help="path to a local HF-format checkpoint")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--served-model-name", default=None)
+    p.add_argument("--api-key", default=None)
+    p.add_argument(
+        "--engine",
+        choices=["batched", "simple"],
+        default="batched",
+        help="continuous batching (default) or serialized single-request",
+    )
+    # scheduler
+    p.add_argument("--max-num-seqs", type=int, default=64)
+    p.add_argument("--max-model-len", type=int, default=8192)
+    p.add_argument("--max-prefill-tokens", type=int, default=2048)
+    p.add_argument(
+        "--prefill-chunk-sizes",
+        type=lambda s: [int(x) for x in s.split(",")],
+        default=[128, 512, 2048],
+        help="token-bucket sizes for the unified step",
+    )
+    p.add_argument("--moe-top-k", type=int, default=None,
+                   help="clamp MoE experts-per-token below checkpoint value")
+    # kv cache
+    p.add_argument("--block-size", type=int, default=32)
+    p.add_argument(
+        "--num-kv-blocks", type=int, default=0,
+        help="0 = auto-size from HBM via --memory-utilization",
+    )
+    p.add_argument("--memory-utilization", type=float, default=0.85)
+    p.add_argument("--kv-cache-dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--no-prefix-cache", action="store_true")
+    # api behavior
+    p.add_argument("--max-tokens-default", type=int, default=32768)
+    p.add_argument("--stream-interval", type=int, default=1)
+    p.add_argument("--tool-call-parser", default="auto")
+    p.add_argument("--reasoning-parser", default=None)
+    p.add_argument("--enable-metrics", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-level", default="info")
+
+
+def serve_command(args: argparse.Namespace) -> None:
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    from .api.server import serve
+    from .config import CacheConfig, SchedulerConfig
+    from .engine.batched import BatchedEngine
+    from .engine.simple import SimpleEngine
+    from .metrics import MetricsCollector
+
+    cache_cfg = CacheConfig(
+        block_size=args.block_size,
+        num_blocks=args.num_kv_blocks,
+        kv_dtype=args.kv_cache_dtype,
+        memory_utilization=args.memory_utilization,
+    )
+    sched_cfg = SchedulerConfig(
+        max_num_seqs=args.max_num_seqs,
+        max_prefill_tokens=args.max_prefill_tokens,
+        prefill_chunk_sizes=args.prefill_chunk_sizes,
+        max_model_len=args.max_model_len,
+        moe_top_k=args.moe_top_k,
+    )
+    engine_cls = SimpleEngine if args.engine == "simple" else BatchedEngine
+    engine = engine_cls(
+        args.model,
+        cache_config=cache_cfg,
+        scheduler_config=sched_cfg,
+        enable_prefix_cache=not args.no_prefix_cache,
+        stream_interval=args.stream_interval,
+        seed=args.seed,
+    )
+    metrics = MetricsCollector(engine) if args.enable_metrics else None
+    served = args.served_model_name or args.model
+    try:
+        asyncio.run(
+            serve(
+                engine,
+                host=args.host,
+                port=args.port,
+                served_models=[served],
+                api_key=args.api_key,
+                default_max_tokens=args.max_tokens_default,
+                tool_parser_name=args.tool_call_parser,
+                reasoning_parser_name=args.reasoning_parser,
+                metrics=metrics,
+            )
+        )
+    except KeyboardInterrupt:
+        pass
+
+
+def bench_command(args: argparse.Namespace) -> None:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+def download_command(args: argparse.Namespace) -> None:
+    from huggingface_hub import snapshot_download
+
+    path = snapshot_download(
+        args.model,
+        allow_patterns=[
+            "*.safetensors", "*.json", "*.txt", "*.model", "*.jinja",
+        ],
+    )
+    print(path)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="vllm-mlx-tpu",
+        description="TPU-native multimodal inference server",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    serve_p = sub.add_parser("serve", help="start the API server")
+    _add_serve_args(serve_p)
+    serve_p.set_defaults(func=serve_command)
+
+    bench_p = sub.add_parser("bench", help="run the local benchmark")
+    bench_p.set_defaults(func=bench_command)
+
+    dl_p = sub.add_parser("download", help="download a model from HF hub")
+    dl_p.add_argument("model")
+    dl_p.set_defaults(func=download_command)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

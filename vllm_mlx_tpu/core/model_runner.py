@@ -63,6 +63,14 @@ class RunnerState:
     device_tokens: jax.Array  # [slots] i32 — last sampled token per slot
     sampling: SamplingState
     step_count: jax.Array  # scalar i32 (RNG folding)
+    # Device-resident per-slot serving state: lets the pure-decode fast
+    # path run with ZERO per-step host->device uploads (uploads cost
+    # ~30 ms latency each on this platform). Active slots are kept
+    # prefix-compacted (0..n_active-1) so the ragged kernel's compact
+    # sequence indexing coincides with slot indexing.
+    block_tables: jax.Array  # [slots, pages_per_seq] i32
+    kv_lens: jax.Array  # [slots] i32 — tokens whose KV is written
+    n_active: jax.Array  # scalar i32 — decode-ready slot count
 
 
 @dataclass
@@ -129,6 +137,14 @@ class ModelRunner:
             static_argnames=("greedy_only",),
             donate_argnums=(1,),
         )
+        self._decode_jit = jax.jit(
+            self._decode_fast,
+            static_argnames=("greedy_only",),
+            donate_argnums=(1,),
+        )
+        self._admit_jit = jax.jit(self._admit, donate_argnums=(0,))
+        self._move_jit = jax.jit(self._move_slot, donate_argnums=(0,))
+        self._extend_jit = jax.jit(self._extend_table, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ state
     def _init_state(self) -> RunnerState:
@@ -145,6 +161,11 @@ class ModelRunner:
             device_tokens=jnp.zeros((self.max_num_seqs,), jnp.int32),
             sampling=SamplingState.init(self.max_num_seqs),
             step_count=jnp.zeros((), jnp.int32),
+            block_tables=jnp.zeros(
+                (self.max_num_seqs, self.pages_per_seq), jnp.int32
+            ),
+            kv_lens=jnp.zeros((self.max_num_seqs,), jnp.int32),
+            n_active=jnp.zeros((), jnp.int32),
         )
 
     def reset(self) -> None:
@@ -222,13 +243,207 @@ class ModelRunner:
         new_device_tokens = state.device_tokens.at[scatter_slots].set(
             sampled, mode="drop"
         )
+        # keep device-resident slot state in sync for the fast path
+        seq_valid = jnp.arange(s) < num_seqs[0]
+        sync_slots = jnp.where(seq_valid, seq_slots, s)
+        new_tables = state.block_tables.at[sync_slots].set(
+            page_indices, mode="drop"
+        )
+        new_kv_lens = state.kv_lens.at[sync_slots].set(kv_lens, mode="drop")
         new_state = RunnerState(
             kv_pages=new_pages,
             device_tokens=new_device_tokens,
             sampling=new_sampling,
             step_count=state.step_count + 1,
+            block_tables=new_tables,
+            kv_lens=new_kv_lens,
+            n_active=state.n_active,
         )
         return new_state, sampled, logprobs
+
+    # -------------------------------------------------- pure-decode fast path
+    def _decode_fast(
+        self, params: Params, state: RunnerState, greedy_only: bool
+    ) -> Tuple[RunnerState, jax.Array, jax.Array]:
+        """One decode token for every active slot, built entirely from
+        device state — no host uploads on the hot path."""
+        s = self.max_num_seqs
+        ps = self.page_size
+        n = state.n_active
+        active = jnp.arange(s) < n
+        pos = state.kv_lens  # new token's position per slot
+        page_idx = jnp.minimum(pos // ps, self.pages_per_seq - 1)
+        dest = (
+            state.block_tables[jnp.arange(s), page_idx] * ps + pos % ps
+        )
+        kv_dest = jnp.where(active, dest, self.num_pages * ps)
+        kv_lens_att = jnp.where(active, pos + 1, 0)
+        cu_q_lens = jnp.minimum(
+            jnp.arange(s + 1, dtype=jnp.int32), n
+        )
+        hidden, new_pages = decoder.unified_forward(
+            params,
+            self.cfg,
+            state.device_tokens,
+            jnp.where(active, pos, 0),
+            state.kv_pages,
+            kv_dest,
+            kv_lens_att,
+            state.block_tables,
+            cu_q_lens,
+            n[None],
+            self.sched_cfg.moe_top_k,
+        )
+        logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
+        key = jax.random.fold_in(self._rng_base, state.step_count)
+        sampled, logprobs = sample_tokens(
+            logits, state.sampling, key, greedy_only=greedy_only
+        )
+        sampling = advance_repetition_state(state.sampling, sampled, active)
+        new_state = RunnerState(
+            kv_pages=new_pages,
+            device_tokens=jnp.where(active, sampled, state.device_tokens),
+            sampling=sampling,
+            step_count=state.step_count + 1,
+            block_tables=state.block_tables,
+            kv_lens=jnp.where(active, pos + 1, pos),
+            n_active=state.n_active,
+        )
+        return new_state, sampled, logprobs
+
+    def decode_fast(self, greedy_only: bool) -> Tuple[jax.Array, jax.Array]:
+        self.state, sampled, logprobs = self._decode_jit(
+            self.params, self.state, greedy_only=greedy_only
+        )
+        return sampled, logprobs
+
+    # -------------------------------------------- slot admin (single dispatch)
+    def _admit(
+        self,
+        state: RunnerState,
+        slot: jax.Array,
+        table_row: jax.Array,  # [pages_per_seq]
+        kv_len: jax.Array,
+        n_active: jax.Array,
+        temperature: jax.Array,
+        top_k: jax.Array,
+        top_p: jax.Array,
+        min_p: jax.Array,
+        repetition_penalty: jax.Array,
+        prompt_tail: jax.Array,  # [REP_WINDOW] i32, -1 padded
+        tail_len: jax.Array,
+    ) -> RunnerState:
+        from ..ops.sampling import REP_WINDOW
+
+        samp = state.sampling
+        sampling = SamplingState(
+            temperature=samp.temperature.at[slot].set(temperature),
+            top_k=samp.top_k.at[slot].set(top_k),
+            top_p=samp.top_p.at[slot].set(top_p),
+            min_p=samp.min_p.at[slot].set(min_p),
+            repetition_penalty=samp.repetition_penalty.at[slot].set(
+                repetition_penalty
+            ),
+            recent_tokens=samp.recent_tokens.at[slot].set(prompt_tail),
+            recent_head=samp.recent_head.at[slot].set(
+                tail_len % REP_WINDOW
+            ),
+        )
+        return replace(
+            state,
+            sampling=sampling,
+            block_tables=state.block_tables.at[slot].set(table_row),
+            kv_lens=state.kv_lens.at[slot].set(kv_len),
+            n_active=n_active,
+        )
+
+    def admit_slot(
+        self,
+        slot: int,
+        table: Sequence[int],
+        kv_len: int,
+        n_active: int,
+        *,
+        temperature: float,
+        top_k: int,
+        top_p: float,
+        min_p: float,
+        repetition_penalty: float,
+        prompt_tail: Sequence[int],
+    ) -> None:
+        from ..ops.sampling import REP_WINDOW
+
+        row = np.zeros(self.pages_per_seq, np.int32)
+        row[: len(table)] = table[: self.pages_per_seq]
+        tail = np.full(REP_WINDOW, -1, np.int32)
+        t = list(prompt_tail)[-REP_WINDOW:]
+        tail[: len(t)] = t
+        self.state = self._admit_jit(
+            self.state,
+            jnp.int32(slot),
+            jnp.asarray(row),
+            jnp.int32(kv_len),
+            jnp.int32(n_active),
+            jnp.float32(temperature),
+            jnp.int32(top_k),
+            jnp.float32(top_p),
+            jnp.float32(min_p),
+            jnp.float32(repetition_penalty),
+            jnp.asarray(tail),
+            jnp.int32(len(t)),
+        )
+
+    def _move_slot(
+        self,
+        state: RunnerState,
+        dst: jax.Array,
+        src: jax.Array,
+        n_active: jax.Array,
+    ) -> RunnerState:
+        samp = state.sampling
+
+        def mv(a):
+            return a.at[dst].set(a[src])
+
+        sampling = SamplingState(
+            temperature=mv(samp.temperature),
+            top_k=mv(samp.top_k),
+            top_p=mv(samp.top_p),
+            min_p=mv(samp.min_p),
+            repetition_penalty=mv(samp.repetition_penalty),
+            recent_tokens=mv(samp.recent_tokens),
+            recent_head=mv(samp.recent_head),
+        )
+        return replace(
+            state,
+            sampling=sampling,
+            device_tokens=mv(state.device_tokens),
+            block_tables=mv(state.block_tables),
+            kv_lens=mv(state.kv_lens),
+            n_active=n_active,
+        )
+
+    def move_slot(self, dst: int, src: int, n_active: int) -> None:
+        self.state = self._move_jit(
+            self.state, jnp.int32(dst), jnp.int32(src), jnp.int32(n_active)
+        )
+
+    def set_n_active(self, n: int) -> None:
+        self.state = replace(self.state, n_active=jnp.int32(n))
+
+    def _extend_table(
+        self, state: RunnerState, slot: jax.Array, idx: jax.Array,
+        block: jax.Array,
+    ) -> RunnerState:
+        return replace(
+            state,
+            block_tables=state.block_tables.at[slot, idx].set(block),
+        )
+
+    def extend_table(self, slot: int, idx: int, block: int) -> None:
+        self.state = self._extend_jit(
+            self.state, jnp.int32(slot), jnp.int32(idx), jnp.int32(block)
+        )
 
     def run_step(
         self, inp: StepInput, greedy_only: bool = False

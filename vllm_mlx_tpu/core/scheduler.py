@@ -110,6 +110,9 @@ class Scheduler:
         self.waiting: Deque[Request] = deque()
         self.running: List[Request] = []
         self.requests: Dict[str, Request] = {}
+        # Slots are prefix-compacted: occupied slots are exactly
+        # 0..len(occupied)-1 (fast-path requirement; release swaps the
+        # last occupied slot into the freed index).
         self.slots: List[Optional[Request]] = [None] * runner.max_num_seqs
         # tokens (prompt [+ recompute output]) not yet prefilled
         self._pending_prompt: Dict[str, List[int]] = {}
@@ -206,11 +209,13 @@ class Scheduler:
         return outs
 
     # -------------------------------------------------------------- admission
+    @property
+    def _n_occupied(self) -> int:
+        return len(self.running)
+
     def _free_slot(self) -> Optional[int]:
-        for i, r in enumerate(self.slots):
-            if r is None:
-                return i
-        return None
+        n = self._n_occupied
+        return n if n < len(self.slots) else None
 
     def _schedule_waiting(self) -> None:
         while self.waiting:
@@ -278,8 +283,11 @@ class Scheduler:
             self._base_len[rid] = len(tokens)
             self._dispatched[rid] = 0
             sp = req.sampling_params
-            self.runner.configure_slot_sampling(
+            self.runner.admit_slot(
                 slot,
+                req.blocks,
+                cached_tokens,
+                self._n_occupied,
                 temperature=sp.temperature,
                 top_k=sp.top_k,
                 top_p=sp.top_p,
@@ -314,6 +322,9 @@ class Scheduler:
                 self._preempt(req)
                 return False
             req.blocks.append(blocks[0])
+            self.runner.extend_table(
+                req.slot, len(req.blocks) - 1, blocks[0]
+            )
         return True
 
     def _dest_for(self, req: Request, pos: int) -> int:
@@ -323,6 +334,39 @@ class Scheduler:
         return req.blocks[idx] * self.page_size + pos % self.page_size
 
     def _dispatch_step(self) -> Optional[_StepBundle]:
+        # Pure-decode fast path: every running request is decode-ready ->
+        # dispatch the zero-upload compiled step over device state.
+        if self.running and not self._pending_prompt:
+            return self._dispatch_decode_fast()
+        return self._dispatch_ragged()
+
+    def _dispatch_decode_fast(self) -> Optional[_StepBundle]:
+        decoding = list(self.running)
+        for req in decoding:
+            if req.status != RequestStatus.RUNNING:
+                continue
+            if not self._ensure_growth(req):
+                pass  # preempted; handled below by re-filter
+        decoding = [
+            r for r in self.running if r.status == RequestStatus.RUNNING
+        ]
+        if not decoding:
+            return None
+        greedy = all(r.sampling_params.temperature == 0 for r in decoding)
+        sampled, logprobs = self.runner.decode_fast(greedy)
+        try:
+            sampled.copy_to_host_async()
+            logprobs.copy_to_host_async()
+        except Exception:
+            pass
+        bundle = _StepBundle(sampled=sampled, logprobs=logprobs)
+        for r in decoding:
+            rid = r.request_id
+            self._dispatched[rid] += 1
+            bundle.seq_map[rid] = (self._epoch[rid], r.slot)
+        return bundle
+
+    def _dispatch_ragged(self) -> Optional[_StepBundle]:
         s_max = self.runner.max_num_seqs
         pages_per_seq = self.runner.pages_per_seq
         max_t = self.runner.token_buckets[-1]
@@ -475,8 +519,24 @@ class Scheduler:
 
     def _release(self, req: Request) -> None:
         if req.slot is not None:
-            self.slots[req.slot] = None
+            freed = req.slot
+            if req in self.running:
+                self.running.remove(req)
+            n_after = len(self.running)
+            last = n_after  # index of the previously-last occupied slot
+            if freed != last:
+                # swap-compact: move the last occupied slot into the gap
+                moved = self.slots[last]
+                self.slots[freed] = moved
+                if moved is not None:
+                    moved.slot = freed
+                self.runner.move_slot(freed, last, n_after)
+            else:
+                self.runner.set_n_active(n_after)
+            self.slots[last] = None
             req.slot = None
+        elif req in self.running:
+            self.running.remove(req)
         if req.blocks:
             cache = False
             if self.prefix_cache is not None and req.is_finished():

@@ -33,6 +33,47 @@ from .base import BaseEngine, GenerationOutput
 
 logger = logging.getLogger(__name__)
 
+def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
+    """Size the KV pool from free HBM x memory_utilization (the vLLM
+    ``gpu_memory_utilization`` pattern; replaces the reference's Metal
+    buffer-cache limits, reference engine/batched.py:513-541)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    itemsize = 2 if cache_cfg.kv_dtype == "bfloat16" else 4
+    bytes_per_block = (
+        cfg.num_hidden_layers
+        * cache_cfg.block_size
+        * 2
+        * cfg.num_key_value_heads
+        * cfg.head_dim
+        * itemsize
+    )
+    total = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        total = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    except Exception:
+        pass
+    if not total:
+        total = 16 * 1024**3 if jax.default_backend() == "tpu" else 2 * 1024**3
+    param_bytes = sum(
+        int(np.prod(p.shape)) * p.dtype.itemsize
+        for p in jax.tree_util.tree_leaves(params)
+    )
+    budget = int(total * cache_cfg.memory_utilization) - param_bytes
+    num = max(budget // bytes_per_block, 16)
+    logger.info(
+        "auto KV pool: %d blocks (%.1f GB of %.1f GB HBM, params %.1f GB)",
+        num,
+        num * bytes_per_block / 1e9,
+        total / 1e9,
+        param_bytes / 1e9,
+    )
+    return int(num)
+
+
 _SAMPLING_KEYS = {
     "max_tokens", "temperature", "top_p", "top_k", "min_p",
     "presence_penalty", "repetition_penalty", "stop", "stop_token_ids",
@@ -93,6 +134,10 @@ class BatchedEngine(BaseEngine):
         self._tokenizer = load_tokenizer(self.model_path)
         eos = collect_eos_ids(self._tokenizer, self.model_path)
         eos.update(cfg.eos_token_ids)
+        if self.cache_config.num_blocks <= 0:
+            self.cache_config.num_blocks = _auto_num_blocks(
+                cfg, self.cache_config, params
+            )
         runner = ModelRunner(
             cfg,
             params,
