@@ -510,6 +510,87 @@ async def handle_completions(request: web.Request) -> web.Response:
     return resp
 
 
+# ---------------------------------------------------- embeddings / rerank
+async def handle_embeddings(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    from .models import EmbeddingRequest
+
+    try:
+        req = EmbeddingRequest(**await request.json())
+    except (ValidationError, json.JSONDecodeError) as e:
+        return _error(400, f"Invalid request: {e}")
+    eng = _state(request).get("embedding_engine")
+    if eng is None:
+        return _error(
+            503,
+            "no embedding model loaded (start with --embedding-model)",
+            "api_error",
+        )
+    if isinstance(req.input, str):
+        texts = [req.input]
+    elif req.input and isinstance(req.input[0], int):
+        return _error(400, "token-id input requires a tokenizer", )
+    else:
+        texts = list(req.input)
+    loop = asyncio.get_running_loop()
+    vecs = await loop.run_in_executor(None, eng.embed, texts)
+    n_tokens = await loop.run_in_executor(None, eng.count_tokens, texts)
+    data = [
+        {"object": "embedding", "index": i, "embedding": v}
+        for i, v in enumerate(vecs)
+    ]
+    return web.json_response(
+        {
+            "object": "list",
+            "data": data,
+            "model": req.model,
+            "usage": {
+                "prompt_tokens": n_tokens,
+                "completion_tokens": 0,
+                "total_tokens": n_tokens,
+            },
+        }
+    )
+
+
+async def handle_rerank(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    from .models import RerankRequest
+
+    try:
+        req = RerankRequest(**await request.json())
+    except (ValidationError, json.JSONDecodeError) as e:
+        return _error(400, f"Invalid request: {e}")
+    eng = _state(request).get("rerank_engine")
+    if eng is None:
+        return _error(
+            503,
+            "no rerank model loaded (start with --rerank-model)",
+            "api_error",
+        )
+    loop = asyncio.get_running_loop()
+    results = await loop.run_in_executor(
+        None,
+        lambda: eng.rerank(
+            req.query,
+            req.documents,
+            top_n=req.top_n,
+            return_documents=req.return_documents,
+        ),
+    )
+    return web.json_response(
+        {
+            "id": f"rerank-{uuid.uuid4().hex[:16]}",
+            "model": req.model,
+            "results": results,
+        }
+    )
+
+
 # ------------------------------------------------------------- anthropic
 async def handle_anthropic_messages(request: web.Request) -> web.Response:
     auth = _check_auth(request)
@@ -723,6 +804,8 @@ def build_app(
     tool_parser_name: str = "auto",
     reasoning_parser_name: Optional[str] = None,
     metrics=None,
+    embedding_engine=None,
+    rerank_engine=None,
 ) -> web.Application:
     middlewares = [metrics_middleware] if metrics is not None else []
     app = web.Application(
@@ -738,6 +821,8 @@ def build_app(
         "tool_parser_name": tool_parser_name,
         "reasoning_parser_name": reasoning_parser_name,
         "metrics": metrics,
+        "embedding_engine": embedding_engine,
+        "rerank_engine": rerank_engine,
     }
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)
@@ -751,6 +836,8 @@ def build_app(
     app.router.add_delete("/v1/requests/{request_id}", handle_cancel_request)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)
     app.router.add_post("/v1/completions", handle_completions)
+    app.router.add_post("/v1/embeddings", handle_embeddings)
+    app.router.add_post("/v1/rerank", handle_rerank)
     app.router.add_post("/v1/messages", handle_anthropic_messages)
     app.router.add_post(
         "/v1/messages/count_tokens", handle_anthropic_count_tokens

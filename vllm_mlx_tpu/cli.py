@@ -57,6 +57,10 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tool-call-parser", default="auto")
     p.add_argument("--reasoning-parser", default=None)
     p.add_argument("--enable-metrics", action="store_true")
+    p.add_argument("--embedding-model", default=None,
+                   help="path to a BERT-family checkpoint for /v1/embeddings")
+    p.add_argument("--rerank-model", default=None,
+                   help="path to a cross-encoder checkpoint for /v1/rerank")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-level", default="info")
 
@@ -96,6 +100,16 @@ def serve_command(args: argparse.Namespace) -> None:
     )
     metrics = MetricsCollector(engine) if args.enable_metrics else None
     served = args.served_model_name or args.model
+    embedding_engine = None
+    if args.embedding_model:
+        from .embedding import EmbeddingEngine
+
+        embedding_engine = EmbeddingEngine(args.embedding_model).load()
+    rerank_engine = None
+    if args.rerank_model:
+        from .rerank import RerankEngine
+
+        rerank_engine = RerankEngine(args.rerank_model).load()
     try:
         asyncio.run(
             serve(
@@ -108,6 +122,8 @@ def serve_command(args: argparse.Namespace) -> None:
                 tool_parser_name=args.tool_call_parser,
                 reasoning_parser_name=args.reasoning_parser,
                 metrics=metrics,
+                embedding_engine=embedding_engine,
+                rerank_engine=rerank_engine,
             )
         )
     except KeyboardInterrupt:
