@@ -104,9 +104,12 @@ def run_batch(sched, n_streams, prompt_len, max_tokens, seed=0):
 def main():
     sched = build()
 
-    # Warmup: compiles prefill buckets + decode (greedy) and fills caches.
+    # Warmup: compile every bucket each scenario will touch (single-stream
+    # prefill, 8- and 32-way admission mixes, decode fast path).
     t0 = time.time()
-    run_batch(sched, 1, 64, 8, seed=99)
+    run_batch(sched, 1, 64, 4, seed=99)
+    run_batch(sched, 8, 64, 4, seed=97)
+    run_batch(sched, 32, 64, 4, seed=96)
     log(f"warmup(compile): {time.time()-t0:.1f}s")
     t0 = time.time()
     run_batch(sched, 1, 64, 8, seed=98)

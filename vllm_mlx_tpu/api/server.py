@@ -849,9 +849,14 @@ async def serve(
     engine: BaseEngine,
     host: str = "0.0.0.0",
     port: int = 8000,
+    warm_prompts: Optional[List[Any]] = None,
     **app_kwargs,
 ) -> None:
     await engine.start()
+    if warm_prompts:
+        from ..prompt_warmup import warm_prefix_cache
+
+        await warm_prefix_cache(engine, warm_prompts)
     app = build_app(engine, **app_kwargs)
     runner = web.AppRunner(app)
     await runner.setup()

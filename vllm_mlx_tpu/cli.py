@@ -51,12 +51,17 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-cache-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-prefix-cache", action="store_true")
+    p.add_argument("--quantization", choices=["none", "int8", "int4"],
+                   default="none",
+                   help="quantize weights at load time")
     # api behavior
     p.add_argument("--max-tokens-default", type=int, default=32768)
     p.add_argument("--stream-interval", type=int, default=1)
     p.add_argument("--tool-call-parser", default="auto")
     p.add_argument("--reasoning-parser", default=None)
     p.add_argument("--enable-metrics", action="store_true")
+    p.add_argument("--warm-prompts-file", default=None,
+                   help="JSON file of prompts to pre-warm the prefix cache")
     p.add_argument("--embedding-model", default=None,
                    help="path to a BERT-family checkpoint for /v1/embeddings")
     p.add_argument("--rerank-model", default=None,
@@ -97,6 +102,7 @@ def serve_command(args: argparse.Namespace) -> None:
         enable_prefix_cache=not args.no_prefix_cache,
         stream_interval=args.stream_interval,
         seed=args.seed,
+        quantization=None if args.quantization == "none" else args.quantization,
     )
     metrics = MetricsCollector(engine) if args.enable_metrics else None
     served = args.served_model_name or args.model
@@ -110,6 +116,11 @@ def serve_command(args: argparse.Namespace) -> None:
         from .rerank import RerankEngine
 
         rerank_engine = RerankEngine(args.rerank_model).load()
+    warm_prompts = None
+    if args.warm_prompts_file:
+        from .prompt_warmup import load_warm_prompts
+
+        warm_prompts = load_warm_prompts(args.warm_prompts_file)
     try:
         asyncio.run(
             serve(
@@ -124,6 +135,7 @@ def serve_command(args: argparse.Namespace) -> None:
                 metrics=metrics,
                 embedding_engine=embedding_engine,
                 rerank_engine=rerank_engine,
+                warm_prompts=warm_prompts,
             )
         )
     except KeyboardInterrupt:

@@ -81,7 +81,7 @@ class _StepBundle:
 def _default_pipeline_depth() -> int:
     import jax
 
-    return 0 if jax.default_backend() == "cpu" else 4
+    return 0 if jax.default_backend() == "cpu" else 6
 
 
 class Scheduler:
@@ -353,13 +353,17 @@ class Scheduler:
         if not decoding:
             return None
         greedy = all(r.sampling_params.temperature == 0 for r in decoding)
+        want_lp = any(r.sampling_params.logprobs for r in decoding)
         sampled, logprobs = self.runner.decode_fast(greedy)
         try:
             sampled.copy_to_host_async()
-            logprobs.copy_to_host_async()
+            if want_lp:
+                logprobs.copy_to_host_async()
         except Exception:
             pass
-        bundle = _StepBundle(sampled=sampled, logprobs=logprobs)
+        bundle = _StepBundle(
+            sampled=sampled, logprobs=logprobs if want_lp else None
+        )
         for r in decoding:
             rid = r.request_id
             self._dispatched[rid] += 1
@@ -632,7 +636,11 @@ class Scheduler:
         if bundle.sampled is None:
             return outs
         sampled = np.asarray(bundle.sampled)
-        logprobs = np.asarray(bundle.logprobs)
+        logprobs = (
+            np.asarray(bundle.logprobs)
+            if bundle.logprobs is not None
+            else None
+        )
         for rid, (epoch, idx) in bundle.seq_map.items():
             req = self.requests.get(rid)
             if (
@@ -642,7 +650,9 @@ class Scheduler:
             ):
                 continue
             gained, text = self._process_one_token(
-                req, int(sampled[idx]), float(logprobs[idx])
+                req,
+                int(sampled[idx]),
+                float(logprobs[idx]) if logprobs is not None else 0.0,
             )
             if gained or text or req.is_finished():
                 outs.append(self._make_output(req, gained, text))

@@ -93,7 +93,9 @@ class BatchedEngine(BaseEngine):
         stream_interval: int = 1,
         seed: int = 0,
         params: Any = None,
+        quantization: Optional[str] = None,  # None | "int8" | "int4"
     ) -> None:
+        self.quantization = quantization
         self.model_path = model_path
         self._model_config = model_config
         self.cache_config = cache_config or CacheConfig()
@@ -131,6 +133,12 @@ class BatchedEngine(BaseEngine):
         params = self._preloaded_params
         if params is None:
             params = loader.load_params(self.model_path, cfg)
+        if self.quantization in ("int8", "int4"):
+            from ..ops.quant import quantize_params
+
+            bits = 8 if self.quantization == "int8" else 4
+            logger.info("quantizing weights to int%d", bits)
+            params = quantize_params(params, bits=bits)
         self._tokenizer = load_tokenizer(self.model_path)
         eos = collect_eos_ids(self._tokenizer, self.model_path)
         eos.update(cfg.eos_token_ids)

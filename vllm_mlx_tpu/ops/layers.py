@@ -108,11 +108,20 @@ def apply_rope(q_or_k: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(dtype)
 
 
-def linear(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax.Array:
-    """x @ w.T with optional bias. ``w`` is stored HF-style [out, in]."""
-    y = jax.lax.dot_general(
-        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
+    """x @ w.T with optional bias. ``w`` is stored HF-style [out, in],
+    either a dense array or a quantized dict (ops.quant)."""
+    from .quant import QuantizedTensor, quant_matmul
+
+    if isinstance(w, QuantizedTensor):
+        y = quant_matmul(x, w)
+    else:
+        y = jax.lax.dot_general(
+            x,
+            w,
+            (((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y.astype(x.dtype)
@@ -126,12 +135,27 @@ def swiglu_mlp(x: jax.Array, p: Params) -> jax.Array:
     return linear(h, p["down_proj"], p.get("down_bias"))
 
 
-def embed(token_ids: jax.Array, embedding: jax.Array) -> jax.Array:
+def embed(token_ids: jax.Array, embedding) -> jax.Array:
+    from .quant import QuantizedTensor, dequantize
+    from dataclasses import replace as _dc_replace
+
+    if isinstance(embedding, QuantizedTensor):
+        rows = jnp.take(embedding.w_q, token_ids, axis=0)
+        scales = jnp.take(embedding.scale, token_ids, axis=0)
+        if embedding.bits == 8:
+            return rows.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
+        return dequantize(
+            _dc_replace(embedding, w_q=rows, scale=scales)
+        )
     return jnp.take(embedding, token_ids, axis=0)
 
 
-def lm_head_logits(x: jax.Array, head_weight: jax.Array) -> jax.Array:
+def lm_head_logits(x: jax.Array, head_weight) -> jax.Array:
     """Final projection to vocab logits, fp32 output for sampling accuracy."""
+    from .quant import QuantizedTensor, quant_matmul
+
+    if isinstance(head_weight, QuantizedTensor):
+        return quant_matmul(x, head_weight)
     return jax.lax.dot_general(
         x,
         head_weight,
