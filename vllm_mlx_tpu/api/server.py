@@ -591,6 +591,100 @@ async def handle_rerank(request: web.Request) -> web.Response:
     )
 
 
+# ----------------------------------------------------------------- audio
+MAX_AUDIO_UPLOAD = 100 * 1024 * 1024  # reference audio_limits.py:17-80
+
+
+async def handle_transcriptions(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    eng = _state(request).get("stt_engine")
+    if eng is None:
+        return _error(
+            503, "no STT model loaded (start with --stt-model)", "api_error"
+        )
+    reader = await request.multipart()
+    audio_bytes = None
+    language = None
+    response_format = "json"
+    async for part in reader:
+        if part.name == "file":
+            chunks = []
+            size = 0
+            while True:
+                chunk = await part.read_chunk()
+                if not chunk:
+                    break
+                size += len(chunk)
+                if size > MAX_AUDIO_UPLOAD:
+                    return _error(413, "audio upload too large")
+                chunks.append(chunk)
+            audio_bytes = b"".join(chunks)
+        elif part.name == "language":
+            language = (await part.text()).strip() or None
+        elif part.name == "response_format":
+            response_format = (await part.text()).strip() or "json"
+    if not audio_bytes:
+        return _error(400, "missing audio file")
+    import io
+
+    from ..audio.mel import load_wav
+
+    try:
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(audio_bytes)
+            f.flush()
+            audio = load_wav(f.name)
+    except Exception as e:
+        return _error(400, f"could not decode audio (WAV supported): {e}")
+    loop = asyncio.get_running_loop()
+    result = await loop.run_in_executor(
+        None, lambda: eng.transcribe(audio, language=language)
+    )
+    if response_format == "text":
+        return web.Response(text=result["text"], content_type="text/plain")
+    return web.json_response(
+        {
+            "text": result["text"],
+            "duration": result["duration"],
+            "language": result.get("language"),
+        }
+    )
+
+
+async def handle_speech(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    eng = _state(request).get("tts_engine")
+    if eng is None:
+        return _error(
+            503, "no TTS model loaded (start with --tts-model)", "api_error"
+        )
+    try:
+        body = await request.json()
+    except json.JSONDecodeError as e:
+        return _error(400, f"invalid JSON: {e}")
+    text = body.get("input", "")
+    voice = body.get("voice")
+    if not text:
+        return _error(400, "missing 'input'")
+    loop = asyncio.get_running_loop()
+    wav_bytes = await loop.run_in_executor(
+        None, lambda: eng.synthesize_wav(text, voice=voice)
+    )
+    return web.Response(body=wav_bytes, content_type="audio/wav")
+
+
+async def handle_voices(request: web.Request) -> web.Response:
+    eng = _state(request).get("tts_engine")
+    voices = eng.voices() if eng is not None else []
+    return web.json_response({"voices": voices})
+
+
 # ------------------------------------------------------------- anthropic
 async def handle_anthropic_messages(request: web.Request) -> web.Response:
     auth = _check_auth(request)
@@ -806,6 +900,8 @@ def build_app(
     metrics=None,
     embedding_engine=None,
     rerank_engine=None,
+    stt_engine=None,
+    tts_engine=None,
 ) -> web.Application:
     middlewares = [metrics_middleware] if metrics is not None else []
     app = web.Application(
@@ -823,6 +919,8 @@ def build_app(
         "metrics": metrics,
         "embedding_engine": embedding_engine,
         "rerank_engine": rerank_engine,
+        "stt_engine": stt_engine,
+        "tts_engine": tts_engine,
     }
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)
@@ -838,6 +936,9 @@ def build_app(
     app.router.add_post("/v1/completions", handle_completions)
     app.router.add_post("/v1/embeddings", handle_embeddings)
     app.router.add_post("/v1/rerank", handle_rerank)
+    app.router.add_post("/v1/audio/transcriptions", handle_transcriptions)
+    app.router.add_post("/v1/audio/speech", handle_speech)
+    app.router.add_get("/v1/audio/voices", handle_voices)
     app.router.add_post("/v1/messages", handle_anthropic_messages)
     app.router.add_post(
         "/v1/messages/count_tokens", handle_anthropic_count_tokens

@@ -66,6 +66,8 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                    help="path to a BERT-family checkpoint for /v1/embeddings")
     p.add_argument("--rerank-model", default=None,
                    help="path to a cross-encoder checkpoint for /v1/rerank")
+    p.add_argument("--stt-model", default=None,
+                   help="path to a Whisper checkpoint for /v1/audio/transcriptions")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-level", default="info")
 
@@ -116,6 +118,11 @@ def serve_command(args: argparse.Namespace) -> None:
         from .rerank import RerankEngine
 
         rerank_engine = RerankEngine(args.rerank_model).load()
+    stt_engine = None
+    if args.stt_model:
+        from .audio.stt import STTEngine
+
+        stt_engine = STTEngine(args.stt_model).load()
     warm_prompts = None
     if args.warm_prompts_file:
         from .prompt_warmup import load_warm_prompts
@@ -135,6 +142,7 @@ def serve_command(args: argparse.Namespace) -> None:
                 metrics=metrics,
                 embedding_engine=embedding_engine,
                 rerank_engine=rerank_engine,
+                stt_engine=stt_engine,
                 warm_prompts=warm_prompts,
             )
         )
