@@ -319,6 +319,54 @@ class TestServerEndpoints:
         status, data = loop.run_until_complete(clear())
         assert status == 200
 
+    def test_responses_api(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/responses",
+            {
+                "model": "tiny-llama",
+                "input": "hello there",
+                "max_output_tokens": 6,
+                "temperature": 0,
+            },
+        )
+        assert status == 200
+        assert data["object"] == "response"
+        assert data["status"] == "completed"
+        msg = [o for o in data["output"] if o["type"] == "message"][0]
+        assert msg["content"][0]["type"] == "output_text"
+        assert data["usage"]["input_tokens"] > 0
+
+    def test_responses_streaming(self, server_client):
+        loop, client = server_client
+
+        async def go():
+            resp = await client.post(
+                "/v1/responses",
+                json={
+                    "model": "tiny-llama",
+                    "input": [
+                        {
+                            "type": "message",
+                            "role": "user",
+                            "content": [
+                                {"type": "input_text", "text": "hi"}
+                            ],
+                        }
+                    ],
+                    "max_output_tokens": 5,
+                    "stream": True,
+                },
+            )
+            return await resp.text()
+
+        raw = loop.run_until_complete(go())
+        events = [
+            ln[7:] for ln in raw.splitlines() if ln.startswith("event: ")
+        ]
+        assert events[0] == "response.created"
+        assert events[-1] == "response.completed"
+
     def test_stop_string(self, server_client):
         _, free = _post(
             server_client,

@@ -510,6 +510,147 @@ async def handle_completions(request: web.Request) -> web.Response:
     return resp
 
 
+# --------------------------------------------------------------- responses
+async def handle_responses(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    from .responses import input_to_messages, make_response_body
+
+    try:
+        body = await request.json()
+    except json.JSONDecodeError as e:
+        return _error(400, f"invalid JSON: {e}")
+    model = body.get("model", "")
+    bad = _validate_model(request, model)
+    if bad:
+        return bad
+    engine = _engine(request)
+    state = _state(request)
+    state["requests_served"] += 1
+    messages = input_to_messages(body.get("input"), body.get("instructions"))
+    kwargs: Dict[str, Any] = {
+        "max_tokens": body.get("max_output_tokens")
+        or state.get("default_max_tokens", 32768)
+    }
+    if body.get("temperature") is not None:
+        kwargs["temperature"] = body["temperature"]
+    if body.get("top_p") is not None:
+        kwargs["top_p"] = body["top_p"]
+    tools = None
+    if body.get("tools"):
+        # Responses flat tool format -> chat tools format
+        tools = [
+            {
+                "type": "function",
+                "function": {
+                    "name": t.get("name", ""),
+                    "description": t.get("description"),
+                    "parameters": t.get("parameters") or {},
+                },
+            }
+            for t in body["tools"]
+            if t.get("type") == "function"
+        ]
+    response_id = f"resp_{uuid.uuid4().hex[:24]}"
+    from ..reasoning import get_reasoning_parser
+    from ..tool_parsers import get_tool_parser
+
+    tool_parser = (
+        get_tool_parser(state.get("tool_parser_name", "auto"), engine.tokenizer)
+        if tools
+        else None
+    )
+    reasoning_parser = (
+        get_reasoning_parser(state["reasoning_parser_name"], engine.tokenizer)
+        if state.get("reasoning_parser_name")
+        else None
+    )
+
+    stream = bool(body.get("stream"))
+    if not stream:
+        try:
+            out = await engine.chat(
+                messages, request_id=response_id, tools=tools, **kwargs
+            )
+        except EngineBusy:
+            return _error(429, "engine busy", "rate_limit_error")
+        text = out.text
+        reasoning_text = None
+        if reasoning_parser is not None:
+            reasoning_text, text = reasoning_parser.extract_reasoning(text)
+        tool_calls = None
+        if tool_parser is not None:
+            parsed = tool_parser.extract_tool_calls(text)
+            if parsed.tools_called:
+                tool_calls = parsed.tool_calls
+                text = parsed.content or ""
+        return web.json_response(
+            make_response_body(
+                response_id=response_id,
+                model=model,
+                text=text,
+                reasoning=reasoning_text,
+                tool_calls=tool_calls,
+                finish_reason=out.finish_reason,
+                prompt_tokens=out.prompt_tokens,
+                completion_tokens=out.completion_tokens,
+            )
+        )
+
+    resp = _sse_response(request)
+    await resp.prepare(request)
+
+    async def ev(name: str, obj: Dict[str, Any]):
+        await _send_sse(
+            resp, json.dumps({"type": name, **obj}, separators=(",", ":")),
+            event=name,
+        )
+
+    shell = make_response_body(
+        response_id=response_id, model=model, text="", reasoning=None,
+        tool_calls=None, finish_reason=None, prompt_tokens=0,
+        completion_tokens=0, status="in_progress",
+    )
+    shell["output"] = []
+    await ev("response.created", {"response": shell})
+    full_text = ""
+    final = None
+    item_id = f"msg_{uuid.uuid4().hex[:20]}"
+    try:
+        async for chunk in engine.stream_chat(
+            messages, request_id=response_id, tools=tools, **kwargs
+        ):
+            final = chunk
+            if chunk.text:
+                full_text += chunk.text
+                await ev(
+                    "response.output_text.delta",
+                    {
+                        "item_id": item_id,
+                        "output_index": 0,
+                        "content_index": 0,
+                        "delta": chunk.text,
+                    },
+                )
+    except ConnectionResetError:
+        engine.abort_request(response_id)
+        return resp
+    done = make_response_body(
+        response_id=response_id,
+        model=model,
+        text=full_text,
+        reasoning=None,
+        tool_calls=None,
+        finish_reason=final.finish_reason if final else None,
+        prompt_tokens=final.prompt_tokens if final else 0,
+        completion_tokens=final.completion_tokens if final else 0,
+    )
+    await ev("response.completed", {"response": done})
+    await resp.write_eof()
+    return resp
+
+
 # ---------------------------------------------------- embeddings / rerank
 async def handle_embeddings(request: web.Request) -> web.Response:
     auth = _check_auth(request)
@@ -939,6 +1080,7 @@ def build_app(
     app.router.add_post("/v1/audio/transcriptions", handle_transcriptions)
     app.router.add_post("/v1/audio/speech", handle_speech)
     app.router.add_get("/v1/audio/voices", handle_voices)
+    app.router.add_post("/v1/responses", handle_responses)
     app.router.add_post("/v1/messages", handle_anthropic_messages)
     app.router.add_post(
         "/v1/messages/count_tokens", handle_anthropic_count_tokens
