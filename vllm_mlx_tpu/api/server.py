@@ -732,6 +732,46 @@ async def handle_rerank(request: web.Request) -> web.Response:
     )
 
 
+# ------------------------------------------------------------------- mcp
+async def handle_mcp_tools(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    mgr = _state(request).get("mcp_manager")
+    if mgr is None:
+        return web.json_response({"tools": []})
+    return web.json_response({"tools": mgr.list_tools()})
+
+
+async def handle_mcp_servers(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    mgr = _state(request).get("mcp_manager")
+    if mgr is None:
+        return web.json_response({"servers": []})
+    return web.json_response({"servers": mgr.list_servers()})
+
+
+async def handle_mcp_execute(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    mgr = _state(request).get("mcp_manager")
+    if mgr is None:
+        return _error(503, "MCP not configured", "api_error")
+    try:
+        body = await request.json()
+    except json.JSONDecodeError as e:
+        return _error(400, f"invalid JSON: {e}")
+    name = body.get("tool") or body.get("name")
+    if not name:
+        return _error(400, "missing 'tool'")
+    result = await mgr.execute(name, body.get("arguments", {}))
+    status = 200 if result.get("ok") else 422
+    return web.json_response(result, status=status)
+
+
 # ----------------------------------------------------------------- audio
 MAX_AUDIO_UPLOAD = 100 * 1024 * 1024  # reference audio_limits.py:17-80
 
@@ -1043,6 +1083,7 @@ def build_app(
     rerank_engine=None,
     stt_engine=None,
     tts_engine=None,
+    mcp_manager=None,
 ) -> web.Application:
     middlewares = [metrics_middleware] if metrics is not None else []
     app = web.Application(
@@ -1062,6 +1103,7 @@ def build_app(
         "rerank_engine": rerank_engine,
         "stt_engine": stt_engine,
         "tts_engine": tts_engine,
+        "mcp_manager": mcp_manager,
     }
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)
@@ -1077,6 +1119,9 @@ def build_app(
     app.router.add_post("/v1/completions", handle_completions)
     app.router.add_post("/v1/embeddings", handle_embeddings)
     app.router.add_post("/v1/rerank", handle_rerank)
+    app.router.add_get("/v1/mcp/tools", handle_mcp_tools)
+    app.router.add_get("/v1/mcp/servers", handle_mcp_servers)
+    app.router.add_post("/v1/mcp/execute", handle_mcp_execute)
     app.router.add_post("/v1/audio/transcriptions", handle_transcriptions)
     app.router.add_post("/v1/audio/speech", handle_speech)
     app.router.add_get("/v1/audio/voices", handle_voices)
@@ -1093,6 +1138,7 @@ async def serve(
     host: str = "0.0.0.0",
     port: int = 8000,
     warm_prompts: Optional[List[Any]] = None,
+    mcp_servers: Optional[List[Dict[str, Any]]] = None,
     **app_kwargs,
 ) -> None:
     await engine.start()
@@ -1100,6 +1146,12 @@ async def serve(
         from ..prompt_warmup import warm_prefix_cache
 
         await warm_prefix_cache(engine, warm_prompts)
+    if mcp_servers:
+        from ..mcp.manager import MCPManager
+
+        mgr = MCPManager()
+        await mgr.start(mcp_servers)
+        app_kwargs["mcp_manager"] = mgr
     app = build_app(engine, **app_kwargs)
     runner = web.AppRunner(app)
     await runner.setup()

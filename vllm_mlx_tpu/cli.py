@@ -62,6 +62,8 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--enable-metrics", action="store_true")
     p.add_argument("--warm-prompts-file", default=None,
                    help="JSON file of prompts to pre-warm the prefix cache")
+    p.add_argument("--mcp-config", default=None,
+                   help="MCP servers JSON ({'mcpServers': {...}})")
     p.add_argument("--embedding-model", default=None,
                    help="path to a BERT-family checkpoint for /v1/embeddings")
     p.add_argument("--rerank-model", default=None,
@@ -128,6 +130,11 @@ def serve_command(args: argparse.Namespace) -> None:
         from .prompt_warmup import load_warm_prompts
 
         warm_prompts = load_warm_prompts(args.warm_prompts_file)
+    mcp_servers = None
+    if args.mcp_config:
+        from .mcp.config import load_mcp_config
+
+        mcp_servers = load_mcp_config(args.mcp_config)
     try:
         asyncio.run(
             serve(
@@ -144,6 +151,7 @@ def serve_command(args: argparse.Namespace) -> None:
                 rerank_engine=rerank_engine,
                 stt_engine=stt_engine,
                 warm_prompts=warm_prompts,
+                mcp_servers=mcp_servers,
             )
         )
     except KeyboardInterrupt:
