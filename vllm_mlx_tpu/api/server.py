@@ -244,6 +244,25 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
         stop=req.stop_list(),
     )
     messages = [m.model_dump(exclude_none=True) for m in req.messages]
+    json_mode = False
+    json_schema = None
+    if req.response_format and req.response_format.type in (
+        "json_object",
+        "json_schema",
+    ):
+        from ..constrained import build_json_system_prompt
+
+        json_mode = True
+        if req.response_format.type == "json_schema" and req.response_format.json_schema:
+            json_schema = req.response_format.json_schema.schema_
+        guidance = build_json_system_prompt(json_schema)
+        if messages and messages[0].get("role") == "system":
+            messages[0] = {
+                "role": "system",
+                "content": f"{messages[0].get('content', '')}\n\n{guidance}",
+            }
+        else:
+            messages.insert(0, {"role": "system", "content": guidance})
     tools = (
         [t.model_dump(exclude_none=True, by_alias=True) for t in req.tools]
         if req.tools
@@ -289,6 +308,12 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
                 tool_calls = parsed.tool_calls
                 text = parsed.content or None
                 finish_reason = "tool_calls"
+        if json_mode and text:
+            from ..constrained import extract_json
+
+            extracted = extract_json(text)
+            if extracted is not None:
+                text = extracted
         message: Dict[str, Any] = {"role": "assistant", "content": text}
         if reasoning_text:
             message["reasoning_content"] = reasoning_text
