@@ -58,6 +58,12 @@ def build():
     t0 = time.time()
     params = loader.init_params(cfg, seed=0, dtype="bfloat16")
     log(f"params init: {time.time()-t0:.1f}s ({loader.param_count(params)/1e6:.0f}M)")
+    # The reference's headline model is 8-bit (mlx-community Qwen3-0.6B-8bit);
+    # match it: int8 weights incl. the tied embedding/lm_head.
+    from vllm_mlx_tpu.ops.quant import quantize_params
+
+    params = quantize_params(params, bits=8, quantize_embedding=True)
+    log("weights quantized to int8")
     cache_cfg = CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16")
     sched_cfg = SchedulerConfig(
         max_num_seqs=32,
