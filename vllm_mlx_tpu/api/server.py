@@ -107,7 +107,10 @@ def _sampling_kwargs(
 
 def _validate_model(request: web.Request, name: str) -> Optional[web.Response]:
     state = _state(request)
-    served = state.get("served_models") or []
+    served = list(state.get("served_models") or [])
+    mgr = state.get("model_manager")
+    if mgr is not None:
+        served.extend(mgr.model_names())
     if served and name not in served:
         return _error(
             404,
@@ -115,6 +118,16 @@ def _validate_model(request: web.Request, name: str) -> Optional[web.Response]:
             "not_found_error",
         )
     return None
+
+
+async def _engine_for(request: web.Request, model: str) -> BaseEngine:
+    """Route to a registry-managed engine when the model name matches;
+    otherwise the default engine (reference multi-model routing,
+    model_registry.py:364-900)."""
+    mgr = _state(request).get("model_manager")
+    if mgr is not None and model in mgr.specs:
+        return await mgr.get_engine(model)
+    return request.app[ENGINE_KEY]
 
 
 # ------------------------------------------------------------------ handlers
@@ -134,9 +147,13 @@ async def handle_models(request: web.Request) -> web.Response:
         return auth
     state = _state(request)
     now = int(time.time())
+    names = list(state.get("served_models", []))
+    mgr = state.get("model_manager")
+    if mgr is not None:
+        names.extend(n for n in mgr.model_names() if n not in names)
     data = [
         {"id": m, "object": "model", "created": now, "owned_by": "vllm-mlx-tpu"}
-        for m in state.get("served_models", [])
+        for m in names
     ]
     return web.json_response({"object": "list", "data": data})
 
@@ -232,7 +249,7 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
     bad = _validate_model(request, req.model)
     if bad:
         return bad
-    engine = _engine(request)
+    engine = await _engine_for(request, req.model)
     state = _state(request)
     state["requests_served"] += 1
 
@@ -446,7 +463,7 @@ async def handle_completions(request: web.Request) -> web.Response:
     bad = _validate_model(request, req.model)
     if bad:
         return bad
-    engine = _engine(request)
+    engine = await _engine_for(request, req.model)
     state = _state(request)
     state["requests_served"] += 1
     prompts: List[Any]
@@ -550,7 +567,7 @@ async def handle_responses(request: web.Request) -> web.Response:
     bad = _validate_model(request, model)
     if bad:
         return bad
-    engine = _engine(request)
+    engine = await _engine_for(request, model)
     state = _state(request)
     state["requests_served"] += 1
     messages = input_to_messages(body.get("input"), body.get("instructions"))
@@ -906,7 +923,7 @@ async def handle_anthropic_messages(request: web.Request) -> web.Response:
             },
             status=400,
         )
-    engine = _engine(request)
+    engine = await _engine_for(request, areq.model)
     state = _state(request)
     state["requests_served"] += 1
     oai = anthropic_to_openai(areq)
@@ -1109,6 +1126,7 @@ def build_app(
     stt_engine=None,
     tts_engine=None,
     mcp_manager=None,
+    model_manager=None,
 ) -> web.Application:
     middlewares = [metrics_middleware] if metrics is not None else []
     app = web.Application(
@@ -1129,6 +1147,7 @@ def build_app(
         "stt_engine": stt_engine,
         "tts_engine": tts_engine,
         "mcp_manager": mcp_manager,
+        "model_manager": model_manager,
     }
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)

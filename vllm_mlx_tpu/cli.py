@@ -64,6 +64,10 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                    help="JSON file of prompts to pre-warm the prefix cache")
     p.add_argument("--mcp-config", default=None,
                    help="MCP servers JSON ({'mcpServers': {...}})")
+    p.add_argument("--models-config", default=None,
+                   help="multi-model registry YAML/JSON "
+                        "({defaults: {...}, models: [{name, path, ...}]})")
+    p.add_argument("--max-loaded-models", type=int, default=1)
     p.add_argument("--embedding-model", default=None,
                    help="path to a BERT-family checkpoint for /v1/embeddings")
     p.add_argument("--rerank-model", default=None,
@@ -135,6 +139,14 @@ def serve_command(args: argparse.Namespace) -> None:
         from .mcp.config import load_mcp_config
 
         mcp_servers = load_mcp_config(args.mcp_config)
+    model_manager = None
+    if args.models_config:
+        from .model_registry import ModelManager, load_registry_file
+
+        model_manager = ModelManager(
+            load_registry_file(args.models_config),
+            max_loaded=args.max_loaded_models,
+        )
     try:
         asyncio.run(
             serve(
@@ -152,6 +164,7 @@ def serve_command(args: argparse.Namespace) -> None:
                 stt_engine=stt_engine,
                 warm_prompts=warm_prompts,
                 mcp_servers=mcp_servers,
+                model_manager=model_manager,
             )
         )
     except KeyboardInterrupt:
