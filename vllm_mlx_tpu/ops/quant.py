@@ -100,15 +100,26 @@ def dequantize(q: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def quant_matmul(x: jax.Array, q: QuantizedTensor) -> jax.Array:
-    """x [.., K] @ W[O, K]^T with quantized W -> [.., O] (f32 accum)."""
+    """x [.., K] @ W[O, K]^T with quantized W -> [.., O] (f32 accum).
+
+    int8 runs as W8A8: activations are dynamically quantized per token
+    and the contraction uses the MXU's native int8 x int8 -> int32 path.
+    (A convert-to-bf16 of the weights would NOT fuse across the dot
+    input on TPU — XLA materializes the dequantized copy, tripling HBM
+    traffic — so dequant-into-matmul is a losing strategy here.)
+    """
     if q.bits == 8:
+        xf = x.astype(jnp.float32)
+        x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(x_amax, 1e-8) / 127.0
+        x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
         y = jax.lax.dot_general(
-            x,
-            q.w_q.astype(x.dtype),
+            x_q,
+            q.w_q,
             (((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return y * q.scale.astype(jnp.float32)[:, 0]
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        return y * x_scale * q.scale.astype(jnp.float32)[:, 0]
     # int4 grouped: dequantize per group inside the contraction by
     # splitting K into groups (XLA fuses the convert+scale into the
     # matmul feeds).
