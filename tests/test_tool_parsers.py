@@ -122,6 +122,93 @@ class TestLlamaMistral:
         assert not r.tools_called
 
 
+class TestMiscParsers:
+    def test_granite_marker(self):
+        p = get_tool_parser("granite")
+        r = p.extract_tool_calls(
+            '<|tool_call|>[{"name": "f", "arguments": {"x": 1}}]'
+        )
+        assert r.tools_called and _args(r.tool_calls[0]) == {"x": 1}
+
+    def test_granite_bare_list(self):
+        p = get_tool_parser("granite")
+        r = p.extract_tool_calls('[{"name": "f", "arguments": {}}]')
+        assert r.tools_called
+
+    def test_nemotron(self):
+        p = get_tool_parser("nemotron")
+        r = p.extract_tool_calls(
+            'thinking<TOOLCALL>[{"name": "a", "arguments": {"q": 2}}]</TOOLCALL>done'
+        )
+        assert r.tools_called
+        assert r.content == "thinkingdone"
+
+    def test_minimax(self):
+        p = get_tool_parser("minimax")
+        r = p.extract_tool_calls(
+            '<tool_calls>\n{"name": "x", "arguments": {}}\n'
+            '{"name": "y", "arguments": {"a": 1}}\n</tool_calls>'
+        )
+        assert len(r.tool_calls) == 2
+
+    def test_xlam(self):
+        p = get_tool_parser("xlam")
+        r = p.extract_tool_calls(
+            '[{"name": "get_news", "arguments": {"topic": "ai"}}]'
+        )
+        assert r.tools_called
+
+    def test_deepseek(self):
+        p = get_tool_parser("deepseek")
+        text = (
+            "<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>get_weather\n```json\n{\"city\": \"SF\"}\n```"
+            "<｜tool▁call▁end｜><｜tool▁calls▁end｜>"
+        )
+        r = p.extract_tool_calls(text)
+        assert r.tools_called
+        assert r.tool_calls[0]["function"]["name"] == "get_weather"
+
+    def test_kimi(self):
+        p = get_tool_parser("kimi")
+        text = (
+            "<|tool_calls_section_begin|><|tool_call_begin|>"
+            "functions.search:0<|tool_call_argument_begin|>"
+            '{"q": "x"}<|tool_call_end|><|tool_calls_section_end|>'
+        )
+        r = p.extract_tool_calls(text)
+        assert r.tools_called
+        assert r.tool_calls[0]["function"]["name"] == "search"
+
+    def test_glm(self):
+        p = get_tool_parser("glm47")
+        text = (
+            "<tool_call>get_time\n<arg_key>tz</arg_key>"
+            "<arg_value>UTC</arg_value>\n</tool_call>"
+        )
+        r = p.extract_tool_calls(text)
+        assert r.tools_called
+        assert _args(r.tool_calls[0]) == {"tz": "UTC"}
+
+    def test_functionary(self):
+        p = get_tool_parser("functionary")
+        text = '>>>get_price\n{"ticker": "ACME"}'
+        r = p.extract_tool_calls(text)
+        assert r.tools_called
+        assert _args(r.tool_calls[0]) == {"ticker": "ACME"}
+
+    def test_registry_covers_reference_formats(self):
+        from vllm_mlx_tpu.tool_parsers import list_tool_parsers
+
+        names = set(list_tool_parsers())
+        for required in (
+            "auto", "mistral", "qwen", "qwen3_xml", "llama", "hermes",
+            "deepseek", "kimi", "granite", "nemotron", "xlam",
+            "functionary", "glm47", "minimax", "gemma",
+        ):
+            assert required in names, required
+
+
 class TestStreamingToolParser:
     def test_content_then_tool(self):
         p = get_tool_parser("hermes")

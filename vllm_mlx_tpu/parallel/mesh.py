@@ -95,6 +95,9 @@ def state_pspecs(state: Any) -> Any:
         device_tokens=P(),
         sampling=sampling,
         step_count=P(),
+        block_tables=P(),
+        kv_lens=P(),
+        n_active=P(),
     )
 
 
