@@ -219,6 +219,19 @@ class TestSchedulerGreedyParity:
             expected = reference_greedy(tiny_params, tiny_cfg, p, 20, stop=())
             assert outs[f"r{i}"].output_token_ids == expected
 
+    def test_multistep_decode_matches_single(self, tiny_cfg, tiny_params, rng):
+        """decode_steps_per_dispatch > 1 (lax.scan-chained steps) must be
+        token-identical to single-step dispatch."""
+        prompts = [rng.integers(2, 128, size=n).tolist() for n in (6, 15)]
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        sched.config.decode_steps_per_dispatch = 3
+        for i, p in enumerate(prompts):
+            sched.add_request(_req(f"r{i}", p, max_tokens=10))
+        outs = run_to_completion(sched)
+        for i, p in enumerate(prompts):
+            expected = reference_greedy(tiny_params, tiny_cfg, p, 10)
+            assert outs[f"r{i}"].output_token_ids == expected
+
     def test_blocks_released_after_finish(self, tiny_cfg, tiny_params, rng):
         sched = make_scheduler(tiny_cfg, tiny_params)
         for i in range(5):

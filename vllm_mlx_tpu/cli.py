@@ -41,6 +41,8 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--moe-top-k", type=int, default=None,
                    help="clamp MoE experts-per-token below checkpoint value")
+    p.add_argument("--decode-steps", type=int, default=4,
+                   help="chained decode steps per dispatch (fast path)")
     # kv cache
     p.add_argument("--block-size", type=int, default=32)
     p.add_argument(
@@ -101,6 +103,7 @@ def serve_command(args: argparse.Namespace) -> None:
         prefill_chunk_sizes=args.prefill_chunk_sizes,
         max_model_len=args.max_model_len,
         moe_top_k=args.moe_top_k,
+        decode_steps_per_dispatch=max(1, args.decode_steps),
     )
     engine_cls = SimpleEngine if args.engine == "simple" else BatchedEngine
     engine = engine_cls(

@@ -177,6 +177,10 @@ class SchedulerConfig:
     moe_top_k: Optional[int] = None
     # Cap on per-sequence context length (block table width)
     max_model_len: int = 4096
+    # Chained decode steps per dispatch on the fast path (amortizes
+    # host-side dispatch/fetch overhead; >1 coarsens streaming
+    # granularity and adds up to N-1 zombie tokens after a stop)
+    decode_steps_per_dispatch: int = 1
 
 
 @dataclass

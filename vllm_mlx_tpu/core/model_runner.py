@@ -22,6 +22,7 @@ host-built numpy uploaded per step; the upload pipelines behind compute.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from dataclasses import dataclass, field, replace
@@ -142,6 +143,7 @@ class ModelRunner:
             static_argnames=("greedy_only",),
             donate_argnums=(1,),
         )
+        self._multi_jits: Dict[Tuple[bool, int], Any] = {}
         self._admit_jit = jax.jit(self._admit, donate_argnums=(0,))
         self._move_jit = jax.jit(self._move_slot, donate_argnums=(0,))
         self._extend_jit = jax.jit(self._extend_table, donate_argnums=(0,))
@@ -316,6 +318,41 @@ class ModelRunner:
             self.params, self.state, greedy_only=greedy_only
         )
         return sampled, logprobs
+
+    def _decode_fast_multi(
+        self, params: Params, state: RunnerState, greedy_only: bool, steps: int
+    ) -> Tuple[RunnerState, jax.Array, jax.Array]:
+        """``steps`` chained decode steps in one compiled program —
+        amortizes dispatch/fetch overhead (the tokens feed back entirely
+        on device)."""
+
+        def body(st, _):
+            st, tok, lp = self._decode_fast(params, st, greedy_only)
+            return st, (tok, lp)
+
+        state, (tokens, logprobs) = jax.lax.scan(
+            body, state, None, length=steps
+        )
+        return state, tokens, logprobs  # [steps, S]
+
+    def decode_fast_multi(
+        self, greedy_only: bool, steps: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns (tokens [steps, S], logprobs [steps, S])."""
+        key = (greedy_only, steps)
+        jit = self._multi_jits.get(key)
+        if jit is None:
+            jit = jax.jit(
+                functools.partial(
+                    self._decode_fast_multi,
+                    greedy_only=greedy_only,
+                    steps=steps,
+                ),
+                donate_argnums=(1,),
+            )
+            self._multi_jits[key] = jit
+        self.state, tokens, logprobs = jit(self.params, self.state)
+        return tokens, logprobs
 
     # -------------------------------------------- slot admin (single dispatch)
     def _admit(

@@ -70,10 +70,15 @@ def _all_tokens(req: Request) -> List[int]:
 
 @dataclass
 class _StepBundle:
-    """One dispatched step's device handles, consumed with a lag."""
+    """One dispatched step's device handles, consumed with a lag.
 
-    sampled: Optional[object] = None  # [S] device array
-    logprobs: Optional[object] = None
+    ``step_results`` holds one (sampled, logprobs-or-None) pair per
+    decode step covered by this dispatch (multi-step fast path packs
+    several chained steps into one program)."""
+
+    step_results: List[Tuple[object, Optional[object]]] = field(
+        default_factory=list
+    )
     # rid -> (epoch, compact_index) for sequences whose sample is real
     seq_map: Dict[str, Tuple[int, int]] = field(default_factory=dict)
 
@@ -305,12 +310,13 @@ class Scheduler:
             and req.request_id not in self._pending_prompt
         )
 
-    def _ensure_growth(self, req: Request) -> bool:
-        """Ensure a block exists for this request's next decode write.
-        Returns False if ``req`` was preempted in the process."""
+    def _ensure_growth(self, req: Request, lookahead: int = 1) -> bool:
+        """Ensure blocks exist for this request's next ``lookahead`` decode
+        writes. Returns False if ``req`` was preempted in the process."""
         rid = req.request_id
-        pos = self._base_len[rid] + self._dispatched[rid]
-        if pos >= self.config.max_model_len:
+        pos = self._base_len[rid] + self._dispatched[rid] + lookahead - 1
+        pos = min(pos, self.config.max_model_len - 1)
+        if self._base_len[rid] + self._dispatched[rid] >= self.config.max_model_len:
             return True  # zombie/capped writes get the OOB sentinel
         idx = pos // self.page_size
         while idx >= len(req.blocks):
@@ -341,11 +347,12 @@ class Scheduler:
         return self._dispatch_ragged()
 
     def _dispatch_decode_fast(self) -> Optional[_StepBundle]:
+        steps = max(1, self.config.decode_steps_per_dispatch)
         decoding = list(self.running)
         for req in decoding:
             if req.status != RequestStatus.RUNNING:
                 continue
-            if not self._ensure_growth(req):
+            if not self._ensure_growth(req, lookahead=steps):
                 pass  # preempted; handled below by re-filter
         decoding = [
             r for r in self.running if r.status == RequestStatus.RUNNING
@@ -354,19 +361,26 @@ class Scheduler:
             return None
         greedy = all(r.sampling_params.temperature == 0 for r in decoding)
         want_lp = any(r.sampling_params.logprobs for r in decoding)
-        sampled, logprobs = self.runner.decode_fast(greedy)
-        try:
-            sampled.copy_to_host_async()
-            if want_lp:
-                logprobs.copy_to_host_async()
-        except Exception:
-            pass
-        bundle = _StepBundle(
-            sampled=sampled, logprobs=logprobs if want_lp else None
-        )
+        bundle = _StepBundle()
+        if steps == 1:
+            sampled, logprobs = self.runner.decode_fast(greedy)
+            step_arrays = [(sampled, logprobs)]
+        else:
+            tokens, logprobs = self.runner.decode_fast_multi(greedy, steps)
+            step_arrays = [(tokens[i], logprobs[i]) for i in range(steps)]
+        for sampled, logprobs in step_arrays:
+            try:
+                sampled.copy_to_host_async()
+                if want_lp:
+                    logprobs.copy_to_host_async()
+            except Exception:
+                pass
+            bundle.step_results.append(
+                (sampled, logprobs if want_lp else None)
+            )
         for r in decoding:
             rid = r.request_id
-            self._dispatched[rid] += 1
+            self._dispatched[rid] += steps
             bundle.seq_map[rid] = (self._epoch[rid], r.slot)
         return bundle
 
@@ -489,8 +503,7 @@ class Scheduler:
             logprobs.copy_to_host_async()
         except Exception:
             pass
-        bundle.sampled = sampled
-        bundle.logprobs = logprobs
+        bundle.step_results.append((sampled, logprobs))
         return bundle
 
     # ------------------------------------------------------------- preemption
@@ -633,14 +646,15 @@ class Scheduler:
 
     def _process_bundle(self, bundle: _StepBundle) -> List[RequestOutput]:
         outs: List[RequestOutput] = []
-        if bundle.sampled is None:
+        if not bundle.step_results:
             return outs
-        sampled = np.asarray(bundle.sampled)
-        logprobs = (
-            np.asarray(bundle.logprobs)
-            if bundle.logprobs is not None
-            else None
-        )
+        arrays = [
+            (
+                np.asarray(s),
+                np.asarray(lp) if lp is not None else None,
+            )
+            for s, lp in bundle.step_results
+        ]
         for rid, (epoch, idx) in bundle.seq_map.items():
             req = self.requests.get(rid)
             if (
@@ -649,11 +663,18 @@ class Scheduler:
                 or self._epoch.get(rid) != epoch
             ):
                 continue
-            gained, text = self._process_one_token(
-                req,
-                int(sampled[idx]),
-                float(logprobs[idx]) if logprobs is not None else 0.0,
-            )
+            gained: List[int] = []
+            text = ""
+            for sampled, logprobs in arrays:
+                if req.is_finished():
+                    break
+                g, t = self._process_one_token(
+                    req,
+                    int(sampled[idx]),
+                    float(logprobs[idx]) if logprobs is not None else 0.0,
+                )
+                gained += g
+                text += t
             if gained or text or req.is_finished():
                 outs.append(self._make_output(req, gained, text))
             if req.is_finished():
