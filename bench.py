@@ -70,7 +70,6 @@ def build():
         max_prefill_tokens=2048,
         prefill_chunk_sizes=[128, 512, 2048],
         max_model_len=2048,
-        decode_steps_per_dispatch=4,
     )
     runner = ModelRunner(cfg, params, cache_cfg, sched_cfg)
     sched = Scheduler(runner, tokenizer=None, stop_tokens={151645})

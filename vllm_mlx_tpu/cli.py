@@ -41,7 +41,7 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--moe-top-k", type=int, default=None,
                    help="clamp MoE experts-per-token below checkpoint value")
-    p.add_argument("--decode-steps", type=int, default=4,
+    p.add_argument("--decode-steps", type=int, default=1,
                    help="chained decode steps per dispatch (fast path)")
     # kv cache
     p.add_argument("--block-size", type=int, default=32)
