@@ -1,0 +1,119 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Tiered KV spill: host-DRAM LRU + disk persistence + end-to-end
+eviction→restore through the engine (reference SSD-tier behaviors:
+tests/test_ssd_cache.py, tests/test_mllm_ssd_spill.py)."""
+
+import numpy as np
+import pytest
+
+from vllm_mlx_tpu.cache.host_tier import HostKVTier
+from vllm_mlx_tpu.cache.prefix_cache import PrefixCache
+from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+from vllm_mlx_tpu.core.model_runner import ModelRunner
+from vllm_mlx_tpu.core.scheduler import Scheduler
+from vllm_mlx_tpu.models import loader
+
+from test_scheduler import (  # noqa: F401
+    EOS,
+    _req,
+    reference_greedy,
+    run_to_completion,
+    tiny_cfg,
+    tiny_params,
+)
+
+
+class TestHostTierUnit:
+    def _kv(self, rng, seed=0):
+        return rng.standard_normal((2, 8, 4, 16)).astype(np.float32)
+
+    def test_store_lookup_chain(self, rng):
+        tier = HostKVTier(max_bytes=10**9)
+        kvs = [self._kv(rng) for _ in range(3)]
+        for i, kv in enumerate(kvs):
+            tier.store(f"h{i}", kv)
+        got = tier.lookup_chain(["h0", "h1", "hX", "h2"])
+        assert len(got) == 2
+        np.testing.assert_array_equal(got[0], kvs[0])
+
+    def test_memory_lru_eviction(self, rng):
+        one = self._kv(rng)
+        tier = HostKVTier(max_bytes=one.nbytes * 2)
+        tier.store("a", one)
+        tier.store("b", self._kv(rng))
+        tier.store("c", self._kv(rng))  # evicts "a" (no disk -> dropped)
+        assert not tier.contains("a")
+        assert tier.contains("b") and tier.contains("c")
+
+    def test_disk_spill_and_reload(self, rng, tmp_path):
+        one = self._kv(rng)
+        tier = HostKVTier(max_bytes=one.nbytes, disk_dir=str(tmp_path))
+        tier.store("a", one)
+        tier.store("b", self._kv(rng))  # "a" spills to disk
+        assert tier.contains("a")
+        got = tier.lookup_chain(["a"])
+        np.testing.assert_array_equal(got[0], one)
+        assert tier.stats["disk_hits"] == 1
+        # a fresh tier instance reloads the disk index (restart persistence)
+        tier2 = HostKVTier(max_bytes=10**9, disk_dir=str(tmp_path))
+        assert tier2.contains("a")
+        np.testing.assert_array_equal(tier2.lookup_chain(["a"])[0], one)
+
+    def test_corrupt_entry_quarantine(self, rng, tmp_path):
+        one = self._kv(rng)
+        tier = HostKVTier(max_bytes=one.nbytes, disk_dir=str(tmp_path))
+        tier.store("a", one)
+        tier.store("b", self._kv(rng))
+        fn = tier._disk_index["a"]
+        (tmp_path / fn).write_bytes(b"garbage")
+        assert tier.lookup_chain(["a"]) == []
+        assert "a" not in tier._disk_index
+
+    def test_bf16_roundtrip(self, tmp_path):
+        import ml_dtypes
+
+        kv = np.arange(64, dtype=np.float32).reshape(2, 4, 2, 4)
+        kv16 = kv.astype(ml_dtypes.bfloat16)
+        tier = HostKVTier(max_bytes=kv16.nbytes, disk_dir=str(tmp_path))
+        tier.store("a", kv16)
+        tier.store("b", kv16.copy())  # spill "a"
+        got = tier.lookup_chain(["a"])[0]
+        np.testing.assert_array_equal(
+            got.astype(np.float32), kv16.astype(np.float32)
+        )
+
+
+class TestTierEndToEnd:
+    def test_evict_restore_roundtrip(self, tiny_cfg, tiny_params, rng):
+        """A cached prefix evicted from the pool under pressure is
+        restored from the host tier with identical generations."""
+        cache = CacheConfig(
+            block_size=8, num_blocks=14, kv_dtype="float32"
+        )  # 13 usable blocks
+        sc = SchedulerConfig(
+            max_num_seqs=2, max_prefill_tokens=64,
+            prefill_chunk_sizes=[16, 64], max_model_len=128,
+        )
+        runner = ModelRunner(tiny_cfg, tiny_params, cache, sc)
+        tier = HostKVTier(max_bytes=10**9)
+        pc = PrefixCache(8, host_tier=tier)
+        sched = Scheduler(
+            runner, tokenizer=None, stop_tokens={EOS}, prefix_cache=pc
+        )
+
+        prompt_a = rng.integers(2, 128, size=40).tolist()
+        sched.add_request(_req("a1", prompt_a, max_tokens=4))
+        out_a1 = run_to_completion(sched)["a1"]
+        # a's blocks are now cached in-pool; flood with b to evict them
+        prompt_b = rng.integers(2, 128, size=60).tolist()
+        sched.add_request(_req("b", prompt_b, max_tokens=30))
+        run_to_completion(sched)
+        assert tier.num_entries > 0  # spilled on eviction
+        # resubmit a: chain restored from tier
+        sched.add_request(_req("a2", prompt_a, max_tokens=4))
+        out_a2 = run_to_completion(sched)["a2"]
+        assert out_a2.output_token_ids == out_a1.output_token_ids
+        assert out_a2.cached_tokens > 0
+        assert tier.stats["restored_blocks"] > 0
+        req = sched.requests["a2"]
+        assert req.cache_hit_type and "tier" in req.cache_hit_type

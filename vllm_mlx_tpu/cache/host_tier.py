@@ -1,0 +1,193 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Tiered KV spill: host-DRAM tier with optional disk persistence.
+
+TPU-native redesign of the reference's SSD cold tier (reference
+ssd_cache.py:635 ``SSDCacheTier``: SQLite index + .npz payloads +
+writer thread) per SURVEY.md §7: on TPU the first spill target is host
+DRAM (device->host DMA), with disk below it for restart persistence.
+
+Unit of storage = one hash-chained KV block (all layers), matching the
+pool layout: ``[num_layers, page_size, 2*kvh, head_dim]`` per block.
+Evicted prefix-cache blocks spill here; prefix fetches that miss the
+pool can restore chains from this tier into freshly allocated blocks.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class HostKVTier:
+    """LRU of spilled blocks keyed by content hash; optional disk layer."""
+
+    def __init__(
+        self,
+        max_bytes: int = 2 * 1024**3,
+        disk_dir: Optional[str] = None,
+        disk_max_bytes: int = 32 * 1024**3,
+    ) -> None:
+        self.max_bytes = max_bytes
+        self.disk_dir = disk_dir
+        self.disk_max_bytes = disk_max_bytes
+        self._entries: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self.stats = {
+            "stored": 0,
+            "restored_blocks": 0,
+            "evicted_to_disk": 0,
+            "disk_hits": 0,
+            "dropped": 0,
+        }
+        self._disk_index: Dict[str, str] = {}
+        if disk_dir:
+            os.makedirs(disk_dir, exist_ok=True)
+            self._load_disk_index()
+
+    # ----------------------------------------------------------------- memory
+    @property
+    def num_entries(self) -> int:
+        return len(self._entries)
+
+    @property
+    def bytes_used(self) -> int:
+        return self._bytes
+
+    def store(self, block_hash: str, kv: np.ndarray) -> None:
+        """Spill one block's KV (host numpy, already fetched off device)."""
+        if block_hash in self._entries:
+            self._entries.move_to_end(block_hash)
+            return
+        size = kv.nbytes
+        while self._bytes + size > self.max_bytes and self._entries:
+            h, old = self._entries.popitem(last=False)
+            self._bytes -= old.nbytes
+            self._spill_to_disk(h, old)
+        if self._bytes + size > self.max_bytes:
+            self.stats["dropped"] += 1
+            return
+        self._entries[block_hash] = kv
+        self._bytes += size
+        self.stats["stored"] += 1
+
+    def lookup_chain(self, hashes: Sequence[str]) -> List[np.ndarray]:
+        """Longest available prefix of the hash chain (memory, then disk)."""
+        out: List[np.ndarray] = []
+        for h in hashes:
+            kv = self._entries.get(h)
+            if kv is not None:
+                self._entries.move_to_end(h)
+            else:
+                kv = self._load_from_disk(h)
+            if kv is None:
+                break
+            out.append(kv)
+        self.stats["restored_blocks"] += len(out)
+        return out
+
+    def contains(self, block_hash: str) -> bool:
+        return block_hash in self._entries or block_hash in self._disk_index
+
+    def clear(self) -> None:
+        self._entries.clear()
+        self._bytes = 0
+
+    # ------------------------------------------------------------------- disk
+    def _index_path(self) -> str:
+        return os.path.join(self.disk_dir, "index.json")
+
+    def _load_disk_index(self) -> None:
+        try:
+            with open(self._index_path()) as f:
+                self._disk_index = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            self._disk_index = {}
+        # reconcile: drop index entries whose payloads vanished
+        # (reference ssd_cache.py:1169 startup reconcile)
+        stale = [
+            h
+            for h, fn in self._disk_index.items()
+            if not os.path.exists(os.path.join(self.disk_dir, fn))
+        ]
+        for h in stale:
+            del self._disk_index[h]
+        if stale:
+            self._save_disk_index()
+
+    def _save_disk_index(self) -> None:
+        try:
+            with open(self._index_path(), "w") as f:
+                json.dump(self._disk_index, f)
+        except OSError as e:  # pragma: no cover
+            logger.warning("could not persist disk index: %s", e)
+
+    def _disk_bytes(self) -> int:
+        total = 0
+        for fn in self._disk_index.values():
+            try:
+                total += os.path.getsize(os.path.join(self.disk_dir, fn))
+            except OSError:
+                pass
+        return total
+
+    def _spill_to_disk(self, block_hash: str, kv: np.ndarray) -> None:
+        if not self.disk_dir or block_hash in self._disk_index:
+            return
+        if self._disk_bytes() + kv.nbytes > self.disk_max_bytes:
+            self.stats["dropped"] += 1
+            return
+        fn = f"{block_hash[:32]}.npz"
+        path = os.path.join(self.disk_dir, fn)
+        try:
+            # bf16 isn't a numpy dtype on disk: store raw bits + dtype tag
+            if kv.dtype == np.dtype("V2") or str(kv.dtype) == "bfloat16":
+                np.savez(path, kv=kv.view(np.uint16), dtype="bfloat16")
+            else:
+                np.savez(path, kv=kv, dtype=str(kv.dtype))
+            self._disk_index[block_hash] = fn
+            self._save_disk_index()
+            self.stats["evicted_to_disk"] += 1
+        except OSError as e:
+            logger.warning("disk spill failed: %s", e)
+
+    def _load_from_disk(self, block_hash: str) -> Optional[np.ndarray]:
+        fn = self._disk_index.get(block_hash)
+        if not fn or not self.disk_dir:
+            return None
+        path = os.path.join(self.disk_dir, fn)
+        try:
+            with np.load(path) as z:
+                kv = z["kv"]
+                dtype = str(z["dtype"])
+                if dtype == "bfloat16":
+                    import ml_dtypes
+
+                    kv = kv.view(ml_dtypes.bfloat16)
+                self.stats["disk_hits"] += 1
+                return kv
+        except (OSError, KeyError, ValueError) as e:
+            # corrupt entry: quarantine (reference ssd_cache.py:1109)
+            logger.warning("corrupt spill entry %s: %s", fn, e)
+            self._disk_index.pop(block_hash, None)
+            self._save_disk_index()
+            try:
+                os.rename(path, path + ".corrupt")
+            except OSError:
+                pass
+            return None
+
+    def get_stats(self) -> Dict:
+        return {
+            **self.stats,
+            "entries": self.num_entries,
+            "bytes": self._bytes,
+            "disk_entries": len(self._disk_index),
+        }

@@ -57,12 +57,38 @@ class PrefixCacheStats:
 
 
 class PrefixCache:
-    """Host-side index; the KV bytes live in the pool itself."""
+    """Host-side index; the KV bytes live in the pool itself.
 
-    def __init__(self, block_size: int, enabled: bool = True) -> None:
+    With a ``host_tier`` attached (cache/host_tier.py), pool-evicted
+    blocks spill to host DRAM (and optionally disk), and fetches extend
+    their chain match by restoring spilled blocks into fresh pool blocks
+    — the TPU analogue of the reference's SSD promotion
+    (reference scheduler.py:2852-2997)."""
+
+    def __init__(
+        self,
+        block_size: int,
+        enabled: bool = True,
+        host_tier=None,
+        runner=None,
+    ) -> None:
         self.block_size = block_size
         self.enabled = enabled
+        self.host_tier = host_tier
+        self.runner = runner
         self.stats = PrefixCacheStats()
+
+    def attach_spill(self, block_mgr: BlockManager, runner) -> None:
+        """Wire the pool-eviction spill hook."""
+        self.runner = runner
+        if self.host_tier is None:
+            return
+
+        def on_evict(block: int, h: str) -> None:
+            if not self.host_tier.contains(h):
+                self.host_tier.store(h, runner.read_block(block))
+
+        block_mgr.evict_callback = on_evict
 
     # ------------------------------------------------------------------ fetch
     def block_hashes(self, tokens: Sequence[int]) -> List[str]:
@@ -86,12 +112,30 @@ class PrefixCache:
         self.stats.queries += 1
         hashes = self.block_hashes(tokens)
         blocks = block_mgr.lookup_prefix(hashes)
+        tier_hit = False
+        if (
+            self.host_tier is not None
+            and self.runner is not None
+            and len(blocks) < len(hashes)
+        ):
+            restored = self.host_tier.lookup_chain(hashes[len(blocks):])
+            for i, kv in enumerate(restored):
+                fresh = block_mgr.allocate(1)
+                if fresh is None:
+                    break
+                b = fresh[0]
+                self.runner.write_block(b, kv)
+                block_mgr.register_block_hash(b, hashes[len(blocks)])
+                blocks.append(b)
+                tier_hit = True
         cached_tokens = len(blocks) * self.block_size
         if not blocks:
             return [], 0, "miss"
         self.stats.hits += 1
         self.stats.hit_tokens += cached_tokens
         hit = "exact" if len(blocks) == len(hashes) else "prefix"
+        if tier_hit:
+            hit = f"{hit}+tier"
         return blocks, cached_tokens, hit
 
     # ------------------------------------------------------------------ store
@@ -141,4 +185,6 @@ class PrefixCache:
             d["cached_blocks"] = block_mgr.num_cached_blocks
             d["active_blocks"] = block_mgr.num_active_blocks
             d["free_blocks"] = block_mgr.num_free_blocks
+        if self.host_tier is not None:
+            d["host_tier"] = self.host_tier.get_stats()
         return d

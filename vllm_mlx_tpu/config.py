@@ -155,6 +155,10 @@ class CacheConfig:
     kv_dtype: str = "bfloat16"
     # Fraction of HBM to dedicate to KV when auto-sizing.
     memory_utilization: float = 0.85
+    # Host-DRAM spill tier for evicted prefix blocks (0 disables);
+    # optional disk layer below it for restart persistence.
+    host_cache_bytes: int = 2 * 1024**3
+    disk_cache_dir: Optional[str] = None
 
     @property
     def tokens_capacity(self) -> int:

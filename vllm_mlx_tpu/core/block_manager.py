@@ -53,6 +53,9 @@ class BlockManager:
         self.block_hash: Dict[int, str] = {}
         # cached (ref 0) blocks in LRU order (oldest first)
         self._cached_lru: "OrderedDict[int, None]" = OrderedDict()
+        # called as (block, hash) just before a cached block is reclaimed
+        # (spill hook for the host/disk KV tier)
+        self.evict_callback = None
 
     # ------------------------------------------------------------------ stats
     @property
@@ -81,6 +84,12 @@ class BlockManager:
                 b = self._free.pop()
             else:
                 b, _ = self._cached_lru.popitem(last=False)
+                h = self.block_hash.get(b)
+                if h is not None and self.evict_callback is not None:
+                    try:
+                        self.evict_callback(b, h)
+                    except Exception:  # pragma: no cover - spill best-effort
+                        pass
                 self._drop_hash(b)
             self.ref_count[b] = 1
             out.append(b)

@@ -482,6 +482,34 @@ class ModelRunner:
             self.state, jnp.int32(slot), jnp.int32(idx), jnp.int32(block)
         )
 
+    # ------------------------------------------------- KV block spill/restore
+    def read_block(self, block: int) -> np.ndarray:
+        """Fetch one block's KV across all layers to host
+        ([L, page_size, 2*kvh, hd]) — the spill-tier unit."""
+        if not hasattr(self, "_read_block_jit"):
+            self._read_block_jit = jax.jit(
+                lambda state, b: jnp.stack(
+                    [p[b] for p in state.kv_pages], axis=0
+                )
+            )
+        return np.asarray(self._read_block_jit(self.state, jnp.int32(block)))
+
+    def write_block(self, block: int, data: np.ndarray) -> None:
+        """Restore a spilled block's KV into the pool."""
+        if not hasattr(self, "_write_block_jit"):
+
+            def _wr(state, b, d):
+                pages = [
+                    p.at[b].set(d[i].astype(p.dtype))
+                    for i, p in enumerate(state.kv_pages)
+                ]
+                return replace(state, kv_pages=pages)
+
+            self._write_block_jit = jax.jit(_wr, donate_argnums=(0,))
+        self.state = self._write_block_jit(
+            self.state, jnp.int32(block), jnp.asarray(data)
+        )
+
     def run_step(
         self, inp: StepInput, greedy_only: bool = False
     ) -> Tuple[jax.Array, jax.Array]:

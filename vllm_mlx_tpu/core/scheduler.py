@@ -106,6 +106,8 @@ class Scheduler:
         self.page_size = runner.page_size
         self.block_mgr = BlockManager(runner.num_pages, runner.page_size)
         self.prefix_cache = prefix_cache
+        if prefix_cache is not None and hasattr(prefix_cache, "attach_spill"):
+            prefix_cache.attach_spill(self.block_mgr, runner)
         self.pipeline_depth = (
             pipeline_depth
             if pipeline_depth is not None

@@ -154,7 +154,17 @@ class BatchedEngine(BaseEngine):
             rng_seed=self._seed,
         )
         if self.enable_prefix_cache:
-            self.prefix_cache = PrefixCache(self.cache_config.block_size)
+            host_tier = None
+            if self.cache_config.host_cache_bytes > 0:
+                from ..cache.host_tier import HostKVTier
+
+                host_tier = HostKVTier(
+                    max_bytes=self.cache_config.host_cache_bytes,
+                    disk_dir=self.cache_config.disk_cache_dir,
+                )
+            self.prefix_cache = PrefixCache(
+                self.cache_config.block_size, host_tier=host_tier
+            )
         self.scheduler = Scheduler(
             runner,
             self._tokenizer,
