@@ -319,6 +319,37 @@ class TestServerEndpoints:
         status, data = loop.run_until_complete(clear())
         assert status == 200
 
+    def test_chat_logprobs(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 5,
+                "temperature": 0,
+                "logprobs": True,
+            },
+        )
+        assert status == 200
+        lp = data["choices"][0]["logprobs"]
+        assert lp is not None
+        assert len(lp["content"]) == data["usage"]["completion_tokens"]
+        assert all(c["logprob"] <= 0.0 for c in lp["content"])
+
+    def test_cache_prefix_delete(self, server_client):
+        loop, client = server_client
+
+        async def go():
+            resp = await client.delete(
+                "/v1/cache/prefix", json={"prefix": "hello world"}
+            )
+            return resp.status, await resp.json()
+
+        status, data = loop.run_until_complete(go())
+        assert status == 200
+        assert "cleared_blocks" in data
+
     def test_responses_api(self, server_client):
         status, data = _post(
             server_client,

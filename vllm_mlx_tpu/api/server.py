@@ -100,6 +100,8 @@ def _sampling_kwargs(
         kw["min_p"] = req.min_p
     if getattr(req, "repetition_penalty", None) is not None:
         kw["repetition_penalty"] = req.repetition_penalty
+    if getattr(req, "logprobs", None):
+        kw["logprobs"] = True
     if stop:
         kw["stop"] = stop
     return kw
@@ -194,6 +196,38 @@ async def handle_cache_clear(request: web.Request) -> web.Response:
     sched = getattr(engine, "scheduler", None)
     if pc is not None and sched is not None:
         cleared = pc.clear(sched.block_mgr)
+    return web.json_response({"cleared_blocks": cleared})
+
+
+async def handle_cache_prefix_clear(request: web.Request) -> web.Response:
+    """DELETE /v1/cache/prefix — drop cached blocks whose chain starts
+    from the given prompt prefix (reference server.py:3608)."""
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    engine = _engine(request)
+    pc = getattr(engine, "prefix_cache", None)
+    sched = getattr(engine, "scheduler", None)
+    if pc is None or sched is None:
+        return web.json_response({"cleared_blocks": 0})
+    try:
+        body = await request.json()
+    except json.JSONDecodeError:
+        body = {}
+    prefix = body.get("prefix", "")
+    tokenizer = engine.tokenizer
+    cleared = 0
+    if prefix and tokenizer is not None:
+        tokens = tokenizer.encode(prefix)
+        hashes = pc.block_hashes(tokens)
+        bm = sched.block_mgr
+        for h in hashes:
+            b = bm.hash_to_block.get(h)
+            if b is not None and b in bm._cached_lru:
+                del bm._cached_lru[b]
+                bm._drop_hash(b)
+                bm._free.append(b)
+                cleared += 1
     return web.json_response({"cleared_blocks": cleared})
 
 
@@ -341,6 +375,21 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
             usage["prompt_tokens_details"] = {
                 "cached_tokens": out.cached_tokens
             }
+        logprobs_payload = None
+        if req.logprobs and out.logprobs:
+            tok = engine.tokenizer
+            content_lps = []
+            for tid, lp in zip(out.token_ids, out.logprobs):
+                t = tok.decode([tid]) if tok is not None else str(tid)
+                content_lps.append(
+                    {
+                        "token": t,
+                        "logprob": lp,
+                        "bytes": list(t.encode()),
+                        "top_logprobs": [],
+                    }
+                )
+            logprobs_payload = {"content": content_lps}
         return web.json_response(
             {
                 "id": request_id,
@@ -352,6 +401,7 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
                         "index": 0,
                         "message": message,
                         "finish_reason": finish_reason,
+                        "logprobs": logprobs_payload,
                     }
                 ],
                 "usage": usage,
@@ -492,12 +542,24 @@ async def handle_completions(request: web.Request) -> web.Response:
             text = out.text
             if req.echo and isinstance(p, str):
                 text = p + text
+            lp_payload = None
+            if req.logprobs and out.logprobs:
+                tok = engine.tokenizer
+                lp_payload = {
+                    "tokens": [
+                        tok.decode([t]) if tok is not None else str(t)
+                        for t in out.token_ids
+                    ],
+                    "token_logprobs": out.logprobs,
+                    "top_logprobs": None,
+                    "text_offset": [],
+                }
             choices.append(
                 {
                     "index": i,
                     "text": text,
                     "finish_reason": out.finish_reason or "stop",
-                    "logprobs": None,
+                    "logprobs": lp_payload,
                 }
             )
             usage["prompt_tokens"] += out.prompt_tokens
@@ -1155,6 +1217,7 @@ def build_app(
     app.router.add_get("/v1/status", handle_status)
     app.router.add_get("/v1/cache/stats", handle_cache_stats)
     app.router.add_delete("/v1/cache", handle_cache_clear)
+    app.router.add_delete("/v1/cache/prefix", handle_cache_prefix_clear)
     app.router.add_post(
         "/v1/requests/{request_id}/cancel", handle_cancel_request
     )

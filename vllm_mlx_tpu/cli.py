@@ -53,6 +53,11 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--kv-cache-dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--no-prefix-cache", action="store_true")
+    p.add_argument("--host-kv-cache-gb", type=float, default=2.0,
+                   help="host-DRAM spill tier size for evicted KV blocks "
+                        "(0 disables)")
+    p.add_argument("--kv-disk-cache-dir", default=None,
+                   help="disk layer under the host tier (persists restarts)")
     p.add_argument("--quantization", choices=["none", "int8", "int4"],
                    default="none",
                    help="quantize weights at load time")
@@ -96,6 +101,8 @@ def serve_command(args: argparse.Namespace) -> None:
         num_blocks=args.num_kv_blocks,
         kv_dtype=args.kv_cache_dtype,
         memory_utilization=args.memory_utilization,
+        host_cache_bytes=int(args.host_kv_cache_gb * 1024**3),
+        disk_cache_dir=args.kv_disk_cache_dir,
     )
     sched_cfg = SchedulerConfig(
         max_num_seqs=args.max_num_seqs,

@@ -118,7 +118,14 @@ class AsyncEngineCore:
                         self._emit_error(req, e)
                     did_work = True
                 if self.scheduler.has_unfinished():
-                    outputs = self.scheduler.step()
+                    try:
+                        outputs = self.scheduler.step()
+                    except Exception as e:
+                        # per-step failure: fail in-flight requests, reset
+                        # device state, keep serving (reference
+                        # scheduler.py:2563-2583 step error recovery)
+                        logger.exception("scheduler step failed; recovering")
+                        outputs = self.scheduler.recover_from_error(e)
                     for out in outputs:
                         self._route(out)
                     did_work = True

@@ -45,6 +45,7 @@ def merge_outputs(a: RequestOutput, b: RequestOutput) -> RequestOutput:
     return RequestOutput(
         request_id=b.request_id,
         new_token_ids=a.new_token_ids + b.new_token_ids,
+        new_logprobs=a.new_logprobs + b.new_logprobs,
         new_text=a.new_text + b.new_text,
         output_token_ids=b.output_token_ids,
         output_text=b.output_text,

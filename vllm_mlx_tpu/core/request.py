@@ -140,6 +140,7 @@ class Request:
 class RequestOutput:
     request_id: str
     new_token_ids: List[int] = field(default_factory=list)
+    new_logprobs: List[float] = field(default_factory=list)
     new_text: str = ""
     output_token_ids: List[int] = field(default_factory=list)
     output_text: str = ""

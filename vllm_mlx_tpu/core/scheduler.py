@@ -189,6 +189,36 @@ class Scheduler:
                 outputs.extend(self._process_bundle(self._inflight.popleft()))
         return outputs
 
+    def recover_from_error(self, error: BaseException) -> List[RequestOutput]:
+        """Fatal step error: fail all in-flight requests, reset device
+        state and block accounting, keep serving (reference
+        scheduler.py:2435-2471 — running requests are NOT retried)."""
+        logger.error("recovering scheduler from error: %s", error)
+        outs: List[RequestOutput] = []
+        self._inflight.clear()
+        # do NOT go through _release: device state may be unusable and
+        # post-error KV must not be published to the prefix cache
+        for req in list(self.running):
+            req.set_finished(RequestStatus.FINISHED_ERROR, "error")
+            req.slot = None
+            req.blocks = []
+            outs.append(self._make_output(req, [], ""))
+        self.running.clear()
+        self.slots = [None] * self.runner.max_num_seqs
+        self._pending_prompt.clear()
+        self._dispatched.clear()
+        self._base_len.clear()
+        self.block_mgr.reset()
+        try:
+            self.runner.reset()
+        except Exception:  # pragma: no cover
+            logger.exception("runner reset failed")
+        if self.prefix_cache is not None and hasattr(
+            self.prefix_cache, "attach_spill"
+        ):
+            self.prefix_cache.attach_spill(self.block_mgr, self.runner)
+        return outs
+
     def flush(self) -> List[RequestOutput]:
         outputs: List[RequestOutput] = []
         while self._inflight:
@@ -631,9 +661,12 @@ class Scheduler:
     def _make_output(
         self, req: Request, new_tokens: List[int], new_text: str
     ) -> RequestOutput:
+        n = len(new_tokens)
+        new_lps = req.output_logprobs[-n:] if n else []
         return RequestOutput(
             request_id=req.request_id,
             new_token_ids=new_tokens,
+            new_logprobs=list(new_lps),
             new_text=new_text,
             output_token_ids=list(req.output_token_ids),
             output_text=req.output_text,

@@ -94,6 +94,10 @@ async def _aggregate(
     async for chunk in stream:
         final.text += chunk.text
         final.token_ids.extend(chunk.token_ids)
+        if chunk.logprobs:
+            if final.logprobs is None:
+                final.logprobs = []
+            final.logprobs.extend(chunk.logprobs)
         final.finished = chunk.finished
         final.finish_reason = chunk.finish_reason or final.finish_reason
         final.prompt_tokens = chunk.prompt_tokens or final.prompt_tokens

@@ -210,6 +210,10 @@ class BatchedEngine(BaseEngine):
         async for out in self.core.stream_outputs(request):
             pending.text += out.new_text
             pending.token_ids.extend(out.new_token_ids)
+            if out.new_logprobs:
+                if pending.logprobs is None:
+                    pending.logprobs = []
+                pending.logprobs.extend(out.new_logprobs)
             pending.finished = out.finished
             pending.finish_reason = out.finish_reason
             pending.prompt_tokens = out.prompt_tokens
