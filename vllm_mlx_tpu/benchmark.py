@@ -1,0 +1,158 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Local (in-process) benchmark: TTFT / TPOT / decode throughput sweeps
+on a real checkpoint (reference benchmark.py — its printed tables feed
+docs/benchmarks/llm.md).
+
+Usage:
+    python -m vllm_mlx_tpu.benchmark --model /path/to/ckpt \
+        --prompt-lens 64,512 --batch-sizes 1,8 --max-tokens 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_scheduler(
+    model_path: Optional[str],
+    *,
+    quantization: Optional[str] = None,
+    max_num_seqs: int = 32,
+    max_model_len: int = 4096,
+):
+    from .config import CacheConfig, ModelConfig, SchedulerConfig
+    from .core.model_runner import (
+        ModelRunner,
+        enable_persistent_compilation_cache,
+    )
+    from .core.scheduler import Scheduler
+    from .models import loader
+    from .utils.tokenizer import collect_eos_ids, load_tokenizer
+
+    enable_persistent_compilation_cache()
+    cfg = ModelConfig.from_pretrained(model_path)
+    params = loader.load_params(model_path, cfg)
+    if quantization in ("int8", "int4"):
+        from .ops.quant import quantize_params
+
+        params = quantize_params(
+            params, bits=8 if quantization == "int8" else 4
+        )
+    tokenizer = load_tokenizer(model_path)
+    eos = collect_eos_ids(tokenizer, model_path)
+    eos.update(cfg.eos_token_ids)
+    runner = ModelRunner(
+        cfg,
+        params,
+        CacheConfig(block_size=32, num_blocks=0 or 1024),
+        SchedulerConfig(
+            max_num_seqs=max_num_seqs,
+            max_model_len=max_model_len,
+        ),
+    )
+    return Scheduler(runner, tokenizer, stop_tokens=eos)
+
+
+def run_case(
+    sched, n_streams: int, prompt_len: int, max_tokens: int, seed: int
+) -> Dict[str, Any]:
+    from .core.request import Request, SamplingParams
+
+    rng = np.random.default_rng(seed)
+    vocab = sched.runner.cfg.vocab_size
+    t0 = time.time()
+    for i in range(n_streams):
+        sched.add_request(
+            Request(
+                request_id=f"bm-{seed}-{i}",
+                prompt=rng.integers(10, max(vocab - 10, 11), size=prompt_len).tolist(),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=max_tokens, stop_token_ids=[]
+                ),
+            )
+        )
+    ttft = None
+    total = 0
+    while sched.has_unfinished():
+        for out in sched.step():
+            if out.new_token_ids and ttft is None:
+                ttft = time.time() - t0
+            total += len(out.new_token_ids)
+    wall = time.time() - t0
+    decode_time = wall - (ttft or 0)
+    decode_tokens = max(total - n_streams, 1)
+    return {
+        "batch": n_streams,
+        "prompt_len": prompt_len,
+        "max_tokens": max_tokens,
+        "total_tokens": total,
+        "wall_s": round(wall, 3),
+        "ttft_ms": round(1000 * ttft, 1) if ttft else None,
+        "decode_tok_s": round(decode_tokens / decode_time, 1)
+        if decode_time > 0
+        else None,
+        "tpot_ms": round(1000 * decode_time / decode_tokens, 2)
+        if decode_tokens
+        else None,
+        "agg_tok_s": round(total / wall, 1),
+    }
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    p = argparse.ArgumentParser(description="local decode benchmark")
+    p.add_argument("--model", required=True)
+    p.add_argument("--quantization", choices=["none", "int8", "int4"],
+                   default="none")
+    p.add_argument(
+        "--prompt-lens", type=lambda s: [int(x) for x in s.split(",")],
+        default=[64, 512],
+    )
+    p.add_argument(
+        "--batch-sizes", type=lambda s: [int(x) for x in s.split(",")],
+        default=[1, 8],
+    )
+    p.add_argument("--max-tokens", type=int, default=128)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+
+    sched = build_scheduler(
+        args.model,
+        quantization=None if args.quantization == "none" else args.quantization,
+    )
+    # warm every (batch, prompt-bucket) combination once
+    for b in args.batch_sizes:
+        for pl in args.prompt_lens:
+            run_case(sched, b, pl, 4, seed=1000 + b + pl)
+    rows = []
+    for b in args.batch_sizes:
+        for pl in args.prompt_lens:
+            row = run_case(sched, b, pl, args.max_tokens, seed=b * 10000 + pl)
+            rows.append(row)
+            log(json.dumps(row))
+    header = (
+        f"{'batch':>5} {'prompt':>7} {'ttft_ms':>8} {'tpot_ms':>8} "
+        f"{'decode_tok_s':>12} {'agg_tok_s':>10}"
+    )
+    print(header)
+    for r in rows:
+        print(
+            f"{r['batch']:>5} {r['prompt_len']:>7} {r['ttft_ms']:>8} "
+            f"{r['tpot_ms']:>8} {r['decode_tok_s']:>12} {r['agg_tok_s']:>10}"
+        )
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -182,6 +182,15 @@ def serve_command(args: argparse.Namespace) -> None:
 
 
 def bench_command(args: argparse.Namespace) -> None:
+    if args.model:
+        from . import benchmark
+
+        argv = ["--model", args.model]
+        if args.quantization != "none":
+            argv += ["--quantization", args.quantization]
+        benchmark.main(argv)
+        return
+    # synthetic headline benchmark (repo-root bench.py)
     import importlib.util
     import os
 
@@ -217,6 +226,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     serve_p.set_defaults(func=serve_command)
 
     bench_p = sub.add_parser("bench", help="run the local benchmark")
+    bench_p.add_argument("--model", default=None,
+                         help="checkpoint to benchmark (default: synthetic)")
+    bench_p.add_argument("--quantization",
+                         choices=["none", "int8", "int4"], default="none")
     bench_p.set_defaults(func=bench_command)
 
     dl_p = sub.add_parser("download", help="download a model from HF hub")
