@@ -124,6 +124,23 @@ def test_qwen3_moe_parity(tmp_path, token_ids):
     _assert_parity(model, tmp_path, token_ids)
 
 
+def test_gemma2_parity(tmp_path, token_ids):
+    """Gemma2: sandwich norms, (1+w) RMSNorm, GeGLU, embed scaling,
+    attention + final logit softcaps, interleaved sliding window."""
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(6)
+    cfg = Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=512, query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=8, tie_word_embeddings=True,
+    )
+    model = Gemma2ForCausalLM(cfg).eval()
+    _assert_parity(model, tmp_path, token_ids)
+
+
 def test_paged_generation_matches_dense(tmp_path, token_ids):
     """Chunked paged prefill + decode produces the same greedy tokens as
     repeated dense forwards (the engine-path equivalence check)."""

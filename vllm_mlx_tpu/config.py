@@ -51,6 +51,14 @@ class ModelConfig:
     decoder_sparse_step: int = 1
     mlp_only_layers: List[int] = field(default_factory=list)
     norm_topk_prob: bool = True
+    # Gemma-family deltas
+    embed_scale: Optional[float] = None  # sqrt(hidden) input scaling
+    hidden_act: str = "silu"
+    rms_add_one: bool = False  # RMSNorm uses (1 + weight)
+    sandwich_norms: bool = False  # post-sublayer norms (gemma2/3)
+    attn_softcap: Optional[float] = None
+    final_softcap: Optional[float] = None
+    attn_scale: Optional[float] = None  # overrides head_dim**-0.5
     # Generation defaults
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -115,6 +123,24 @@ class ModelConfig:
         )
         if model_type in ("qwen3", "qwen3_moe"):
             kw["use_qk_norm"] = True
+        if model_type in ("gemma2", "gemma3_text"):
+            qpas = cfg.get("query_pre_attn_scalar")
+            kw.update(
+                embed_scale=float(cfg.get("hidden_size", 0)) ** 0.5,
+                hidden_act=cfg.get(
+                    "hidden_activation",
+                    cfg.get("hidden_act", "gelu_pytorch_tanh"),
+                ),
+                rms_add_one=True,
+                sandwich_norms=True,
+                attn_softcap=cfg.get("attn_logit_softcapping"),
+                final_softcap=cfg.get("final_logit_softcapping"),
+                attn_scale=(qpas ** -0.5) if qpas else None,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
+            if model_type == "gemma3_text":
+                kw["use_qk_norm"] = True
+                kw["attn_softcap"] = None
         if model_type == "qwen2":
             # Qwen2 has bias on qkv only; handled by loader (missing biases -> zeros)
             kw["attention_bias"] = True

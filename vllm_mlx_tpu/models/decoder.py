@@ -59,8 +59,8 @@ def _qkv(
     k = linear(x, p["k_proj"], p.get("k_bias")).reshape(t, cfg.num_key_value_heads, hd)
     v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
     if cfg.use_qk_norm:
-        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     return q, k, v
@@ -118,7 +118,7 @@ def _mlp_block(
 ) -> jax.Array:
     if "moe" in p:
         return moe_mlp(cfg, p["moe"], x, moe_top_k)
-    return swiglu_mlp(x, p["mlp"])
+    return swiglu_mlp(x, p["mlp"], cfg.hidden_act)
 
 
 AttendFn = Callable[[jax.Array, int, jax.Array, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
@@ -136,19 +136,39 @@ def _stack(
     """Shared layer stack. ``attend(kv_pool, layer, q, k, v) ->
     (attn_out, kv_pool)`` encapsulates cache writing + attention."""
     x = embed(token_ids, params["embed_tokens"])
+    if cfg.embed_scale:
+        # Gemma scales embeddings by sqrt(hidden) in the embed dtype
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    a1 = cfg.rms_add_one
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps)
+        h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps, a1)
         q, k, v = _qkv(cfg, p, h, cos, sin)
         attn_out, kv_pool = attend(kv_pool, i, q, k, v)
         t = attn_out.shape[0]
         attn_out = linear(
             attn_out.reshape(t, -1), p["o_proj"], p.get("o_bias")
         )
-        x = x + attn_out
-        h = rms_norm(x, p["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _mlp_block(cfg, i, p, h, moe_top_k)
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+        if cfg.sandwich_norms:
+            attn_out = rms_norm(
+                attn_out, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
+            )
+            x = x + attn_out
+            h = rms_norm(
+                x, p["pre_feedforward_layernorm"], cfg.rms_norm_eps, a1
+            )
+            mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
+            mlp_out = rms_norm(
+                mlp_out, p["post_feedforward_layernorm"], cfg.rms_norm_eps, a1
+            )
+            x = x + mlp_out
+        else:
+            x = x + attn_out
+            h = rms_norm(
+                x, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
+            )
+            x = x + _mlp_block(cfg, i, p, h, moe_top_k)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, a1)
     return x, kv_pool
 
 
@@ -177,7 +197,7 @@ def unified_forward(
         write_kv_pages,
     )
 
-    scale = cfg.head_dim**-0.5
+    scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
 
     def attend(_, i, q, k, v):
@@ -192,6 +212,7 @@ def unified_forward(
             num_seqs,
             scale,
             sliding_window=_layer_window(cfg, i),
+            softcap=cfg.attn_softcap,
         )
         return out, None
 
@@ -205,7 +226,10 @@ def compute_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.A
     head = params.get("lm_head")
     if head is None:
         head = params["embed_tokens"]
-    return lm_head_logits(hidden, head)
+    logits = lm_head_logits(hidden, head)
+    if cfg.final_softcap:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
 
 
 _logits = compute_logits
@@ -221,12 +245,13 @@ def prefill(
     moe_top_k: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Process one sequence's prompt chunk. Returns (hidden [C,H], kv_pool)."""
-    scale = cfg.head_dim**-0.5
+    scale = cfg.attn_scale or cfg.head_dim**-0.5
 
     def attend(pool, i, q, k, v):
         pool = att.write_kv(pool, i, k, v, block_table, positions)
         out = att.paged_attention_prefill(
-            q, pool, i, block_table, positions, scale, _layer_window(cfg, i)
+            q, pool, i, block_table, positions, scale, _layer_window(cfg, i),
+            cfg.attn_softcap,
         )
         return out, pool
 
@@ -262,7 +287,7 @@ def decode(
     moe_top_k: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step for the whole batch. Returns (logits [S,V], kv_pool)."""
-    scale = cfg.head_dim**-0.5
+    scale = cfg.attn_scale or cfg.head_dim**-0.5
 
     def attend(pool, i, q, k, v):
         pool = att.write_kv_batch(pool, i, k, v, block_tables, positions)
@@ -284,10 +309,12 @@ def dense_forward(
     moe_top_k: Optional[int] = None,
 ) -> jax.Array:
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
-    scale = cfg.head_dim**-0.5
+    scale = cfg.attn_scale or cfg.head_dim**-0.5
 
     def attend(pool, i, q, k, v):
-        out = att.dense_causal_attention(q, k, v, scale, _layer_window(cfg, i))
+        out = att.dense_causal_attention(
+            q, k, v, scale, _layer_window(cfg, i), cfg.attn_softcap
+        )
         return out, pool
 
     positions = jnp.arange(token_ids.shape[0])

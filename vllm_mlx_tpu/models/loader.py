@@ -80,6 +80,10 @@ def load_params(
                 ld["input_layernorm"] = put(tensor)
             elif rest == "post_attention_layernorm.weight":
                 ld["post_attention_layernorm"] = put(tensor)
+            elif rest == "pre_feedforward_layernorm.weight":
+                ld["pre_feedforward_layernorm"] = put(tensor)
+            elif rest == "post_feedforward_layernorm.weight":
+                ld["post_feedforward_layernorm"] = put(tensor)
             elif rest.startswith("self_attn."):
                 sub = rest[len("self_attn."):]
                 proj, kind = sub.rsplit(".", 1)
@@ -145,6 +149,14 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype: Optional[str] = None) ->
         ld: Params = {
             "input_layernorm": ones(h),
             "post_attention_layernorm": ones(h),
+            **(
+                {
+                    "pre_feedforward_layernorm": ones(h),
+                    "post_feedforward_layernorm": ones(h),
+                }
+                if cfg.sandwich_norms
+                else {}
+            ),
             "q_proj": w(nh * hd, h),
             "k_proj": w(nkv * hd, h),
             "v_proj": w(nkv * hd, h),

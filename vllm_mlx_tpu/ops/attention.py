@@ -108,6 +108,7 @@ def _grouped_attention(
     v: jax.Array,  # [M, num_kv_heads, head_dim]
     mask: jax.Array,  # [T, M] bool, True = attend
     scale: float,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     t, num_heads, head_dim = q.shape
     m, num_kv_heads, _ = k.shape
@@ -116,6 +117,8 @@ def _grouped_attention(
     scores = jnp.einsum(
         "tkgh,mkh->tkgm", qg, k, preferred_element_type=jnp.float32
     ) * scale
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     # Rows with no valid key (inactive slots) produce NaN from softmax(-inf);
@@ -135,6 +138,7 @@ def paged_attention_prefill(
     positions: jax.Array,  # [T] absolute positions of the chunk tokens
     scale: float,
     window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Causal attention of a prefill chunk against the sequence's paged KV.
 
@@ -151,7 +155,7 @@ def paged_attention_prefill(
     mask = kv_pos[None, :] <= positions[:, None]
     if window is not None:
         mask &= kv_pos[None, :] > positions[:, None] - window
-    return _grouped_attention(q, k, v, mask, scale)
+    return _grouped_attention(q, k, v, mask, scale, softcap)
 
 
 def paged_attention_decode(
@@ -215,6 +219,7 @@ def dense_causal_attention(
     v: jax.Array,
     scale: float,
     window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Plain causal self-attention (no cache) — used for parity tests and
     single-shot full-sequence forwards."""
@@ -223,4 +228,4 @@ def dense_causal_attention(
     mask = pos[None, :] <= pos[:, None]
     if window is not None:
         mask &= pos[None, :] > pos[:, None] - window
-    return _grouped_attention(q, k, v, mask, scale)
+    return _grouped_attention(q, k, v, mask, scale, softcap)

@@ -21,16 +21,19 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """RMSNorm in fp32 statistics, output in input dtype (HF Llama semantics:
-    weight multiply happens after the cast back for llama, but qwen3/gemma
-    multiply in fp32; HF Llama does ``weight * x.to(input_dtype)`` — we
-    match HF Llama/Qwen3: variance in fp32, cast, then scale)."""
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float, add_one: bool = False
+) -> jax.Array:
+    """RMSNorm with fp32 statistics, output in input dtype.
+    ``add_one``: Gemma-style ``(1 + weight)`` scaling."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
-    return (weight.astype(jnp.float32) * xf).astype(dtype)
+    w = weight.astype(jnp.float32)
+    if add_one:
+        w = 1.0 + w
+    return (w * xf).astype(dtype)
 
 
 def _rope_inv_freq(
@@ -127,11 +130,19 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def swiglu_mlp(x: jax.Array, p: Params) -> jax.Array:
-    """SwiGLU MLP: down( silu(gate(x)) * up(x) )."""
+def swiglu_mlp(x: jax.Array, p: Params, act: str = "silu") -> jax.Array:
+    """Gated MLP: down( act(gate(x)) * up(x) ); act silu (Llama/Qwen)
+    or tanh-approx gelu (Gemma)."""
     g = linear(x, p["gate_proj"], p.get("gate_bias"))
     u = linear(x, p["up_proj"], p.get("up_bias"))
-    h = jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u
+    gf = g.astype(jnp.float32)
+    if act in ("gelu_pytorch_tanh", "gelu_new", "gelu_tanh"):
+        a = jax.nn.gelu(gf, approximate=True)
+    elif act == "gelu":
+        a = jax.nn.gelu(gf, approximate=False)
+    else:
+        a = jax.nn.silu(gf)
+    h = a.astype(x.dtype) * u
     return linear(h, p["down_proj"], p.get("down_bias"))
 
 

@@ -71,6 +71,7 @@ def ragged_attention(
     num_seqs: jax.Array,  # [1]
     scale: float,
     sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
@@ -86,12 +87,13 @@ def ragged_attention(
             num_seqs,
             sm_scale=scale,
             sliding_window=sliding_window,
+            soft_cap=softcap,
             num_kv_pages_per_block=4,
             num_queries_per_block=32,
         )
     return ragged_attention_xla(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
-        sliding_window,
+        sliding_window, softcap,
     )
 
 
@@ -104,6 +106,7 @@ def ragged_attention_xla(
     num_seqs: jax.Array,
     scale: float,
     sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
 ) -> jax.Array:
     """Masked reference implementation (any backend, O(T * max_ctx))."""
     t, num_q_heads, hd = q.shape
@@ -139,6 +142,8 @@ def ragged_attention_xla(
         "tkgh,tmkh->tkgm", qg, k.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) * scale
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
     mask = (kv_pos[None, :] <= q_pos[:, None]) & (
         kv_pos[None, :] < kv_len[:, None]
     )
