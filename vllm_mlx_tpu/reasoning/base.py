@@ -187,9 +187,34 @@ class Glm4Parser(TagReasoningParser):
 
 @register_reasoning_parser("gptoss")
 @register_reasoning_parser("gpt_oss")
+@register_reasoning_parser("harmony")
 class GptOssParser(TagReasoningParser):
     """GPT-OSS harmony analysis channel rendered as tags by the template
     (full harmony channel parsing lives in api/harmony)."""
 
     start_tag = "<|channel|>analysis<|message|>"
     end_tag = "<|end|>"
+
+
+@register_reasoning_parser("mistral")
+class MistralReasoningParser(TagReasoningParser):
+    """Magistral-style ``[THINK]...[/THINK]`` blocks
+    (reference reasoning/mistral_parser.py)."""
+
+    start_tag = "[THINK]"
+    end_tag = "[/THINK]"
+
+
+@register_reasoning_parser("gemma")
+@register_reasoning_parser("gemma4")
+class GemmaReasoningParser(TagReasoningParser):
+    """Gemma thinking uses the generic think tags in its template
+    (reference reasoning/gemma4_parser.py)."""
+
+
+@register_reasoning_parser("kimi")
+class KimiReasoningParser(TagReasoningParser):
+    """Kimi K2 thinking blocks (``◁think▷ ... ◁/think▷``)."""
+
+    start_tag = "◁think▷"
+    end_tag = "◁/think▷"
