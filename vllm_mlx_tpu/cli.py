@@ -202,6 +202,25 @@ def bench_command(args: argparse.Namespace) -> None:
     mod.main()
 
 
+def model_inspect_command(args: argparse.Namespace) -> None:
+    import json as _json
+
+    from .model_workflow import inspect_model
+
+    print(_json.dumps(inspect_model(args.path), indent=2))
+
+
+def model_verify_command(args: argparse.Namespace) -> None:
+    from .model_workflow import verify_checkpoint
+
+    problems = verify_checkpoint(args.path)
+    if problems:
+        for p in problems:
+            print(f"FAIL: {p}")
+        sys.exit(1)
+    print("OK: checkpoint is servable")
+
+
 def download_command(args: argparse.Namespace) -> None:
     from huggingface_hub import snapshot_download
 
@@ -235,6 +254,17 @@ def main(argv: Optional[List[str]] = None) -> None:
     dl_p = sub.add_parser("download", help="download a model from HF hub")
     dl_p.add_argument("model")
     dl_p.set_defaults(func=download_command)
+
+    model_p = sub.add_parser("model", help="model workflow commands")
+    model_sub = model_p.add_subparsers(dest="model_command", required=True)
+    inspect_p = model_sub.add_parser("inspect", help="summarize a checkpoint")
+    inspect_p.add_argument("path")
+    inspect_p.set_defaults(func=model_inspect_command)
+    verify_p = model_sub.add_parser(
+        "qualification", help="check a checkpoint is servable"
+    )
+    verify_p.add_argument("path")
+    verify_p.set_defaults(func=model_verify_command)
 
     args = parser.parse_args(argv)
     args.func(args)

@@ -90,6 +90,9 @@ class StepInput:
     seq_slots: np.ndarray  # [S] i32 slot per compact seq
     advance_mask: np.ndarray  # [S] bool — sampled token is real
     total_tokens: int  # unpadded T
+    # multimodal embedding overrides (vision features at image rows)
+    token_embeds: Optional[np.ndarray] = None  # [T, H] f32
+    embeds_mask: Optional[np.ndarray] = None  # [T] bool
 
 
 class ModelRunner:
@@ -202,6 +205,8 @@ class ModelRunner:
         num_seqs: jax.Array,  # [1]
         seq_slots: jax.Array,  # [S]
         advance_mask: jax.Array,  # [S] bool
+        token_embeds: jax.Array,  # [T, H]
+        embeds_mask: jax.Array,  # [T] bool
         greedy_only: bool,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
@@ -220,6 +225,8 @@ class ModelRunner:
             cu_q_lens,
             num_seqs,
             self.sched_cfg.moe_top_k,
+            token_embeds,
+            embeds_mask,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -295,7 +302,7 @@ class ModelRunner:
             cu_q_lens,
             n[None],
             self.sched_cfg.moe_top_k,
-        )
+        )  # decode never overrides embeds
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)
         sampled, logprobs = sample_tokens(
@@ -528,6 +535,13 @@ class ModelRunner:
             return out
 
         oob = self.num_pages * self.page_size
+        h = self.cfg.hidden_size
+        if inp.token_embeds is not None:
+            embeds = pad_t(inp.token_embeds.astype(np.float32))
+            emask = pad_t(inp.embeds_mask.astype(bool))
+        else:
+            embeds = np.zeros((bucket, h), np.float32)
+            emask = np.zeros((bucket,), bool)
         self.state, sampled, logprobs = self._step_jit(
             self.params,
             self.state,
@@ -542,6 +556,8 @@ class ModelRunner:
             jnp.asarray(np.array([inp.num_seqs], np.int32)),
             jnp.asarray(inp.seq_slots),
             jnp.asarray(inp.advance_mask),
+            jnp.asarray(embeds),
+            jnp.asarray(emask),
             greedy_only=greedy_only,
         )
         return sampled, logprobs

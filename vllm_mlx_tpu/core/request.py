@@ -83,6 +83,12 @@ class Request:
     slot: Optional[int] = None
     blocks: List[int] = field(default_factory=list)  # owned block ids
 
+    # Multimodal: precomputed embeddings aligned with prompt_token_ids
+    # (rows where embeds_mask is True replace the token embedding)
+    prompt_embeds: Optional[Any] = None  # np [num_prompt_tokens, H]
+    embeds_mask: Optional[Any] = None  # np [num_prompt_tokens] bool
+    is_multimodal: bool = False
+
     # Prefix cache
     cached_tokens: int = 0
     cache_hit_type: Optional[str] = None  # exact/prefix/lcp/miss

@@ -263,7 +263,13 @@ class Scheduler:
             tokens = _all_tokens(req)
             cached_tokens = 0
             cached_blocks: List[int] = []
-            if self.prefix_cache is not None:
+            # multimodal prompts: image content isn't captured by token
+            # hashes, so skip the prefix cache (image-hash keyed MLLM
+            # cache lands with the vision round, reference mllm_cache.py)
+            use_cache = (
+                self.prefix_cache is not None and req.prompt_embeds is None
+            )
+            if use_cache:
                 cached_blocks, cached_tokens, hit = self.prefix_cache.fetch(
                     self.block_mgr, tokens
                 )
@@ -465,6 +471,14 @@ class Scheduler:
         advance_mask = np.zeros(s_max, bool)
 
         bundle = _StepBundle()
+        token_embeds = None
+        embeds_mask = None
+        if any(
+            req.prompt_embeds is not None for req, _, _ in prefill
+        ):
+            h = self.runner.cfg.hidden_size
+            token_embeds = np.zeros((total_t, h), np.float32)
+            embeds_mask = np.zeros(total_t, bool)
         t = 0
         i = 0
         greedy = True
@@ -494,6 +508,16 @@ class Scheduler:
             n = len(chunk)
             token_ids[t : t + n] = chunk
             positions[t : t + n] = np.arange(c0, c0 + n)
+            if token_embeds is not None and req.prompt_embeds is not None:
+                pe = req.prompt_embeds
+                pm = req.embeds_mask
+                hi = min(c0 + n, len(pe))
+                if c0 < hi:
+                    k = hi - c0
+                    token_embeds[t : t + k] = pe[c0:hi]
+                    embeds_mask[t : t + k] = (
+                        pm[c0:hi] if pm is not None else True
+                    )
             for j in range(n):
                 kv_dest[t + j] = self._dest_for(req, c0 + j)
             kv_lens[i] = c0 + n
@@ -528,6 +552,8 @@ class Scheduler:
             seq_slots=seq_slots,
             advance_mask=advance_mask,
             total_tokens=total_t,
+            token_embeds=token_embeds,
+            embeds_mask=embeds_mask,
         )
         sampled, logprobs = self.runner.run_step(inp, greedy_only=greedy)
         try:
@@ -588,7 +614,11 @@ class Scheduler:
             self.running.remove(req)
         if req.blocks:
             cache = False
-            if self.prefix_cache is not None and req.is_finished():
+            if (
+                self.prefix_cache is not None
+                and req.is_finished()
+                and req.prompt_embeds is None
+            ):
                 cache = self.prefix_cache.store(
                     self.block_mgr, _all_tokens(req), req.blocks
                 )

@@ -132,13 +132,27 @@ def _stack(
     kv_pool: Optional[jax.Array],
     attend: AttendFn,
     moe_top_k: Optional[int] = None,
+    token_embeds: Optional[jax.Array] = None,  # [T, H] multimodal override
+    embeds_mask: Optional[jax.Array] = None,  # [T] bool: use override row
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Shared layer stack. ``attend(kv_pool, layer, q, k, v) ->
-    (attn_out, kv_pool)`` encapsulates cache writing + attention."""
+    (attn_out, kv_pool)`` encapsulates cache writing + attention.
+
+    ``token_embeds``/``embeds_mask`` inject precomputed embeddings
+    (vision features) at selected rows — the TPU-native path for
+    multimodal prefill (image embeds flow through the normal chunked
+    prefill, SURVEY.md §7 hard-part 6)."""
     x = embed(token_ids, params["embed_tokens"])
     if cfg.embed_scale:
         # Gemma scales embeddings by sqrt(hidden) in the embed dtype
         x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+    if token_embeds is not None:
+        mask = (
+            embeds_mask[:, None]
+            if embeds_mask is not None
+            else jnp.ones((x.shape[0], 1), bool)
+        )
+        x = jnp.where(mask, token_embeds.astype(x.dtype), x)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     a1 = cfg.rms_add_one
     for i, p in enumerate(params["layers"]):
@@ -184,6 +198,8 @@ def unified_forward(
     cu_q_lens: jax.Array,  # [S+1]
     num_seqs: jax.Array,  # [1]
     moe_top_k: Optional[int] = None,
+    token_embeds: Optional[jax.Array] = None,
+    embeds_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """One step for a ragged mixed prefill/decode batch.
 
@@ -217,7 +233,8 @@ def unified_forward(
         return out, None
 
     hidden, _ = _stack(
-        params, cfg, token_ids, positions, None, attend, moe_top_k
+        params, cfg, token_ids, positions, None, attend, moe_top_k,
+        token_embeds, embeds_mask,
     )
     return hidden, new_pages
 
@@ -307,6 +324,8 @@ def dense_forward(
     cfg: ModelConfig,
     token_ids: jax.Array,  # [T]
     moe_top_k: Optional[int] = None,
+    token_embeds: Optional[jax.Array] = None,
+    embeds_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
@@ -318,5 +337,8 @@ def dense_forward(
         return out, pool
 
     positions = jnp.arange(token_ids.shape[0])
-    hidden, _ = _stack(params, cfg, token_ids, positions, None, attend, moe_top_k)
+    hidden, _ = _stack(
+        params, cfg, token_ids, positions, None, attend, moe_top_k,
+        token_embeds, embeds_mask,
+    )
     return _logits(params, cfg, hidden)
