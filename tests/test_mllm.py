@@ -116,6 +116,129 @@ def test_multimodal_generate_matches_hf(tiny_llava, pixels, rng):
     assert ours == theirs
 
 
+@pytest.fixture(scope="module")
+def llava_served_dir(tmp_path_factory):
+    """Tiny LLaVA checkpoint + tokenizer with <image> token + VLM chat
+    template — loadable by BatchedEngine's multimodal path."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders, trainers
+    from transformers import (
+        CLIPVisionConfig,
+        LlamaConfig,
+        LlavaConfig,
+        LlavaForConditionalGeneration,
+        PreTrainedTokenizerFast,
+    )
+
+    d = tmp_path_factory.mktemp("llava_served")
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=320,
+        special_tokens=["</s>", "<|user|>", "<|assistant|>", "<image>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(
+        ["what is in this picture", "describe the image please"] * 8, trainer
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, eos_token="</s>", pad_token="</s>",
+    )
+    fast.chat_template = (
+        "{% for message in messages %}<|{{ message.role }}|>"
+        "{% if message.content is string %}{{ message.content }}"
+        "{% else %}{% for part in message.content %}"
+        "{% if part.type == 'image' %}<image>{% else %}{{ part.text }}"
+        "{% endif %}{% endfor %}{% endif %}</s>{% endfor %}"
+        "{% if add_generation_prompt %}<|assistant|>{% endif %}"
+    )
+    fast.save_pretrained(d)
+    img_id = fast.convert_tokens_to_ids("<image>")
+
+    torch.manual_seed(1)
+    vision = CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+    )
+    text = LlamaConfig(
+        vocab_size=tok.get_vocab_size(), hidden_size=48,
+        intermediate_size=96, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=512,
+        eos_token_id=fast.eos_token_id,
+    )
+    cfg = LlavaConfig(
+        vision_config=vision, text_config=text, image_token_index=img_id,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+    )
+    LlavaForConditionalGeneration(cfg).eval().save_pretrained(
+        d, safe_serialization=True
+    )
+    return str(d)
+
+
+def test_multimodal_engine_end_to_end(llava_served_dir, rng):
+    """Full serving path: BatchedEngine auto-detects the VLM, extracts
+    the image from chat messages, encodes through the vision cache, and
+    generates deterministically."""
+    import asyncio
+    import base64
+    import io
+
+    from PIL import Image
+
+    from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_mlx_tpu.engine.batched import BatchedEngine
+
+    arr = rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "text", "text": "what is this? "},
+                {"type": "image_url", "image_url": {"url": uri}},
+            ],
+        }
+    ]
+
+    engine = BatchedEngine(
+        llava_served_dir,
+        cache_config=CacheConfig(
+            block_size=8, num_blocks=64, kv_dtype="float32"
+        ),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=2, max_prefill_tokens=64,
+            prefill_chunk_sizes=[32, 64], max_model_len=256,
+        ),
+    )
+
+    async def go():
+        await engine.start()
+        try:
+            assert engine.vlm is not None  # multimodal auto-detected
+            # fp32 for CPU determinism
+            out1 = await engine.chat(messages, max_tokens=6, temperature=0.0)
+            out2 = await engine.chat(messages, max_tokens=6, temperature=0.0)
+            assert out1.token_ids == out2.token_ids
+            assert out1.completion_tokens > 0
+            stats = engine.get_stats()
+            assert stats["vision_cache"]["hits"] >= 1  # second call cached
+            # text-only chat still works on the same engine
+            out3 = await engine.chat(
+                [{"role": "user", "content": "hello"}],
+                max_tokens=4,
+                temperature=0.0,
+            )
+            assert out3.completion_tokens > 0
+        finally:
+            await engine.stop()
+
+    asyncio.run(go())
+
+
 def test_multimodal_through_engine(tiny_llava, pixels, rng):
     """The same multimodal prompt served by the continuous-batching
     scheduler (embedding-override rows in the unified step)."""

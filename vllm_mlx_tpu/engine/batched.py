@@ -110,6 +110,10 @@ class BatchedEngine(BaseEngine):
         self.scheduler: Optional[Scheduler] = None
         self.prefix_cache: Optional[PrefixCache] = None
         self._running = False
+        # multimodal (set when the checkpoint has a vision tower)
+        self.vlm = None
+        self.image_processor = None
+        self.vision_cache = None
 
     # ---------------------------------------------------------------- control
     async def start(self) -> None:
@@ -123,14 +127,42 @@ class BatchedEngine(BaseEngine):
         logger.info("BatchedEngine started for %s", self.model_path)
 
     def _load(self) -> None:
+        from ..api.utils import is_mllm_model
         from ..models import loader
 
         enable_persistent_compilation_cache()
-        cfg = self._model_config or ModelConfig.from_pretrained(
-            self.model_path
-        )
-        self._model_config = cfg
         params = self._preloaded_params
+        cfg = self._model_config
+        if (
+            params is None
+            and cfg is None
+            and is_mllm_model(self.model_path)
+        ):
+            # vision-language checkpoint: vision tower + projector + LM
+            from ..cache.vision_embedding_cache import VisionEmbeddingCache
+            from ..models.mllm import MultimodalLM
+            from ..multimodal_processor import ImageProcessor
+
+            logger.info("loading multimodal checkpoint (LLaVA-style)")
+            self.vlm = MultimodalLM(self.model_path).load()
+            cfg = self.vlm.text_config
+            params = self.vlm.lm_params
+            import os
+
+            if os.path.exists(
+                os.path.join(self.model_path, "preprocessor_config.json")
+            ):
+                self.image_processor = ImageProcessor.from_pretrained(
+                    self.model_path
+                )
+            else:
+                self.image_processor = ImageProcessor(
+                    image_size=self.vlm.cfg.vision.image_size
+                )
+            self.vision_cache = VisionEmbeddingCache()
+        if cfg is None:
+            cfg = ModelConfig.from_pretrained(self.model_path)
+        self._model_config = cfg
         if params is None:
             params = loader.load_params(self.model_path, cfg)
         if self.quantization in ("int8", "int4"):
@@ -242,12 +274,66 @@ class BatchedEngine(BaseEngine):
         chat_template_kwargs: Optional[Dict[str, Any]] = None,
         **kwargs,
     ) -> AsyncIterator[GenerationOutput]:
+        images: List[Any] = []
+        if self.vlm is not None:
+            from ..multimodal_processor import extract_media_from_messages
+
+            messages, images = extract_media_from_messages(messages)
         prompt = self.apply_chat_template(
             messages, tools=tools, chat_template_kwargs=chat_template_kwargs
         )
-        req = self._make_request(prompt, request_id, **kwargs)
+        if images:
+            req = await asyncio.get_running_loop().run_in_executor(
+                None,
+                lambda: self._make_multimodal_request(
+                    prompt, images, request_id, **kwargs
+                ),
+            )
+        else:
+            req = self._make_request(prompt, request_id, **kwargs)
         async for chunk in self._stream(req):
             yield chunk
+
+    def _make_multimodal_request(
+        self,
+        prompt: str,
+        images: List[Any],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Encode images (through the vision cache) and expand the prompt
+        with feature-carrying rows (reference MLLM preprocess path,
+        mllm_batch_generator.py:866-1017)."""
+        import numpy as np
+
+        from ..cache.vision_embedding_cache import image_hash
+        from ..multimodal_processor import image_bytes_key
+
+        token_ids = self._tokenizer.encode(prompt)
+        features: List[Any] = []
+        to_encode = []
+        keys = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            features.append(cached)
+            if cached is None:
+                to_encode.append((len(features) - 1, im))
+        if to_encode:
+            pixels = self.image_processor.batch([im for _, im in to_encode])
+            encoded = self.vlm.encode_images(pixels)
+            for j, (idx, _) in enumerate(to_encode):
+                features[idx] = encoded[j]
+                self.vision_cache.put(keys[idx], encoded[j])
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(
+            token_ids, features
+        )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        return req
 
     def apply_chat_template(
         self,
@@ -279,4 +365,6 @@ class BatchedEngine(BaseEngine):
             stats["prefix_cache"] = self.prefix_cache.get_stats(
                 self.scheduler.block_mgr
             )
+        if self.vision_cache is not None:
+            stats["vision_cache"] = self.vision_cache.get_stats()
         return stats
