@@ -239,6 +239,73 @@ def test_multimodal_engine_end_to_end(llava_served_dir, rng):
     asyncio.run(go())
 
 
+def test_multimodal_over_http(llava_served_dir, rng):
+    """Image chat through the OpenAI endpoint (data-URI image_url)."""
+    import asyncio
+    import base64
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from PIL import Image
+
+    from vllm_mlx_tpu.api.server import build_app
+    from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_mlx_tpu.engine.batched import BatchedEngine
+
+    arr = rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    engine = BatchedEngine(
+        llava_served_dir,
+        cache_config=CacheConfig(
+            block_size=8, num_blocks=64, kv_dtype="float32"
+        ),
+        scheduler_config=SchedulerConfig(
+            max_num_seqs=2, max_prefill_tokens=64,
+            prefill_chunk_sizes=[32, 64], max_model_len=256,
+        ),
+    )
+
+    async def go():
+        await engine.start()
+        app = build_app(engine, served_models=["tiny-llava-vlm"])
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "model": "tiny-llava-vlm",
+                    "max_tokens": 5,
+                    "temperature": 0,
+                    "messages": [
+                        {
+                            "role": "user",
+                            "content": [
+                                {"type": "text", "text": "describe "},
+                                {
+                                    "type": "image_url",
+                                    "image_url": {"url": uri},
+                                },
+                            ],
+                        }
+                    ],
+                },
+            )
+            assert resp.status == 200
+            data = await resp.json()
+            assert data["usage"]["completion_tokens"] > 0
+            # image tokens were expanded into the prompt
+            assert data["usage"]["prompt_tokens"] > 4
+        finally:
+            await client.close()
+            await engine.stop()
+
+    asyncio.run(go())
+
+
 def test_multimodal_through_engine(tiny_llava, pixels, rng):
     """The same multimodal prompt served by the continuous-batching
     scheduler (embedding-override rows in the unified step)."""
