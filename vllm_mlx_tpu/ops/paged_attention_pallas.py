@@ -1,5 +1,14 @@
 # SPDX-License-Identifier: Apache-2.0
-"""Pallas TPU paged-attention decode kernel.
+"""Pallas TPU paged-attention decode kernel (SUPERSEDED, kept as a
+reference implementation).
+
+The serving engine now uses ``ops.ragged_attention`` (the
+ragged_paged_attention kernel) for both prefill and decode; measured on
+this platform, this hand-rolled per-slot chunked-DMA kernel is far
+slower at small grid sizes (see NOTES_TPU_ENV.md). It remains wired as
+the TPU path of the legacy ``ops.attention.paged_attention_decode``
+(used by parity tests) and as a worked example of scalar-prefetch +
+double-buffered DMA + online softmax in Pallas.
 
 The XLA fallback in ``ops.attention`` materializes the gathered context
 ``[S, max_blocks*block, kvh, hd]`` every step — O(max context) HBM
