@@ -192,11 +192,25 @@ async def handle_cache_clear(request: web.Request) -> web.Response:
         return auth
     engine = _engine(request)
     cleared = 0
+    cleared_tier = 0
+    cleared_vision = 0
     pc = getattr(engine, "prefix_cache", None)
     sched = getattr(engine, "scheduler", None)
     if pc is not None and sched is not None:
         cleared = pc.clear(sched.block_mgr)
-    return web.json_response({"cleared_blocks": cleared})
+        if getattr(pc, "host_tier", None) is not None:
+            cleared_tier = pc.host_tier.num_entries
+            pc.host_tier.clear()
+    vc = getattr(engine, "vision_cache", None)
+    if vc is not None:
+        cleared_vision = vc.clear()
+    return web.json_response(
+        {
+            "cleared_blocks": cleared,
+            "cleared_host_tier_entries": cleared_tier,
+            "cleared_vision_entries": cleared_vision,
+        }
+    )
 
 
 async def handle_cache_prefix_clear(request: web.Request) -> web.Response:
