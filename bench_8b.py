@@ -1,0 +1,145 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Scale benchmark: Qwen3-8B geometry, int8, batch-32 decode on one v5e.
+
+BASELINE.md north star: "Qwen3-8B batch-32 decode tokens/sec/chip on TPU
+v5e > 3x M4-Max single-stream (417.9)" => target > 1254 tok/s aggregate.
+
+Weights are random (timing only) and quantized leaf-by-leaf during
+init so the bf16 intermediate never exceeds HBM.
+"""
+
+import gc
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET = 3 * 417.9
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def init_quantized_params(cfg, seed=0):
+    """Random-init directly to int8 QuantizedTensors (leafwise)."""
+    import jax.numpy as jnp
+
+    from vllm_mlx_tpu.models import loader
+    from vllm_mlx_tpu.ops.quant import quantize_int8
+
+    rng = np.random.default_rng(seed)
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    def qw(*shape):
+        w = rng.standard_normal(shape, dtype=np.float32) * 0.02
+        out = quantize_int8(jnp.asarray(w))
+        del w
+        return out
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype=jnp.bfloat16)
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        layers.append(
+            {
+                "input_layernorm": ones(h),
+                "post_attention_layernorm": ones(h),
+                "q_proj": qw(nh * hd, h),
+                "k_proj": qw(nkv * hd, h),
+                "v_proj": qw(nkv * hd, h),
+                "o_proj": qw(h, nh * hd),
+                "q_norm": ones(hd),
+                "k_norm": ones(hd),
+                "mlp": {
+                    "gate_proj": qw(cfg.intermediate_size, h),
+                    "up_proj": qw(cfg.intermediate_size, h),
+                    "down_proj": qw(h, cfg.intermediate_size),
+                },
+            }
+        )
+        if i % 8 == 0:
+            gc.collect()
+    return {
+        "embed_tokens": qw(cfg.vocab_size, h),
+        "layers": layers,
+        "norm": ones(h),
+        "lm_head": qw(cfg.vocab_size, h),
+    }
+
+
+def main():
+    from vllm_mlx_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+    from vllm_mlx_tpu.core.model_runner import (
+        ModelRunner,
+        enable_persistent_compilation_cache,
+    )
+    from vllm_mlx_tpu.core.scheduler import Scheduler
+
+    enable_persistent_compilation_cache()
+    # Qwen3-8B geometry (Qwen/Qwen3-8B config.json)
+    cfg = ModelConfig(
+        model_type="qwen3",
+        vocab_size=151936,
+        hidden_size=4096,
+        intermediate_size=12288,
+        num_hidden_layers=36,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        head_dim=128,
+        rope_theta=1000000.0,
+        use_qk_norm=True,
+        eos_token_ids=[151645],
+        dtype="bfloat16",
+    )
+    t0 = time.time()
+    params = init_quantized_params(cfg)
+    log(f"params init+quantize: {time.time()-t0:.1f}s (~8.2B, int8)")
+    sched = Scheduler(
+        ModelRunner(
+            cfg,
+            params,
+            CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16"),
+            SchedulerConfig(
+                max_num_seqs=32,
+                max_prefill_tokens=2048,
+                prefill_chunk_sizes=[128, 2048],
+                max_model_len=2048,
+            ),
+        ),
+        tokenizer=None,
+        stop_tokens={151645},
+    )
+
+    import bench
+
+    t0 = time.time()
+    bench.run_batch(sched, 32, 64, 4, seed=96)
+    log(f"warmup(compile): {time.time()-t0:.1f}s")
+    best = 0.0
+    for trial in range(2):
+        wall, ttft, total = bench.run_batch(
+            sched, 32, 64, 128, seed=5 + 100 * trial
+        )
+        log(
+            f"8B batch-32[{trial}]: {total} tok in {wall:.2f}s "
+            f"(ttft {1000*ttft:.0f} ms, agg {total/wall:.1f} tok/s)"
+        )
+        best = max(best, total / wall)
+    print(
+        json.dumps(
+            {
+                "metric": "qwen3_8b_batch32_decode",
+                "value": round(best, 1),
+                "unit": "tok/s",
+                "vs_baseline": round(best / TARGET, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
