@@ -197,6 +197,27 @@ class TestMiscParsers:
         assert r.tools_called
         assert _args(r.tool_calls[0]) == {"ticker": "ACME"}
 
+    def test_harmony(self):
+        p = get_tool_parser("harmony")
+        text = (
+            "<|channel|>analysis<|message|>I should check the weather."
+            "<|end|><|channel|>commentary to=functions.get_weather "
+            "<|constrain|>json<|message|>{\"city\": \"Paris\"}<|call|>"
+        )
+        r = p.extract_tool_calls(text)
+        assert r.tools_called
+        assert r.tool_calls[0]["function"]["name"] == "get_weather"
+        assert _args(r.tool_calls[0]) == {"city": "Paris"}
+
+    def test_harmony_final_channel_content(self):
+        p = get_tool_parser("harmony")
+        text = (
+            "<|channel|>final<|message|>The answer is 4.<|return|>"
+        )
+        r = p.extract_tool_calls(text)
+        assert not r.tools_called
+        assert r.content == "The answer is 4."
+
     def test_registry_covers_reference_formats(self):
         from vllm_mlx_tpu.tool_parsers import list_tool_parsers
 
