@@ -26,7 +26,7 @@ from .abstract_tool_parser import (
 )
 
 _CALL_RE = re.compile(
-    r"<\|channel\|>commentary to=functions\.([\w\-\.]+)[^<]*<\|message\|>"
+    r"<\|channel\|>commentary to=functions\.([\w\-\.]+).*?<\|message\|>"
     r"(.*?)(?:<\|call\|>|<\|end\|>|$)",
     re.DOTALL,
 )
