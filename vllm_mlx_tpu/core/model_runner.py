@@ -235,7 +235,8 @@ class ModelRunner:
         slot_sampling = jax.tree.map(lambda a: a[seq_slots], state.sampling)
         key = jax.random.fold_in(self._rng_base, state.step_count)
         sampled, logprobs = sample_tokens(
-            logits, slot_sampling, key, greedy_only=greedy_only
+            logits, slot_sampling, key, greedy_only=greedy_only,
+            seed_base=self._rng_base, counters=kv_lens,
         )
         advanced = advance_repetition_state(
             slot_sampling, sampled, advance_mask
@@ -306,7 +307,8 @@ class ModelRunner:
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)
         sampled, logprobs = sample_tokens(
-            logits, state.sampling, key, greedy_only=greedy_only
+            logits, state.sampling, key, greedy_only=greedy_only,
+            seed_base=self._rng_base, counters=kv_lens_att,
         )
         sampling = advance_repetition_state(state.sampling, sampled, active)
         new_state = RunnerState(
@@ -374,6 +376,7 @@ class ModelRunner:
         top_p: jax.Array,
         min_p: jax.Array,
         repetition_penalty: jax.Array,
+        seed: jax.Array,
         prompt_tail: jax.Array,  # [REP_WINDOW] i32, -1 padded
         tail_len: jax.Array,
     ) -> RunnerState:
@@ -388,6 +391,7 @@ class ModelRunner:
             repetition_penalty=samp.repetition_penalty.at[slot].set(
                 repetition_penalty
             ),
+            seed=samp.seed.at[slot].set(seed),
             recent_tokens=samp.recent_tokens.at[slot].set(prompt_tail),
             recent_head=samp.recent_head.at[slot].set(
                 tail_len % REP_WINDOW
@@ -414,6 +418,7 @@ class ModelRunner:
         min_p: float,
         repetition_penalty: float,
         prompt_tail: Sequence[int],
+        seed: int = -1,
     ) -> None:
         from ..ops.sampling import REP_WINDOW
 
@@ -433,6 +438,7 @@ class ModelRunner:
             jnp.float32(top_p),
             jnp.float32(min_p),
             jnp.float32(repetition_penalty),
+            jnp.int32(seed),
             jnp.asarray(tail),
             jnp.int32(len(t)),
         )
@@ -455,6 +461,7 @@ class ModelRunner:
             top_p=mv(samp.top_p),
             min_p=mv(samp.min_p),
             repetition_penalty=mv(samp.repetition_penalty),
+            seed=mv(samp.seed),
             recent_tokens=mv(samp.recent_tokens),
             recent_head=mv(samp.recent_head),
         )

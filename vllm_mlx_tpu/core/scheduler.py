@@ -337,6 +337,7 @@ class Scheduler:
                 min_p=sp.min_p,
                 repetition_penalty=sp.repetition_penalty,
                 prompt_tail=tokens[-20:],
+                seed=sp.seed if sp.seed is not None else -1,
             )
             if self.detok is not None and req.detok_state is None:
                 req.detok_state = self.detok.new_state(tokens[-6:])

@@ -38,6 +38,7 @@ class SamplingState:
     top_p: jax.Array  # [S] f32, 1.0 = disabled
     min_p: jax.Array  # [S] f32, 0.0 = disabled
     repetition_penalty: jax.Array  # [S] f32, 1.0 = disabled
+    seed: jax.Array  # [S] i32, -1 = unseeded (fresh randomness per step)
     recent_tokens: jax.Array  # [S, REP_WINDOW] i32, -1 = empty
     recent_head: jax.Array  # [S] i32 ring-buffer write head
 
@@ -50,6 +51,7 @@ class SamplingState:
             top_p=jnp.ones((s,), jnp.float32),
             min_p=jnp.zeros((s,), jnp.float32),
             repetition_penalty=jnp.ones((s,), jnp.float32),
+            seed=jnp.full((s,), -1, jnp.int32),
             recent_tokens=jnp.full((s, REP_WINDOW), -1, jnp.int32),
             recent_head=jnp.zeros((s,), jnp.int32),
         )
@@ -64,6 +66,7 @@ class SamplingState:
         min_p: float,
         repetition_penalty: float,
         prompt_tail: Optional[jnp.ndarray] = None,
+        seed: int = -1,
     ) -> "SamplingState":
         """Host-side admission: write one slot's params (outside jit)."""
         recent = self.recent_tokens.at[slot].set(-1)
@@ -80,6 +83,7 @@ class SamplingState:
             repetition_penalty=self.repetition_penalty.at[slot].set(
                 repetition_penalty
             ),
+            seed=self.seed.at[slot].set(seed),
             recent_tokens=recent,
             recent_head=head,
         )
@@ -120,6 +124,7 @@ def advance_repetition_state(
         top_p=state.top_p,
         min_p=state.min_p,
         repetition_penalty=state.repetition_penalty,
+        seed=state.seed,
         recent_tokens=new_recent,
         recent_head=new_head,
     )
@@ -131,6 +136,8 @@ def sample_tokens(
     rng_key: jax.Array,
     allow_mask: Optional[jax.Array] = None,  # [S, V] bool (constrained decoding)
     greedy_only: bool = False,
+    seed_base: Optional[jax.Array] = None,  # PRNG key for seeded rows
+    counters: Optional[jax.Array] = None,  # [S] per-row progress counter
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample one token per slot. Returns (tokens [S] i32, logprobs [S] f32).
 
@@ -175,7 +182,32 @@ def sample_tokens(
     )
     keep = keep.at[:, 0].set(True)
     filtered = jnp.where(keep, sorted_x, -jnp.inf)
-    sampled_col = jax.random.categorical(rng_key, filtered, axis=-1)
+    # Per-row keys: unseeded rows draw fresh randomness each step;
+    # seeded rows (seed >= 0) derive from (seed, per-row counter) only,
+    # so a seeded request reproduces its stream regardless of batch
+    # composition or step count (OpenAI ``seed`` semantics).
+    row_ids = jnp.arange(s, dtype=jnp.uint32)
+    step_keys = jax.vmap(lambda r: jax.random.fold_in(rng_key, r))(row_ids)
+    if seed_base is not None and counters is not None:
+        cnt = counters.astype(jnp.uint32)
+
+        def seeded_key(sd, c):
+            return jax.random.fold_in(
+                jax.random.fold_in(seed_base, sd.astype(jnp.uint32)), c
+            )
+
+        det_keys = jax.vmap(seeded_key)(state.seed, cnt)
+        use_seed = (state.seed >= 0)[:, None]
+        keys = jnp.where(
+            use_seed,
+            det_keys.reshape(s, -1),
+            step_keys.reshape(s, -1),
+        ).reshape(step_keys.shape)
+    else:
+        keys = step_keys
+    sampled_col = jax.vmap(
+        lambda k, row: jax.random.categorical(k, row)
+    )(keys, filtered)
     sampled_tok = jnp.take_along_axis(sort_idx, sampled_col[:, None], axis=-1)[
         :, 0
     ].astype(jnp.int32)

@@ -87,6 +87,7 @@ def state_pspecs(state: Any) -> Any:
         top_p=P(),
         min_p=P(),
         repetition_penalty=P(),
+        seed=P(),
         recent_tokens=P(),
         recent_head=P(),
     )
