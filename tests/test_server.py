@@ -319,6 +319,23 @@ class TestServerEndpoints:
         status, data = loop.run_until_complete(clear())
         assert status == 200
 
+    def test_chat_n_choices(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 5,
+                "temperature": 0.9,
+                "n": 3,
+            },
+        )
+        assert status == 200
+        assert len(data["choices"]) == 3
+        assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+        assert data["usage"]["completion_tokens"] >= 3
+
     def test_chat_logprobs(self, server_client):
         status, data = _post(
             server_client,

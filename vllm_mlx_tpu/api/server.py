@@ -357,67 +357,87 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
         )
 
     if not req.stream:
+        n = max(1, req.n)
         try:
-            out = await engine.chat(messages, **chat_kwargs)
+            if n == 1:
+                outs = [await engine.chat(messages, **chat_kwargs)]
+            else:
+                # n choices run concurrently — the batching engine serves
+                # them in the same decode steps (sampled paths diverge;
+                # give each choice an independent seed when unseeded)
+                tasks = []
+                for i in range(n):
+                    kw = dict(chat_kwargs)
+                    kw["request_id"] = f"{request_id}-{i}"
+                    tasks.append(engine.chat(messages, **kw))
+                outs = list(await asyncio.gather(*tasks))
         except EngineBusy:
             return _error(429, "engine busy", "rate_limit_error")
-        text = out.text
-        reasoning_text = None
-        if reasoning_parser is not None:
-            reasoning_text, text = reasoning_parser.extract_reasoning(text)
-        tool_calls = None
-        finish_reason = out.finish_reason or "stop"
-        if tool_parser is not None:
-            parsed = tool_parser.extract_tool_calls(text)
-            if parsed.tools_called:
-                tool_calls = parsed.tool_calls
-                text = parsed.content or None
-                finish_reason = "tool_calls"
-        if json_mode and text:
-            from ..constrained import extract_json
+        choices = []
+        usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
+        cached_total = 0
+        for i, out in enumerate(outs):
+            text = out.text
+            reasoning_text = None
+            if reasoning_parser is not None:
+                reasoning_text, text = reasoning_parser.extract_reasoning(text)
+            tool_calls = None
+            finish_reason = out.finish_reason or "stop"
+            if tool_parser is not None:
+                parsed = tool_parser.extract_tool_calls(text)
+                if parsed.tools_called:
+                    tool_calls = parsed.tool_calls
+                    text = parsed.content or None
+                    finish_reason = "tool_calls"
+            if json_mode and text:
+                from ..constrained import extract_json
 
-            extracted = extract_json(text)
-            if extracted is not None:
-                text = extracted
-        message: Dict[str, Any] = {"role": "assistant", "content": text}
-        if reasoning_text:
-            message["reasoning_content"] = reasoning_text
-        if tool_calls:
-            message["tool_calls"] = tool_calls
-        usage = dict(out.usage)
-        if out.cached_tokens:
-            usage["prompt_tokens_details"] = {
-                "cached_tokens": out.cached_tokens
-            }
-        logprobs_payload = None
-        if req.logprobs and out.logprobs:
-            tok = engine.tokenizer
-            content_lps = []
-            for tid, lp in zip(out.token_ids, out.logprobs):
-                t = tok.decode([tid]) if tok is not None else str(tid)
-                content_lps.append(
-                    {
-                        "token": t,
-                        "logprob": lp,
-                        "bytes": list(t.encode()),
-                        "top_logprobs": [],
-                    }
-                )
-            logprobs_payload = {"content": content_lps}
+                extracted = extract_json(text)
+                if extracted is not None:
+                    text = extracted
+            message: Dict[str, Any] = {"role": "assistant", "content": text}
+            if reasoning_text:
+                message["reasoning_content"] = reasoning_text
+            if tool_calls:
+                message["tool_calls"] = tool_calls
+            logprobs_payload = None
+            if req.logprobs and out.logprobs:
+                tok = engine.tokenizer
+                content_lps = []
+                for tid, lp in zip(out.token_ids, out.logprobs):
+                    t = tok.decode([tid]) if tok is not None else str(tid)
+                    content_lps.append(
+                        {
+                            "token": t,
+                            "logprob": lp,
+                            "bytes": list(t.encode()),
+                            "top_logprobs": [],
+                        }
+                    )
+                logprobs_payload = {"content": content_lps}
+            choices.append(
+                {
+                    "index": i,
+                    "message": message,
+                    "finish_reason": finish_reason,
+                    "logprobs": logprobs_payload,
+                }
+            )
+            usage["prompt_tokens"] = out.prompt_tokens
+            usage["completion_tokens"] += out.completion_tokens
+            cached_total = max(cached_total, out.cached_tokens)
+        usage["total_tokens"] = (
+            usage["prompt_tokens"] + usage["completion_tokens"]
+        )
+        if cached_total:
+            usage["prompt_tokens_details"] = {"cached_tokens": cached_total}
         return web.json_response(
             {
                 "id": request_id,
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": req.model,
-                "choices": [
-                    {
-                        "index": 0,
-                        "message": message,
-                        "finish_reason": finish_reason,
-                        "logprobs": logprobs_payload,
-                    }
-                ],
+                "choices": choices,
                 "usage": usage,
             }
         )
