@@ -415,6 +415,51 @@ class TestServerEndpoints:
         assert events[0] == "response.created"
         assert events[-1] == "response.completed"
 
+    def test_stop_string_streaming_no_leak(self, server_client):
+        """Streamed deltas must never contain any part of a stop string."""
+        loop, client = server_client
+
+        _, free = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "go"}],
+                "max_tokens": 12,
+                "temperature": 0,
+            },
+        )
+        full_text = free["choices"][0]["message"]["content"] or ""
+        if len(full_text) < 5:
+            pytest.skip("model output too short for this probe")
+        stop_str = full_text[3:6]
+
+        async def go():
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "model": "tiny-llama",
+                    "messages": [{"role": "user", "content": "go"}],
+                    "max_tokens": 12,
+                    "temperature": 0,
+                    "stream": True,
+                    "stop": [stop_str],
+                },
+            )
+            return await resp.text()
+
+        raw = loop.run_until_complete(go())
+        chunks = [
+            json.loads(ln[6:])
+            for ln in raw.splitlines()
+            if ln.startswith("data: ") and ln[6:] != "[DONE]"
+        ]
+        streamed = "".join(
+            c["choices"][0]["delta"].get("content") or "" for c in chunks
+        )
+        assert stop_str not in streamed
+        assert streamed == full_text[:3]
+
     def test_stop_string(self, server_client):
         _, free = _post(
             server_client,

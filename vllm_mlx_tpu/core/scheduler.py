@@ -664,16 +664,28 @@ class Scheduler:
         if self.detok is not None and req.detok_state is not None:
             new_text = self.detok.step(req.detok_state, token)
 
-        # stop strings: trim at first occurrence
-        if sp.stop and new_text:
-            combined = req.output_text + new_text
+        # Stop strings: trim at first occurrence; hold back any tail that
+        # could still become a stop string so streamed deltas never leak
+        # part of one (reference/vLLM stop-string buffering semantics).
+        if sp.stop:
+            pending = getattr(req, "_stop_held", "") + new_text
             for s_str in sp.stop:
-                idx = combined.find(s_str)
+                idx = pending.find(s_str)
                 if idx != -1:
                     req.set_finished(RequestStatus.FINISHED_STOPPED)
-                    emit = combined[len(req.output_text): idx]
-                    req.output_text = combined[:idx]
+                    emit = pending[:idx]
+                    req.output_text += emit
+                    req._stop_held = ""  # type: ignore[attr-defined]
                     return [token], emit
+            hold = 0
+            for s_str in sp.stop:
+                for k in range(min(len(s_str) - 1, len(pending)), 0, -1):
+                    if pending.endswith(s_str[:k]):
+                        hold = max(hold, k)
+                        break
+            emit = pending[: len(pending) - hold] if hold else pending
+            req._stop_held = pending[len(pending) - hold:] if hold else ""  # type: ignore[attr-defined]
+            new_text = emit
 
         req.output_text += new_text
 
@@ -682,11 +694,15 @@ class Scheduler:
             or req.num_tokens >= self.config.max_model_len
         ):
             req.set_finished(RequestStatus.FINISHED_LENGTH_CAPPED)
+            tail = ""
             if self.detok is not None and req.detok_state is not None:
                 tail = self.detok.flush(req.detok_state)
-                if tail:
-                    req.output_text += tail
-                    new_text += tail
+            # release any held-back stop-prefix text at end of generation
+            tail = getattr(req, "_stop_held", "") + tail
+            req._stop_held = ""  # type: ignore[attr-defined]
+            if tail:
+                req.output_text += tail
+                new_text += tail
         return [token], new_text
 
     def _make_output(
