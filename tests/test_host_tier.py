@@ -117,3 +117,40 @@ class TestTierEndToEnd:
         assert tier.stats["restored_blocks"] > 0
         req = sched.requests["a2"]
         assert req.cache_hit_type and "tier" in req.cache_hit_type
+
+
+class TestNamespacing:
+    """Disk layer must be namespaced by model identity + KV geometry so a
+    restart with a different model on the same cache dir never restores
+    foreign KV (ADVICE r1; reference ssd_cache/{model}/ layout)."""
+
+    def test_namespaces_isolated(self, rng, tmp_path):
+        kv = rng.standard_normal((2, 8, 4, 16)).astype(np.float32)
+        a = HostKVTier(max_bytes=kv.nbytes, disk_dir=str(tmp_path),
+                       namespace="model-a-L2-kvh4-hd16")
+        a.store("h1", kv)
+        a.store("h2", kv + 1)  # evicts h1 to disk (budget = 1 block)
+        assert a.lookup_chain(["h1"])  # disk hit within namespace
+
+        b = HostKVTier(max_bytes=kv.nbytes, disk_dir=str(tmp_path),
+                       namespace="model-b-L2-kvh4-hd16")
+        assert not b.contains("h1")
+        assert b.lookup_chain(["h1"]) == []
+
+        # same namespace on restart still restores
+        a2 = HostKVTier(max_bytes=kv.nbytes, disk_dir=str(tmp_path),
+                        namespace="model-a-L2-kvh4-hd16")
+        got = a2.lookup_chain(["h1"])
+        assert got and np.allclose(got[0], kv)
+
+    def test_geometry_mismatch_rejected(self, rng, tmp_path):
+        kv = rng.standard_normal((2, 8, 4, 16)).astype(np.float32)
+        t = HostKVTier(max_bytes=kv.nbytes, disk_dir=str(tmp_path))
+        t.store("h1", kv)
+        t.store("h2", kv + 1)  # h1 -> disk
+        # new process with a DIFFERENT block geometry, same (un-namespaced)
+        # dir: the per-entry shape check must reject the stale entry.
+        t2 = HostKVTier(max_bytes=10**9, disk_dir=str(tmp_path))
+        other = rng.standard_normal((4, 8, 4, 16)).astype(np.float32)
+        t2.store("warm", other)  # establishes expected geometry
+        assert t2.lookup_chain(["h1"]) == []

@@ -272,3 +272,82 @@ class TestSchedulerGreedyParity:
             )
         run_to_completion(sched)
         assert sched.block_mgr.num_active_blocks == 0
+
+
+class TestPresencePenalty:
+    def test_presence_penalty_blocks_repeats(self, tiny_cfg, tiny_params, rng):
+        """vLLM presence semantics: a generated token can't repeat under a
+        huge flat penalty (exercises the presence-enabled step variants)."""
+        prompt = rng.integers(2, 128, size=6).tolist()
+        sched = make_scheduler(tiny_cfg, tiny_params, stop_tokens=frozenset())
+        sched.add_request(
+            Request(
+                request_id="p",
+                prompt=prompt,
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=12, presence_penalty=1e4
+                ),
+            )
+        )
+        toks = run_to_completion(sched)["p"].output_token_ids
+        assert len(toks) == 12
+        assert len(set(toks)) == len(toks), f"repeat under penalty: {toks}"
+
+    def test_zero_presence_matches_plain_greedy(
+        self, tiny_cfg, tiny_params, rng
+    ):
+        prompt = rng.integers(2, 128, size=6).tolist()
+        expected = reference_greedy(tiny_params, tiny_cfg, prompt, 10)
+        sched = make_scheduler(tiny_cfg, tiny_params)
+        sched.add_request(
+            Request(
+                request_id="p",
+                prompt=prompt,
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=10, presence_penalty=0.0
+                ),
+            )
+        )
+        assert run_to_completion(sched)["p"].output_token_ids == expected
+
+
+class TestStopHeldFlush:
+    def test_holdback_flushed_on_stop_token(self):
+        """Text held back as a potential stop-string prefix must be emitted
+        when generation ends via a stop TOKEN (ADVICE r1: only the
+        length-cap path flushed it)."""
+        from types import SimpleNamespace
+
+        class FakeDetok:
+            def __init__(self, text_by_token):
+                self.text_by_token = text_by_token
+
+            def step(self, state, tok):
+                return self.text_by_token.get(tok, "")
+
+            def flush(self, state):
+                return ""
+
+        stub = SimpleNamespace(
+            stats=SimpleNamespace(num_generated_tokens=0),
+            detok=FakeDetok({7: "x#"}),
+            config=SimpleNamespace(max_model_len=100),
+            _default_stop_tokens={EOS},
+        )
+        stub._stop_token_set = lambda req: Scheduler._stop_token_set(
+            stub, req
+        )
+        req = Request(
+            request_id="h",
+            prompt=[2, 3],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=50, stop=["##"]
+            ),
+        )
+        req.detok_state = object()
+        _, text1 = Scheduler._process_one_token(stub, req, 7, -0.1)
+        assert text1 == "x"  # '#' held back (could start '##')
+        _, text2 = Scheduler._process_one_token(stub, req, EOS, -0.1)
+        assert text2 == "#"  # holdback released, not dropped
+        assert req.output_text == "x#"
+        assert req.get_finish_reason() == "stop"

@@ -487,3 +487,83 @@ class TestServerEndpoints:
             )
             text = stopped["choices"][0]["message"]["content"] or ""
             assert stop_str not in text
+
+
+class TestAdviceR1Fixes:
+    def test_seed_over_http_reproducible(self, server_client):
+        """API `seed` must reach the engine (ADVICE r1: it was dropped in
+        _sampling_kwargs, making seeded sampling a silent no-op)."""
+        body = {
+            "model": "tiny-llama",
+            "messages": [{"role": "user", "content": "tell me a story"}],
+            "max_tokens": 10,
+            "temperature": 0.9,
+            "top_p": 0.95,
+            "seed": 4242,
+        }
+        _, a = _post(server_client, "/v1/chat/completions", body)
+        _, b = _post(server_client, "/v1/chat/completions", body)
+        assert (
+            a["choices"][0]["message"]["content"]
+            == b["choices"][0]["message"]["content"]
+        )
+
+    def test_presence_penalty_over_http(self, server_client):
+        status, data = _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "hello"}],
+                "max_tokens": 8,
+                "temperature": 0,
+                "presence_penalty": 1.5,
+            },
+        )
+        assert status == 200
+        assert data["choices"][0]["message"]["content"] is not None
+
+    def test_multi_prompt_streaming(self, server_client):
+        """stream=true with a list of prompts must stream ALL prompts with
+        per-choice indices (ADVICE r1: extras were silently dropped)."""
+        loop, client = server_client
+
+        async def go():
+            resp = await client.post(
+                "/v1/completions",
+                json={
+                    "model": "tiny-llama",
+                    "prompt": ["the quick brown", "hello world how"],
+                    "max_tokens": 5,
+                    "temperature": 0,
+                    "stream": True,
+                },
+            )
+            assert resp.status == 200
+            return await resp.text()
+
+        raw = loop.run_until_complete(go())
+        lines = [ln[6:] for ln in raw.splitlines() if ln.startswith("data: ")]
+        assert lines[-1] == "[DONE]"
+        chunks = [json.loads(ln) for ln in lines[:-1]]
+        by_idx = {}
+        for c in chunks:
+            for ch in c["choices"]:
+                by_idx.setdefault(ch["index"], []).append(ch)
+        assert set(by_idx) == {0, 1}
+        for idx, chs in by_idx.items():
+            assert any(ch["finish_reason"] for ch in chs)
+            # each prompt's streamed text matches its non-streamed result
+        _, full = _post(
+            server_client,
+            "/v1/completions",
+            {
+                "model": "tiny-llama",
+                "prompt": ["the quick brown", "hello world how"],
+                "max_tokens": 5,
+                "temperature": 0,
+            },
+        )
+        for idx in (0, 1):
+            streamed = "".join(ch["text"] or "" for ch in by_idx[idx])
+            assert streamed == full["choices"][idx]["text"]

@@ -100,6 +100,10 @@ def _sampling_kwargs(
         kw["min_p"] = req.min_p
     if getattr(req, "repetition_penalty", None) is not None:
         kw["repetition_penalty"] = req.repetition_penalty
+    if getattr(req, "presence_penalty", None) is not None:
+        kw["presence_penalty"] = req.presence_penalty
+    if getattr(req, "seed", None) is not None:
+        kw["seed"] = req.seed
     if getattr(req, "logprobs", None):
         kw["logprobs"] = True
     if stop:
@@ -617,10 +621,15 @@ async def handle_completions(request: web.Request) -> web.Response:
     include_usage = bool(
         req.stream_options and req.stream_options.include_usage
     )
-    final = None
-    try:
-        async for chunk in engine.stream_generate(prompts[0], **kwargs):
-            final = chunk
+    # Stream ALL prompts, each choice tagged with its index (OpenAI
+    # interleaves chunks per choice). Prompts run concurrently so the
+    # batched engine decodes them together; a serialized engine
+    # (SimpleEngine) admits one at a time, so fall back to sequential
+    # iteration there instead of tripping its EngineBusy fail-fast.
+    usage_total = {"prompt_tokens": 0, "completion_tokens": 0}
+
+    async def _stream_one(idx: int, prompt, send_lock: asyncio.Lock):
+        async for chunk in engine.stream_generate(prompt, **kwargs):
             if not chunk.text and not chunk.finished:
                 continue
             body = {
@@ -630,7 +639,7 @@ async def handle_completions(request: web.Request) -> web.Response:
                 "model": req.model,
                 "choices": [
                     {
-                        "index": 0,
+                        "index": idx,
                         "text": chunk.text,
                         "finish_reason": chunk.finish_reason
                         if chunk.finished
@@ -638,9 +647,47 @@ async def handle_completions(request: web.Request) -> web.Response:
                     }
                 ],
             }
-            if include_usage and chunk.finished:
-                body["usage"] = dict(chunk.usage)
-            await _send_sse(resp, json.dumps(body, separators=(",", ":")))
+            if chunk.finished and chunk.usage:
+                usage_total["prompt_tokens"] += chunk.usage.get(
+                    "prompt_tokens", 0
+                )
+                usage_total["completion_tokens"] += chunk.usage.get(
+                    "completion_tokens", 0
+                )
+            async with send_lock:
+                await _send_sse(
+                    resp, json.dumps(body, separators=(",", ":"))
+                )
+
+    send_lock = asyncio.Lock()
+    serialized = getattr(engine, "_lock_admission", False)
+    try:
+        if len(prompts) == 1 or serialized:
+            for i, p in enumerate(prompts):
+                await _stream_one(i, p, send_lock)
+        else:
+            await asyncio.gather(
+                *(_stream_one(i, p, send_lock) for i, p in enumerate(prompts))
+            )
+        if include_usage:
+            usage_total["total_tokens"] = (
+                usage_total["prompt_tokens"]
+                + usage_total["completion_tokens"]
+            )
+            await _send_sse(
+                resp,
+                json.dumps(
+                    {
+                        "id": cmpl_id,
+                        "object": "text_completion",
+                        "created": int(time.time()),
+                        "model": req.model,
+                        "choices": [],
+                        "usage": usage_total,
+                    },
+                    separators=(",", ":"),
+                ),
+            )
     except ConnectionResetError:
         return resp
     await _send_sse(resp, "[DONE]")

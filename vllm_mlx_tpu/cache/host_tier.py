@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import re
 import time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -34,8 +35,19 @@ class HostKVTier:
         max_bytes: int = 2 * 1024**3,
         disk_dir: Optional[str] = None,
         disk_max_bytes: int = 32 * 1024**3,
+        namespace: Optional[str] = None,
     ) -> None:
+        """``namespace`` identifies the model (id + KV block shape/dtype);
+        the disk layer is stored under ``disk_dir/<namespace>/`` so two
+        models sharing a cache dir can never restore each other's KV
+        (reference ssd_cache.py namespaces per model the same way). Each
+        disk entry additionally records its shape+dtype, validated on
+        load, rejecting mismatches even within a namespace.
+        """
         self.max_bytes = max_bytes
+        if disk_dir and namespace:
+            safe = re.sub(r"[^A-Za-z0-9._-]+", "_", namespace)
+            disk_dir = os.path.join(disk_dir, safe)
         self.disk_dir = disk_dir
         self.disk_max_bytes = disk_max_bytes
         self._entries: "OrderedDict[str, np.ndarray]" = OrderedDict()
@@ -48,6 +60,8 @@ class HostKVTier:
             "dropped": 0,
         }
         self._disk_index: Dict[str, str] = {}
+        self._expected_shape: Optional[Tuple[int, ...]] = None
+        self._expected_dtype: Optional[str] = None
         if disk_dir:
             os.makedirs(disk_dir, exist_ok=True)
             self._load_disk_index()
@@ -63,6 +77,9 @@ class HostKVTier:
 
     def store(self, block_hash: str, kv: np.ndarray) -> None:
         """Spill one block's KV (host numpy, already fetched off device)."""
+        if self._expected_shape is None:
+            self._expected_shape = kv.shape
+            self._expected_dtype = str(kv.dtype)
         if block_hash in self._entries:
             self._entries.move_to_end(block_hash)
             return
@@ -149,9 +166,15 @@ class HostKVTier:
         try:
             # bf16 isn't a numpy dtype on disk: store raw bits + dtype tag
             if kv.dtype == np.dtype("V2") or str(kv.dtype) == "bfloat16":
-                np.savez(path, kv=kv.view(np.uint16), dtype="bfloat16")
+                np.savez(
+                    path, kv=kv.view(np.uint16), dtype="bfloat16",
+                    shape=np.asarray(kv.shape),
+                )
             else:
-                np.savez(path, kv=kv, dtype=str(kv.dtype))
+                np.savez(
+                    path, kv=kv, dtype=str(kv.dtype),
+                    shape=np.asarray(kv.shape),
+                )
             self._disk_index[block_hash] = fn
             self._save_disk_index()
             self.stats["evicted_to_disk"] += 1
@@ -171,6 +194,19 @@ class HostKVTier:
                     import ml_dtypes
 
                     kv = kv.view(ml_dtypes.bfloat16)
+                if "shape" in z and tuple(z["shape"]) != kv.shape:
+                    raise ValueError(
+                        f"shape mismatch: {tuple(z['shape'])} vs {kv.shape}"
+                    )
+                if self._expected_shape is not None and (
+                    kv.shape != self._expected_shape
+                    or str(kv.dtype) != self._expected_dtype
+                ):
+                    raise ValueError(
+                        "entry does not match this model's KV geometry: "
+                        f"{kv.shape}/{kv.dtype} vs "
+                        f"{self._expected_shape}/{self._expected_dtype}"
+                    )
                 self.stats["disk_hits"] += 1
                 return kv
         except (OSError, KeyError, ValueError) as e:

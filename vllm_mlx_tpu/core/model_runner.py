@@ -138,12 +138,12 @@ class ModelRunner:
             self.state = shard_runner_state(mesh, self.state)
         self._step_jit = jax.jit(
             self._step,
-            static_argnames=("greedy_only",),
+            static_argnames=("greedy_only", "use_presence"),
             donate_argnums=(1,),
         )
         self._decode_jit = jax.jit(
             self._decode_fast,
-            static_argnames=("greedy_only",),
+            static_argnames=("greedy_only", "use_presence"),
             donate_argnums=(1,),
         )
         self._multi_jits: Dict[Tuple[bool, int], Any] = {}
@@ -164,7 +164,7 @@ class ModelRunner:
                 dtype=self.kv_dtype,
             ),
             device_tokens=jnp.zeros((self.max_num_seqs,), jnp.int32),
-            sampling=SamplingState.init(self.max_num_seqs),
+            sampling=SamplingState.init(self.max_num_seqs, c.vocab_size),
             step_count=jnp.zeros((), jnp.int32),
             block_tables=jnp.zeros(
                 (self.max_num_seqs, self.pages_per_seq), jnp.int32
@@ -208,6 +208,7 @@ class ModelRunner:
         token_embeds: jax.Array,  # [T, H]
         embeds_mask: jax.Array,  # [T] bool
         greedy_only: bool,
+        use_presence: bool = False,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
@@ -237,9 +238,11 @@ class ModelRunner:
         sampled, logprobs = sample_tokens(
             logits, slot_sampling, key, greedy_only=greedy_only,
             seed_base=self._rng_base, counters=kv_lens,
+            use_presence=use_presence,
         )
         advanced = advance_repetition_state(
-            slot_sampling, sampled, advance_mask
+            slot_sampling, sampled, advance_mask,
+            track_presence=use_presence,
         )
         # scatter updated sampling rows back by slot; masked rows dropped
         # via an out-of-range sentinel (duplicate padded slots would
@@ -273,7 +276,8 @@ class ModelRunner:
 
     # -------------------------------------------------- pure-decode fast path
     def _decode_fast(
-        self, params: Params, state: RunnerState, greedy_only: bool
+        self, params: Params, state: RunnerState, greedy_only: bool,
+        use_presence: bool = False,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         """One decode token for every active slot, built entirely from
         device state — no host uploads on the hot path."""
@@ -309,8 +313,11 @@ class ModelRunner:
         sampled, logprobs = sample_tokens(
             logits, state.sampling, key, greedy_only=greedy_only,
             seed_base=self._rng_base, counters=kv_lens_att,
+            use_presence=use_presence,
         )
-        sampling = advance_repetition_state(state.sampling, sampled, active)
+        sampling = advance_repetition_state(
+            state.sampling, sampled, active, track_presence=use_presence
+        )
         new_state = RunnerState(
             kv_pages=new_pages,
             device_tokens=jnp.where(active, sampled, state.device_tokens),
@@ -322,21 +329,27 @@ class ModelRunner:
         )
         return new_state, sampled, logprobs
 
-    def decode_fast(self, greedy_only: bool) -> Tuple[jax.Array, jax.Array]:
+    def decode_fast(
+        self, greedy_only: bool, use_presence: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
         self.state, sampled, logprobs = self._decode_jit(
-            self.params, self.state, greedy_only=greedy_only
+            self.params, self.state, greedy_only=greedy_only,
+            use_presence=use_presence,
         )
         return sampled, logprobs
 
     def _decode_fast_multi(
-        self, params: Params, state: RunnerState, greedy_only: bool, steps: int
+        self, params: Params, state: RunnerState, greedy_only: bool,
+        steps: int, use_presence: bool = False,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         """``steps`` chained decode steps in one compiled program —
         amortizes dispatch/fetch overhead (the tokens feed back entirely
         on device)."""
 
         def body(st, _):
-            st, tok, lp = self._decode_fast(params, st, greedy_only)
+            st, tok, lp = self._decode_fast(
+                params, st, greedy_only, use_presence
+            )
             return st, (tok, lp)
 
         state, (tokens, logprobs) = jax.lax.scan(
@@ -345,10 +358,10 @@ class ModelRunner:
         return state, tokens, logprobs  # [steps, S]
 
     def decode_fast_multi(
-        self, greedy_only: bool, steps: int
+        self, greedy_only: bool, steps: int, use_presence: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
         """Returns (tokens [steps, S], logprobs [steps, S])."""
-        key = (greedy_only, steps)
+        key = (greedy_only, steps, use_presence)
         jit = self._multi_jits.get(key)
         if jit is None:
             jit = jax.jit(
@@ -356,6 +369,7 @@ class ModelRunner:
                     self._decode_fast_multi,
                     greedy_only=greedy_only,
                     steps=steps,
+                    use_presence=use_presence,
                 ),
                 donate_argnums=(1,),
             )
@@ -376,6 +390,7 @@ class ModelRunner:
         top_p: jax.Array,
         min_p: jax.Array,
         repetition_penalty: jax.Array,
+        presence_penalty: jax.Array,
         seed: jax.Array,
         prompt_tail: jax.Array,  # [REP_WINDOW] i32, -1 padded
         tail_len: jax.Array,
@@ -391,11 +406,15 @@ class ModelRunner:
             repetition_penalty=samp.repetition_penalty.at[slot].set(
                 repetition_penalty
             ),
+            presence_penalty=samp.presence_penalty.at[slot].set(
+                presence_penalty
+            ),
             seed=samp.seed.at[slot].set(seed),
             recent_tokens=samp.recent_tokens.at[slot].set(prompt_tail),
             recent_head=samp.recent_head.at[slot].set(
                 tail_len % REP_WINDOW
             ),
+            seen_bits=samp.seen_bits.at[slot].set(0),
         )
         return replace(
             state,
@@ -418,6 +437,7 @@ class ModelRunner:
         min_p: float,
         repetition_penalty: float,
         prompt_tail: Sequence[int],
+        presence_penalty: float = 0.0,
         seed: int = -1,
     ) -> None:
         from ..ops.sampling import REP_WINDOW
@@ -438,6 +458,7 @@ class ModelRunner:
             jnp.float32(top_p),
             jnp.float32(min_p),
             jnp.float32(repetition_penalty),
+            jnp.float32(presence_penalty),
             jnp.int32(seed),
             jnp.asarray(tail),
             jnp.int32(len(t)),
@@ -455,16 +476,7 @@ class ModelRunner:
         def mv(a):
             return a.at[dst].set(a[src])
 
-        sampling = SamplingState(
-            temperature=mv(samp.temperature),
-            top_k=mv(samp.top_k),
-            top_p=mv(samp.top_p),
-            min_p=mv(samp.min_p),
-            repetition_penalty=mv(samp.repetition_penalty),
-            seed=mv(samp.seed),
-            recent_tokens=mv(samp.recent_tokens),
-            recent_head=mv(samp.recent_head),
-        )
+        sampling = jax.tree.map(mv, samp)
         return replace(
             state,
             sampling=sampling,
@@ -525,7 +537,8 @@ class ModelRunner:
         )
 
     def run_step(
-        self, inp: StepInput, greedy_only: bool = False
+        self, inp: StepInput, greedy_only: bool = False,
+        use_presence: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """Pad to a token bucket, upload, dispatch. Returns device arrays
         (sampled [S], logprobs [S]) — fetch asynchronously."""
@@ -566,6 +579,7 @@ class ModelRunner:
             jnp.asarray(embeds),
             jnp.asarray(emask),
             greedy_only=greedy_only,
+            use_presence=use_presence,
         )
         return sampled, logprobs
 
@@ -579,6 +593,7 @@ class ModelRunner:
         top_p: float,
         min_p: float,
         repetition_penalty: float,
+        presence_penalty: float = 0.0,
         prompt_tail: Optional[Sequence[int]] = None,
     ) -> None:
         tail = (
@@ -595,6 +610,7 @@ class ModelRunner:
                 top_p=top_p,
                 min_p=min_p,
                 repetition_penalty=repetition_penalty,
+                presence_penalty=presence_penalty,
                 prompt_tail=tail,
             ),
         )

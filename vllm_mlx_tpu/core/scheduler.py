@@ -336,6 +336,7 @@ class Scheduler:
                 top_p=sp.top_p,
                 min_p=sp.min_p,
                 repetition_penalty=sp.repetition_penalty,
+                presence_penalty=sp.presence_penalty,
                 prompt_tail=tokens[-20:],
                 seed=sp.seed if sp.seed is not None else -1,
             )
@@ -399,13 +400,20 @@ class Scheduler:
         if not decoding:
             return None
         greedy = all(r.sampling_params.temperature == 0 for r in decoding)
+        presence = any(
+            r.sampling_params.presence_penalty != 0 for r in decoding
+        )
         want_lp = any(r.sampling_params.logprobs for r in decoding)
         bundle = _StepBundle()
         if steps == 1:
-            sampled, logprobs = self.runner.decode_fast(greedy)
+            sampled, logprobs = self.runner.decode_fast(
+                greedy, use_presence=presence
+            )
             step_arrays = [(sampled, logprobs)]
         else:
-            tokens, logprobs = self.runner.decode_fast_multi(greedy, steps)
+            tokens, logprobs = self.runner.decode_fast_multi(
+                greedy, steps, use_presence=presence
+            )
             step_arrays = [(tokens[i], logprobs[i]) for i in range(steps)]
         for sampled, logprobs in step_arrays:
             try:
@@ -556,7 +564,14 @@ class Scheduler:
             token_embeds=token_embeds,
             embeds_mask=embeds_mask,
         )
-        sampled, logprobs = self.runner.run_step(inp, greedy_only=greedy)
+        presence = any(
+            r.sampling_params.presence_penalty != 0
+            for r in self.running
+            if r.status == RequestStatus.RUNNING
+        )
+        sampled, logprobs = self.runner.run_step(
+            inp, greedy_only=greedy, use_presence=presence
+        )
         try:
             sampled.copy_to_host_async()
             logprobs.copy_to_host_async()
@@ -653,11 +668,16 @@ class Scheduler:
             req.output_token_ids.pop()
             req.output_logprobs.pop()
             req.set_finished(RequestStatus.FINISHED_STOPPED)
+            # release held-back stop-string-prefix text: generation ended
+            # via a stop token, so the holdback can no longer complete a
+            # stop string and must not be dropped.
+            tail = getattr(req, "_stop_held", "")
+            req._stop_held = ""  # type: ignore[attr-defined]
             if self.detok is not None and req.detok_state is not None:
-                tail = self.detok.flush(req.detok_state)
-                if tail:
-                    req.output_text += tail
-                    return [], tail
+                tail += self.detok.flush(req.detok_state)
+            if tail:
+                req.output_text += tail
+                return [], tail
             return [], ""
 
         new_text = ""

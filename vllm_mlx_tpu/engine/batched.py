@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import uuid
 from typing import Any, AsyncIterator, Dict, List, Optional
 
@@ -147,8 +148,6 @@ class BatchedEngine(BaseEngine):
             self.vlm = MultimodalLM(self.model_path).load()
             cfg = self.vlm.text_config
             params = self.vlm.lm_params
-            import os
-
             if os.path.exists(
                 os.path.join(self.model_path, "preprocessor_config.json")
             ):
@@ -190,9 +189,21 @@ class BatchedEngine(BaseEngine):
             if self.cache_config.host_cache_bytes > 0:
                 from ..cache.host_tier import HostKVTier
 
+                # namespace the disk layer by model identity + KV block
+                # geometry so restarting with a different model on the
+                # same --kv-disk-cache-dir can never restore foreign KV
+                # (reference ssd_cache/{model}/ layout; ADVICE r1).
+                ns = (
+                    f"{os.path.basename(str(self.model_path))}"
+                    f"-L{cfg.num_hidden_layers}"
+                    f"-kvh{cfg.num_key_value_heads}-hd{cfg.head_dim}"
+                    f"-bs{self.cache_config.block_size}"
+                    f"-{self.cache_config.kv_dtype}"
+                )
                 host_tier = HostKVTier(
                     max_bytes=self.cache_config.host_cache_bytes,
                     disk_dir=self.cache_config.disk_cache_dir,
+                    namespace=ns,
                 )
             self.prefix_cache = PrefixCache(
                 self.cache_config.block_size, host_tier=host_tier

@@ -38,22 +38,31 @@ class SamplingState:
     top_p: jax.Array  # [S] f32, 1.0 = disabled
     min_p: jax.Array  # [S] f32, 0.0 = disabled
     repetition_penalty: jax.Array  # [S] f32, 1.0 = disabled
+    presence_penalty: jax.Array  # [S] f32, 0.0 = disabled
     seed: jax.Array  # [S] i32, -1 = unseeded (fresh randomness per step)
     recent_tokens: jax.Array  # [S, REP_WINDOW] i32, -1 = empty
     recent_head: jax.Array  # [S] i32 ring-buffer write head
+    # Bitset of tokens this slot has GENERATED so far (vLLM presence
+    # semantics: flat penalty on output tokens, not prompt). One uint32
+    # word per 32 vocab ids. Updated only on presence-enabled step
+    # variants so presence-free serving pays no extra scatter.
+    seen_bits: jax.Array  # [S, ceil(V/32)] u32
 
     @staticmethod
-    def init(max_num_seqs: int) -> "SamplingState":
+    def init(max_num_seqs: int, vocab_size: int = 32) -> "SamplingState":
         s = max_num_seqs
+        words = -(-vocab_size // 32)
         return SamplingState(
             temperature=jnp.zeros((s,), jnp.float32),
             top_k=jnp.zeros((s,), jnp.int32),
             top_p=jnp.ones((s,), jnp.float32),
             min_p=jnp.zeros((s,), jnp.float32),
             repetition_penalty=jnp.ones((s,), jnp.float32),
+            presence_penalty=jnp.zeros((s,), jnp.float32),
             seed=jnp.full((s,), -1, jnp.int32),
             recent_tokens=jnp.full((s, REP_WINDOW), -1, jnp.int32),
             recent_head=jnp.zeros((s,), jnp.int32),
+            seen_bits=jnp.zeros((s, words), jnp.uint32),
         )
 
     def set_slot(
@@ -65,6 +74,7 @@ class SamplingState:
         top_p: float,
         min_p: float,
         repetition_penalty: float,
+        presence_penalty: float = 0.0,
         prompt_tail: Optional[jnp.ndarray] = None,
         seed: int = -1,
     ) -> "SamplingState":
@@ -83,9 +93,13 @@ class SamplingState:
             repetition_penalty=self.repetition_penalty.at[slot].set(
                 repetition_penalty
             ),
+            presence_penalty=self.presence_penalty.at[slot].set(
+                presence_penalty
+            ),
             seed=self.seed.at[slot].set(seed),
             recent_tokens=recent,
             recent_head=head,
+            seen_bits=self.seen_bits.at[slot].set(0),
         )
 
 
@@ -108,26 +122,49 @@ def apply_repetition_penalty(
     return logits.at[rows, oob].set(adjusted.astype(logits.dtype), mode="drop")
 
 
+def apply_presence_penalty(
+    logits: jax.Array, state: SamplingState
+) -> jax.Array:
+    """vLLM/OpenAI semantics: flat penalty subtracted from every token the
+    request has generated so far (tracked in the ``seen_bits`` bitset)."""
+    s, vocab = logits.shape
+    words = state.seen_bits.shape[-1]
+    bits = (
+        state.seen_bits[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)
+    ) & jnp.uint32(1)
+    seen = bits.reshape(s, words * 32)[:, :vocab].astype(logits.dtype)
+    return logits - state.presence_penalty[:, None].astype(logits.dtype) * seen
+
+
 def advance_repetition_state(
-    state: SamplingState, tokens: jax.Array, active: jax.Array
+    state: SamplingState,
+    tokens: jax.Array,
+    active: jax.Array,
+    track_presence: bool = False,
 ) -> SamplingState:
-    """Push the newly sampled token into each active slot's ring buffer."""
+    """Push the newly sampled token into each active slot's ring buffer
+    (and, on presence-enabled step variants, into its seen-token bitset)."""
+    from dataclasses import replace as _replace
+
     rows = jnp.arange(tokens.shape[0])
     head = state.recent_head
     new_recent = state.recent_tokens.at[rows, head].set(
         jnp.where(active, tokens.astype(jnp.int32), state.recent_tokens[rows, head])
     )
     new_head = jnp.where(active, (head + 1) % REP_WINDOW, head)
-    return SamplingState(
-        temperature=state.temperature,
-        top_k=state.top_k,
-        top_p=state.top_p,
-        min_p=state.min_p,
-        repetition_penalty=state.repetition_penalty,
-        seed=state.seed,
-        recent_tokens=new_recent,
-        recent_head=new_head,
-    )
+    out = _replace(state, recent_tokens=new_recent, recent_head=new_head)
+    if track_presence:
+        tok = tokens.astype(jnp.int32)
+        word = jnp.minimum(tok >> 5, state.seen_bits.shape[-1] - 1)
+        bit = jnp.uint32(1) << (tok & 31).astype(jnp.uint32)
+        cur = state.seen_bits[rows, word]
+        out = _replace(
+            out,
+            seen_bits=state.seen_bits.at[rows, word].set(
+                jnp.where(active, cur | bit, cur)
+            ),
+        )
+    return out
 
 
 def sample_tokens(
@@ -138,6 +175,7 @@ def sample_tokens(
     greedy_only: bool = False,
     seed_base: Optional[jax.Array] = None,  # PRNG key for seeded rows
     counters: Optional[jax.Array] = None,  # [S] per-row progress counter
+    use_presence: bool = False,  # static: apply presence penalty
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample one token per slot. Returns (tokens [S] i32, logprobs [S] f32).
 
@@ -149,6 +187,8 @@ def sample_tokens(
     has_penalty = state is not None
     if has_penalty:
         logits = apply_repetition_penalty(logits, state)
+        if use_presence:
+            logits = apply_presence_penalty(logits, state)
     if allow_mask is not None:
         logits = jnp.where(allow_mask, logits, -jnp.inf)
     logprobs = jax.nn.log_softmax(logits, axis=-1)

@@ -79,18 +79,9 @@ def state_pspecs(state: Any) -> Any:
     """PartitionSpecs for the RunnerState: KV combined-heads over tp;
     sampling/scalar state replicated (tiny)."""
     from ..core.model_runner import RunnerState
-    from ..ops.sampling import SamplingState
 
-    sampling = SamplingState(
-        temperature=P(),
-        top_k=P(),
-        top_p=P(),
-        min_p=P(),
-        repetition_penalty=P(),
-        seed=P(),
-        recent_tokens=P(),
-        recent_head=P(),
-    )
+    # built via tree_map so new SamplingState fields can't drift out of sync
+    sampling = jax.tree.map(lambda _: P(), state.sampling)
     return RunnerState(
         kv_pages=[P(None, None, "tp", None) for _ in state.kv_pages],
         device_tokens=P(),
