@@ -54,8 +54,10 @@ def test_engine_core_step_recovery(tiny_cfg, tiny_params, rng):
 
     def flaky_step():
         boom["calls"] += 1
-        # fail mid-generation of the first request (it must be RUNNING)
-        if boom["calls"] == 3 and not boom["fired"]:
+        # fail mid-generation of the first request (it must be RUNNING;
+        # with multi-step decode bundles the request can finish within
+        # two steps, so inject right after admission/prefill)
+        if boom["calls"] == 2 and not boom["fired"]:
             boom["fired"] = True
             raise RuntimeError("injected step failure")
         return orig_step()

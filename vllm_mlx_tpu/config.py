@@ -209,8 +209,14 @@ class SchedulerConfig:
     max_model_len: int = 4096
     # Chained decode steps per dispatch on the fast path (amortizes
     # host-side dispatch/fetch overhead; >1 coarsens streaming
-    # granularity and adds up to N-1 zombie tokens after a stop)
-    decode_steps_per_dispatch: int = 1
+    # granularity and adds up to N-1 zombie tokens after a stop).
+    # On this platform one dispatch costs ~1.5 ms and one fetch ~2 ms
+    # against a ~1 ms device step, so bundling 16 steps per dispatch
+    # roughly triples single-stream decode throughput (measured
+    # 8 -> 387 tok/s, 16 -> 603, 32 -> 766 on Qwen3-0.6B int8); 16 is
+    # the default balance, 32 the max-throughput setting
+    # (`--decode-steps`).
+    decode_steps_per_dispatch: int = 16
 
 
 @dataclass

@@ -95,6 +95,14 @@ class StepInput:
     embeds_mask: Optional[np.ndarray] = None  # [T] bool
 
 
+def unpack_multi(packed: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Host-side unpack of a fetched ``decode_fast_multi`` result:
+    [2, steps, S] f32 -> [(tokens [S] i32, logprobs [S] f32)] per step."""
+    toks = np.ascontiguousarray(packed[0]).view(np.int32)
+    lps = packed[1]
+    return [(toks[i], lps[i]) for i in range(toks.shape[0])]
+
+
 class ModelRunner:
     def __init__(
         self,
@@ -139,6 +147,11 @@ class ModelRunner:
         self._step_jit = jax.jit(
             self._step,
             static_argnames=("greedy_only", "use_presence"),
+            donate_argnums=(1,),
+        )
+        self._step_packed_jit = jax.jit(
+            self._step_packed,
+            static_argnames=("greedy_only", "use_presence", "use_embeds"),
             donate_argnums=(1,),
         )
         self._decode_jit = jax.jit(
@@ -274,6 +287,55 @@ class ModelRunner:
         )
         return new_state, sampled, logprobs
 
+    def _step_packed(
+        self,
+        params: Params,
+        state: RunnerState,
+        tok_pack: jax.Array,  # [5, T] i32: ids, from_device, slot, pos, dest
+        seq_pack: jax.Array,  # [4S+2+S*P] i32 (see run_step)
+        token_embeds: jax.Array,  # [T, H] f32 or [1, H] dummy
+        embeds_mask: jax.Array,  # [T] bool or [1] dummy
+        greedy_only: bool,
+        use_presence: bool = False,
+        use_embeds: bool = False,
+    ) -> Tuple[RunnerState, jax.Array, jax.Array]:
+        """One ragged step from TWO packed host uploads. Every h2d
+        transfer costs ~30 ms latency on this platform, so the ~11
+        logical step inputs travel as two i32 buffers (+ embeds only for
+        multimodal steps)."""
+        s = self.max_num_seqs
+        p = self.pages_per_seq
+        kv_lens = seq_pack[0:s]
+        seq_slots = seq_pack[s : 2 * s]
+        advance_mask = seq_pack[2 * s : 3 * s] != 0
+        cu_q_lens = seq_pack[3 * s : 4 * s + 1]
+        num_seqs = seq_pack[4 * s + 1 : 4 * s + 2]
+        page_indices = seq_pack[4 * s + 2 : 4 * s + 2 + s * p].reshape(s, p)
+        t = tok_pack.shape[1]
+        if not use_embeds:
+            h = self.cfg.hidden_size
+            token_embeds = jnp.zeros((t, h), jnp.float32)
+            embeds_mask = jnp.zeros((t,), bool)
+        return self._step(
+            params,
+            state,
+            tok_pack[0],
+            tok_pack[1] != 0,
+            tok_pack[2],
+            tok_pack[3],
+            tok_pack[4],
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
+            seq_slots,
+            advance_mask,
+            token_embeds,
+            embeds_mask,
+            greedy_only=greedy_only,
+            use_presence=use_presence,
+        )
+
     # -------------------------------------------------- pure-decode fast path
     def _decode_fast(
         self, params: Params, state: RunnerState, greedy_only: bool,
@@ -341,10 +403,12 @@ class ModelRunner:
     def _decode_fast_multi(
         self, params: Params, state: RunnerState, greedy_only: bool,
         steps: int, use_presence: bool = False,
-    ) -> Tuple[RunnerState, jax.Array, jax.Array]:
+    ) -> Tuple[RunnerState, jax.Array]:
         """``steps`` chained decode steps in one compiled program —
         amortizes dispatch/fetch overhead (the tokens feed back entirely
-        on device)."""
+        on device). Every host<->device round-trip costs ~1.5-2 ms on
+        this platform, so tokens AND logprobs are packed into ONE f32
+        result array (tokens bitcast, exact) — one fetch per bundle."""
 
         def body(st, _):
             st, tok, lp = self._decode_fast(
@@ -355,12 +419,20 @@ class ModelRunner:
         state, (tokens, logprobs) = jax.lax.scan(
             body, state, None, length=steps
         )
-        return state, tokens, logprobs  # [steps, S]
+        packed = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(tokens, jnp.float32),
+                logprobs.astype(jnp.float32),
+            ]
+        )  # [2, steps, S]
+        return state, packed
 
     def decode_fast_multi(
         self, greedy_only: bool, steps: int, use_presence: bool = False
-    ) -> Tuple[jax.Array, jax.Array]:
-        """Returns (tokens [steps, S], logprobs [steps, S])."""
+    ) -> jax.Array:
+        """Returns one packed device array [2, steps, S] f32:
+        row 0 = sampled tokens (int32 bitcast), row 1 = logprobs.
+        Unpack the fetched numpy with :func:`unpack_multi`."""
         key = (greedy_only, steps, use_presence)
         jit = self._multi_jits.get(key)
         if jit is None:
@@ -374,8 +446,8 @@ class ModelRunner:
                 donate_argnums=(1,),
             )
             self._multi_jits[key] = jit
-        self.state, tokens, logprobs = jit(self.params, self.state)
-        return tokens, logprobs
+        self.state, packed = jit(self.params, self.state)
+        return packed
 
     # -------------------------------------------- slot admin (single dispatch)
     def _admit(
@@ -464,6 +536,103 @@ class ModelRunner:
             jnp.int32(len(t)),
         )
 
+    def _admit_many(
+        self,
+        state: RunnerState,
+        ipack: jax.Array,  # [B, 5+P+W] i32
+        fpack: jax.Array,  # [B, 5] f32
+        n_active: jax.Array,  # scalar i32
+    ) -> RunnerState:
+        """Batched admission: B slots in ONE dispatch (each per-request
+        dispatch costs ~6-10 ms through the device tunnel, and a 32-way
+        burst of admissions was dominating batched TTFT)."""
+        from ..ops.sampling import REP_WINDOW
+
+        p = self.pages_per_seq
+        slots = ipack[:, 0]  # padding rows carry slot = max_num_seqs
+        kv_len = ipack[:, 1]
+        top_k = ipack[:, 2]
+        seed = ipack[:, 3]
+        tail_len = ipack[:, 4]
+        table_rows = ipack[:, 5 : 5 + p]
+        tails = ipack[:, 5 + p : 5 + p + REP_WINDOW]
+        samp = state.sampling
+
+        def put(arr, vals):
+            return arr.at[slots].set(vals, mode="drop")
+
+        sampling = SamplingState(
+            temperature=put(samp.temperature, fpack[:, 0]),
+            top_k=put(samp.top_k, top_k),
+            top_p=put(samp.top_p, fpack[:, 1]),
+            min_p=put(samp.min_p, fpack[:, 2]),
+            repetition_penalty=put(samp.repetition_penalty, fpack[:, 3]),
+            presence_penalty=put(samp.presence_penalty, fpack[:, 4]),
+            seed=put(samp.seed, seed),
+            recent_tokens=put(samp.recent_tokens, tails),
+            recent_head=put(samp.recent_head, tail_len % REP_WINDOW),
+            seen_bits=put(
+                samp.seen_bits,
+                jnp.zeros(
+                    (slots.shape[0], samp.seen_bits.shape[-1]), jnp.uint32
+                ),
+            ),
+        )
+        return replace(
+            state,
+            sampling=sampling,
+            block_tables=put(state.block_tables, table_rows),
+            kv_lens=put(state.kv_lens, kv_len),
+            n_active=n_active,
+        )
+
+    _ADMIT_BUCKETS = (1, 8)
+
+    def admit_slots(self, admissions: List[Dict], n_active: int) -> None:
+        """admissions: list of dicts with keys slot, table, kv_len,
+        temperature, top_k, top_p, min_p, repetition_penalty,
+        presence_penalty, prompt_tail, seed."""
+        from ..ops.sampling import REP_WINDOW
+
+        if not admissions:
+            return
+        if not hasattr(self, "_admit_many_jit"):
+            self._admit_many_jit = jax.jit(
+                self._admit_many, donate_argnums=(0,)
+            )
+        p = self.pages_per_seq
+        w = REP_WINDOW
+        b = next(
+            (x for x in self._ADMIT_BUCKETS if x >= len(admissions)),
+            self.max_num_seqs,
+        )
+        for i in range(0, len(admissions), b):
+            chunk = admissions[i : i + b]
+            ipack = np.zeros((b, 5 + p + w), np.int32)
+            ipack[:, 0] = self.max_num_seqs  # padding sentinel -> dropped
+            ipack[:, 5 + p :] = -1
+            fpack = np.zeros((b, 5), np.float32)
+            for j, a in enumerate(chunk):
+                tail = list(a["prompt_tail"])[-w:]
+                ipack[j, 0] = a["slot"]
+                ipack[j, 1] = a["kv_len"]
+                ipack[j, 2] = a["top_k"]
+                ipack[j, 3] = a.get("seed", -1)
+                ipack[j, 4] = len(tail)
+                row = a["table"][:p]
+                ipack[j, 5 : 5 + len(row)] = row
+                ipack[j, 5 + p : 5 + p + len(tail)] = tail
+                fpack[j] = (
+                    a["temperature"],
+                    a["top_p"],
+                    a["min_p"],
+                    a["repetition_penalty"],
+                    a.get("presence_penalty", 0.0),
+                )
+            self.state = self._admit_many_jit(
+                self.state, ipack, fpack, np.int32(n_active)
+            )
+
     def _move_slot(
         self,
         state: RunnerState,
@@ -508,6 +677,41 @@ class ModelRunner:
             self.state, jnp.int32(slot), jnp.int32(idx), jnp.int32(block)
         )
 
+    _GROW_BUCKET = 32
+
+    def _extend_tables(
+        self, state: RunnerState, slots: jax.Array, idxs: jax.Array,
+        blocks: jax.Array,
+    ) -> RunnerState:
+        return replace(
+            state,
+            block_tables=state.block_tables.at[slots, idxs].set(
+                blocks, mode="drop"
+            ),
+        )
+
+    def extend_tables(self, updates) -> None:
+        """Batched block-table growth: ONE dispatch for any number of
+        (slot, idx, block) updates (padded to a fixed bucket; one
+        per-update dispatch costs ~6 ms through the device tunnel)."""
+        if not updates:
+            return
+        if not hasattr(self, "_extend_many_jit"):
+            self._extend_many_jit = jax.jit(
+                self._extend_tables, donate_argnums=(0,)
+            )
+        b = self._GROW_BUCKET
+        for i in range(0, len(updates), b):
+            chunk = updates[i : i + b]
+            slots = np.full(b, self.max_num_seqs, np.int32)  # OOB -> drop
+            idxs = np.zeros(b, np.int32)
+            blocks = np.zeros(b, np.int32)
+            for j, (s, ix, blk) in enumerate(chunk):
+                slots[j], idxs[j], blocks[j] = s, ix, blk
+            self.state = self._extend_many_jit(
+                self.state, slots, idxs, blocks
+            )
+
     # ------------------------------------------------- KV block spill/restore
     def read_block(self, block: int) -> np.ndarray:
         """Fetch one block's KV across all layers to host
@@ -549,37 +753,45 @@ class ModelRunner:
                 f"{t} tokens exceeds largest bucket {self.token_buckets[-1]}"
             )
 
-        def pad_t(a: np.ndarray, fill=0):
-            out = np.full((bucket,) + a.shape[1:], fill, a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
         oob = self.num_pages * self.page_size
-        h = self.cfg.hidden_size
-        if inp.token_embeds is not None:
-            embeds = pad_t(inp.token_embeds.astype(np.float32))
-            emask = pad_t(inp.embeds_mask.astype(bool))
-        else:
-            embeds = np.zeros((bucket, h), np.float32)
-            emask = np.zeros((bucket,), bool)
-        self.state, sampled, logprobs = self._step_jit(
+        t = inp.total_tokens
+        tok_pack = np.zeros((5, bucket), np.int32)
+        tok_pack[0, :t] = inp.token_ids
+        tok_pack[1, :t] = inp.from_device
+        tok_pack[2, :t] = inp.token_slot
+        tok_pack[3, :t] = inp.positions
+        tok_pack[4, :] = oob
+        tok_pack[4, :t] = inp.kv_dest
+
+        s = self.max_num_seqs
+        p = self.pages_per_seq
+        seq_pack = np.zeros(4 * s + 2 + s * p, np.int32)
+        seq_pack[0:s] = inp.kv_lens
+        seq_pack[s : 2 * s] = inp.seq_slots
+        seq_pack[2 * s : 3 * s] = inp.advance_mask
+        seq_pack[3 * s : 4 * s + 1] = inp.cu_q_lens
+        seq_pack[4 * s + 1] = inp.num_seqs
+        seq_pack[4 * s + 2 :] = inp.page_indices.reshape(-1)
+
+        use_embeds = inp.token_embeds is not None
+        if use_embeds:
+            embeds = np.zeros((bucket, self.cfg.hidden_size), np.float32)
+            embeds[:t] = inp.token_embeds
+            emask = np.zeros(bucket, bool)
+            emask[:t] = inp.embeds_mask
+        else:  # dummy: the packed step synthesizes zeros on device
+            embeds = np.zeros((1, self.cfg.hidden_size), np.float32)
+            emask = np.zeros(1, bool)
+        self.state, sampled, logprobs = self._step_packed_jit(
             self.params,
             self.state,
-            jnp.asarray(pad_t(inp.token_ids)),
-            jnp.asarray(pad_t(inp.from_device)),
-            jnp.asarray(pad_t(inp.token_slot)),
-            jnp.asarray(pad_t(inp.positions)),
-            jnp.asarray(pad_t(inp.kv_dest, fill=oob)),
-            jnp.asarray(inp.kv_lens),
-            jnp.asarray(inp.page_indices),
-            jnp.asarray(inp.cu_q_lens),
-            jnp.asarray(np.array([inp.num_seqs], np.int32)),
-            jnp.asarray(inp.seq_slots),
-            jnp.asarray(inp.advance_mask),
-            jnp.asarray(embeds),
-            jnp.asarray(emask),
+            tok_pack,
+            seq_pack,
+            embeds,
+            emask,
             greedy_only=greedy_only,
             use_presence=use_presence,
+            use_embeds=use_embeds,
         )
         return sampled, logprobs
 

@@ -79,6 +79,11 @@ class _StepBundle:
     step_results: List[Tuple[object, Optional[object]]] = field(
         default_factory=list
     )
+    # multi-step fast path: ONE packed device array [2, steps, S]
+    # (tokens bitcast + logprobs) — a single fetch per bundle
+    packed: Optional[object] = None
+    # decode steps covered by this dispatch (pipeline-lag accounting)
+    steps: int = 1
     # rid -> (epoch, compact_index) for sequences whose sample is real
     seq_map: Dict[str, Tuple[int, int]] = field(default_factory=dict)
 
@@ -108,6 +113,11 @@ class Scheduler:
         self.prefix_cache = prefix_cache
         if prefix_cache is not None and hasattr(prefix_cache, "attach_spill"):
             prefix_cache.attach_spill(self.block_mgr, runner)
+        # Pipeline lag is measured in STEPS, not bundles: a multi-step
+        # decode bundle already covers `steps` device steps of latency
+        # hiding, while ragged prefill bundles cover one each. This keeps
+        # prefill deeply pipelined without adding 6x zombie-decode lag
+        # after a multi-step bundle.
         self.pipeline_depth = (
             pipeline_depth
             if pipeline_depth is not None
@@ -130,6 +140,9 @@ class Scheduler:
         self._epoch: Dict[str, int] = {}
         self._base_len: Dict[str, int] = {}
         self._dispatched: Dict[str, int] = {}
+        # deferred block-table growth (req, table_idx, block), applied in
+        # one batched dispatch right before the next step dispatch
+        self._pending_growth: List[Tuple[Request, int, int]] = []
         self.stats = SchedulerStats()
         self._default_stop_tokens = set(stop_tokens or set())
 
@@ -181,8 +194,21 @@ class Scheduler:
         bundle = self._dispatch_step()
         if bundle is not None:
             self._inflight.append(bundle)
-        while len(self._inflight) > self.pipeline_depth:
-            outputs.extend(self._process_bundle(self._inflight.popleft()))
+        if self.pipeline_depth == 0:  # synchronous mode (CPU tests)
+            while self._inflight:
+                outputs.extend(self._process_bundle(self._inflight.popleft()))
+        else:
+            # keep >= 1 bundle in flight; lag is measured in device STEPS
+            # so a K-step decode bundle counts as K (it hides K steps of
+            # fetch latency on its own, and extra bundles of lag would
+            # only add zombie decode after a finish).
+            while (
+                len(self._inflight) > 1
+                and sum(b.steps for b in self._inflight) > self.pipeline_depth
+            ):
+                outputs.extend(
+                    self._process_bundle(self._inflight.popleft())
+                )
         if bundle is None:
             # nothing dispatchable -> drain whatever is in flight
             while self._inflight:
@@ -255,6 +281,15 @@ class Scheduler:
         return n if n < len(self.slots) else None
 
     def _schedule_waiting(self) -> None:
+        admissions: List[Dict] = []
+        try:
+            self._collect_admissions(admissions)
+        finally:
+            if admissions:
+                # ONE device dispatch for the whole admission burst
+                self.runner.admit_slots(admissions, self._n_occupied)
+
+    def _collect_admissions(self, admissions: List[Dict]) -> None:
         while self.waiting:
             slot = self._free_slot()
             if slot is None:
@@ -326,19 +361,20 @@ class Scheduler:
             self._base_len[rid] = len(tokens)
             self._dispatched[rid] = 0
             sp = req.sampling_params
-            self.runner.admit_slot(
-                slot,
-                req.blocks,
-                cached_tokens,
-                self._n_occupied,
-                temperature=sp.temperature,
-                top_k=sp.top_k,
-                top_p=sp.top_p,
-                min_p=sp.min_p,
-                repetition_penalty=sp.repetition_penalty,
-                presence_penalty=sp.presence_penalty,
-                prompt_tail=tokens[-20:],
-                seed=sp.seed if sp.seed is not None else -1,
+            admissions.append(
+                dict(
+                    slot=slot,
+                    table=req.blocks,
+                    kv_len=cached_tokens,
+                    temperature=sp.temperature,
+                    top_k=sp.top_k,
+                    top_p=sp.top_p,
+                    min_p=sp.min_p,
+                    repetition_penalty=sp.repetition_penalty,
+                    presence_penalty=sp.presence_penalty,
+                    prompt_tail=tokens[-20:],
+                    seed=sp.seed if sp.seed is not None else -1,
+                )
             )
             if self.detok is not None and req.detok_state is None:
                 req.detok_state = self.detok.new_state(tokens[-6:])
@@ -368,10 +404,25 @@ class Scheduler:
                 self._preempt(req)
                 return False
             req.blocks.append(blocks[0])
-            self.runner.extend_table(
-                req.slot, len(req.blocks) - 1, blocks[0]
+            # batched: flushed in ONE device dispatch before the step
+            # (epoch-tagged so preempt+readmit can't apply stale writes)
+            self._pending_growth.append(
+                (req, self._epoch.get(rid, 0), len(req.blocks) - 1, blocks[0])
             )
         return True
+
+    def _flush_growth(self) -> None:
+        if not self._pending_growth:
+            return
+        ups = [
+            (r.slot, i, b)
+            for r, ep, i, b in self._pending_growth
+            if r.status == RequestStatus.RUNNING
+            and r.slot is not None
+            and self._epoch.get(r.request_id) == ep
+        ]
+        self._pending_growth.clear()
+        self.runner.extend_tables(ups)
 
     def _dest_for(self, req: Request, pos: int) -> int:
         idx = pos // self.page_size
@@ -397,6 +448,7 @@ class Scheduler:
         decoding = [
             r for r in self.running if r.status == RequestStatus.RUNNING
         ]
+        self._flush_growth()
         if not decoding:
             return None
         greedy = all(r.sampling_params.temperature == 0 for r in decoding)
@@ -409,13 +461,6 @@ class Scheduler:
             sampled, logprobs = self.runner.decode_fast(
                 greedy, use_presence=presence
             )
-            step_arrays = [(sampled, logprobs)]
-        else:
-            tokens, logprobs = self.runner.decode_fast_multi(
-                greedy, steps, use_presence=presence
-            )
-            step_arrays = [(tokens[i], logprobs[i]) for i in range(steps)]
-        for sampled, logprobs in step_arrays:
             try:
                 sampled.copy_to_host_async()
                 if want_lp:
@@ -425,6 +470,16 @@ class Scheduler:
             bundle.step_results.append(
                 (sampled, logprobs if want_lp else None)
             )
+        else:
+            packed = self.runner.decode_fast_multi(
+                greedy, steps, use_presence=presence
+            )
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            bundle.packed = packed
+            bundle.steps = steps
         for r in decoding:
             rid = r.request_id
             self._dispatched[rid] += steps
@@ -748,15 +803,20 @@ class Scheduler:
 
     def _process_bundle(self, bundle: _StepBundle) -> List[RequestOutput]:
         outs: List[RequestOutput] = []
-        if not bundle.step_results:
+        if bundle.packed is not None:
+            from .model_runner import unpack_multi
+
+            arrays = unpack_multi(np.asarray(bundle.packed))
+        elif bundle.step_results:
+            arrays = [
+                (
+                    np.asarray(s),
+                    np.asarray(lp) if lp is not None else None,
+                )
+                for s, lp in bundle.step_results
+            ]
+        else:
             return outs
-        arrays = [
-            (
-                np.asarray(s),
-                np.asarray(lp) if lp is not None else None,
-            )
-            for s, lp in bundle.step_results
-        ]
         for rid, (epoch, idx) in bundle.seq_map.items():
             req = self.requests.get(rid)
             if (
