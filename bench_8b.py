@@ -108,6 +108,7 @@ def main():
                 max_prefill_tokens=2048,
                 prefill_chunk_sizes=[128, 2048],
                 max_model_len=2048,
+                decode_steps_per_dispatch=32,
             ),
         ),
         tokenizer=None,

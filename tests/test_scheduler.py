@@ -351,3 +351,26 @@ class TestStopHeldFlush:
         assert text2 == "#"  # holdback released, not dropped
         assert req.output_text == "x#"
         assert req.get_finish_reason() == "stop"
+
+
+class TestSelfPreemptionFailsafe:
+    def test_overgrown_request_fails_instead_of_livelock(
+        self, tiny_cfg, tiny_params, rng
+    ):
+        """A request whose generation outgrows the whole pool must finish
+        with an error, not self-preempt/recompute forever (round-1
+        review: the guard was one-sided)."""
+        prompt = rng.integers(2, 128, size=6).tolist()
+        sched = make_scheduler(
+            tiny_cfg, tiny_params, num_blocks=4, block_size=8,
+            stop_tokens=frozenset(),
+        )
+        sched.add_request(_req("big", prompt, max_tokens=100))
+        outs = run_to_completion(sched, max_steps=300)
+        assert outs["big"].finish_reason == "error"
+        # pool fully reclaimed; scheduler still serves new work
+        assert sched.block_mgr.num_active_blocks == 0
+        prompt2 = rng.integers(2, 128, size=4).tolist()
+        sched.add_request(_req("ok", prompt2, max_tokens=4))
+        outs2 = run_to_completion(sched)
+        assert outs2["ok"].finish_reason in ("stop", "length")

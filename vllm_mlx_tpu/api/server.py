@@ -324,6 +324,10 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
         json_mode = True
         if req.response_format.type == "json_schema" and req.response_format.json_schema:
             json_schema = req.response_format.json_schema.schema_
+        # FSM enforcement: the sampler only ever sees schema-valid tokens
+        # (reference lm-format-enforcer allow-masks); the prompt guidance
+        # below additionally steers content quality.
+        kwargs["json_schema_enforce"] = json_schema
         guidance = build_json_system_prompt(json_schema)
         if messages and messages[0].get("role") == "system":
             messages[0] = {

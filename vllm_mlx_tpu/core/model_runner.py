@@ -45,6 +45,11 @@ logger = logging.getLogger(__name__)
 
 Params = Dict[str, Any]
 
+# FSM-constrained rows per step are padded to this fixed count (one jit
+# variant); the scheduler caps concurrently-running enforced requests
+# to match.
+_MASK_BUCKET = 8
+
 
 def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
     path = path or os.path.expanduser("~/.cache/vllm_mlx_tpu/jax_cache")
@@ -93,6 +98,9 @@ class StepInput:
     # multimodal embedding overrides (vision features at image rows)
     token_embeds: Optional[np.ndarray] = None  # [T, H] f32
     embeds_mask: Optional[np.ndarray] = None  # [T] bool
+    # FSM-constrained rows: compact seq indices + packed vocab bitmasks
+    allow_rows: Optional[np.ndarray] = None  # [M] i32 (-1 = padding)
+    allow_words: Optional[np.ndarray] = None  # [M, ceil(V/32)] u32
 
 
 def unpack_multi(packed: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -222,6 +230,8 @@ class ModelRunner:
         embeds_mask: jax.Array,  # [T] bool
         greedy_only: bool,
         use_presence: bool = False,
+        allow_rows: Optional[jax.Array] = None,  # [M] i32
+        allow_words: Optional[jax.Array] = None,  # [M, W32] u32
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
@@ -248,10 +258,27 @@ class ModelRunner:
 
         slot_sampling = jax.tree.map(lambda a: a[seq_slots], state.sampling)
         key = jax.random.fold_in(self._rng_base, state.step_count)
+        allow_mask = None
+        if allow_rows is not None and allow_words is not None:
+            # expand packed per-row bitmasks into a full [S, V] bool mask
+            # (non-listed rows allow everything)
+            v = logits.shape[-1]
+            w32 = allow_words.shape[-1]
+            bits = (
+                allow_words[:, :, None]
+                >> jnp.arange(32, dtype=jnp.uint32)
+            ) & jnp.uint32(1)
+            row_masks = bits.reshape(allow_words.shape[0], w32 * 32)[
+                :, :v
+            ].astype(bool)
+            full = jnp.ones((s, v), dtype=bool)
+            rows = jnp.where(allow_rows >= 0, allow_rows, s)
+            allow_mask = full.at[rows].set(row_masks, mode="drop")
         sampled, logprobs = sample_tokens(
             logits, slot_sampling, key, greedy_only=greedy_only,
             seed_base=self._rng_base, counters=kv_lens,
             use_presence=use_presence,
+            allow_mask=allow_mask,
         )
         advanced = advance_repetition_state(
             slot_sampling, sampled, advance_mask,
@@ -298,6 +325,8 @@ class ModelRunner:
         greedy_only: bool,
         use_presence: bool = False,
         use_embeds: bool = False,
+        allow_rows: Optional[jax.Array] = None,
+        allow_words: Optional[jax.Array] = None,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         """One ragged step from TWO packed host uploads. Every h2d
         transfer costs ~30 ms latency on this platform, so the ~11
@@ -334,6 +363,8 @@ class ModelRunner:
             embeds_mask,
             greedy_only=greedy_only,
             use_presence=use_presence,
+            allow_rows=allow_rows,
+            allow_words=allow_words,
         )
 
     # -------------------------------------------------- pure-decode fast path
@@ -773,6 +804,15 @@ class ModelRunner:
         seq_pack[4 * s + 1] = inp.num_seqs
         seq_pack[4 * s + 2 :] = inp.page_indices.reshape(-1)
 
+        allow_rows = allow_words = None
+        if inp.allow_rows is not None and len(inp.allow_rows) > 0:
+            m = _MASK_BUCKET
+            w32 = -(-self.cfg.vocab_size // 32)
+            allow_rows = np.full(m, -1, np.int32)
+            allow_words = np.zeros((m, w32), np.uint32)
+            k = min(m, len(inp.allow_rows))
+            allow_rows[:k] = inp.allow_rows[:k]
+            allow_words[:k, : inp.allow_words.shape[1]] = inp.allow_words[:k]
         use_embeds = inp.token_embeds is not None
         if use_embeds:
             embeds = np.zeros((bucket, self.cfg.hidden_size), np.float32)
@@ -792,6 +832,8 @@ class ModelRunner:
             greedy_only=greedy_only,
             use_presence=use_presence,
             use_embeds=use_embeds,
+            allow_rows=allow_rows,
+            allow_words=allow_words,
         )
         return sampled, logprobs
 

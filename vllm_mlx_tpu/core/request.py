@@ -97,6 +97,12 @@ class Request:
     # Detokenizer state (owned by the output processor)
     detok_state: Any = None
 
+    # FSM-constrained decoding (owned by the scheduler): a
+    # JsonTokenEnforcer and its current parse state. Enforced requests
+    # run synchronously on the ragged path with per-step allow-masks.
+    enforcer: Any = None
+    fsm_state: Any = None
+
     finish_reason: Optional[str] = None
     first_token_time: Optional[float] = None
     finish_time: Optional[float] = None

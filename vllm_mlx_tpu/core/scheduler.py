@@ -194,7 +194,12 @@ class Scheduler:
         bundle = self._dispatch_step()
         if bundle is not None:
             self._inflight.append(bundle)
-        if self.pipeline_depth == 0:  # synchronous mode (CPU tests)
+        if self._has_enforced():
+            # constrained decoding: the next step's mask depends on this
+            # step's token -> consume results before dispatching again
+            while self._inflight:
+                outputs.extend(self._process_bundle(self._inflight.popleft()))
+        elif self.pipeline_depth == 0:  # synchronous mode (CPU tests)
             while self._inflight:
                 outputs.extend(self._process_bundle(self._inflight.popleft()))
         else:
@@ -213,6 +218,12 @@ class Scheduler:
             # nothing dispatchable -> drain whatever is in flight
             while self._inflight:
                 outputs.extend(self._process_bundle(self._inflight.popleft()))
+        if self._immediate_outputs:
+            # failures raised DURING dispatch (e.g. the self-preemption
+            # failsafe) must be delivered now — the engine loop may idle
+            # once nothing is unfinished, so "next step" never comes
+            outputs.extend(self._immediate_outputs)
+            self._immediate_outputs.clear()
         return outputs
 
     def recover_from_error(self, error: BaseException) -> List[RequestOutput]:
@@ -290,11 +301,19 @@ class Scheduler:
                 self.runner.admit_slots(admissions, self._n_occupied)
 
     def _collect_admissions(self, admissions: List[Dict]) -> None:
+        from .model_runner import _MASK_BUCKET
+
         while self.waiting:
             slot = self._free_slot()
             if slot is None:
                 return
             req = self.waiting[0]
+            if req.enforcer is not None:
+                n_enforced = sum(
+                    1 for r in self.running if r.enforcer is not None
+                )
+                if n_enforced >= _MASK_BUCKET:
+                    return  # FCFS: wait for an enforced slot to free up
             tokens = _all_tokens(req)
             cached_tokens = 0
             cached_blocks: List[int] = []
@@ -401,7 +420,7 @@ class Scheduler:
                 self._preempt_someone(excluding=req)
                 blocks = self.block_mgr.allocate(1)
             if blocks is None:
-                self._preempt(req)
+                self._preempt(req, is_self=True)
                 return False
             req.blocks.append(blocks[0])
             # batched: flushed in ONE device dispatch before the step
@@ -430,10 +449,17 @@ class Scheduler:
             return self.runner.num_pages * self.page_size  # OOB sentinel
         return req.blocks[idx] * self.page_size + pos % self.page_size
 
+    def _has_enforced(self) -> bool:
+        return any(r.enforcer is not None for r in self.running)
+
     def _dispatch_step(self) -> Optional[_StepBundle]:
-        # Pure-decode fast path: every running request is decode-ready ->
-        # dispatch the zero-upload compiled step over device state.
+        # FSM-constrained requests need a fresh allow-mask per sampled
+        # token: single-step ragged dispatch, consumed synchronously.
         if self.running and not self._pending_prompt:
+            if self._has_enforced():
+                return self._dispatch_ragged()
+            # Pure-decode fast path: every running request is
+            # decode-ready -> zero-upload multi-step compiled bundles.
             return self._dispatch_decode_fast()
         return self._dispatch_ragged()
 
@@ -603,6 +629,28 @@ class Scheduler:
             i += 1
         cu_q_lens[i + 1 :] = cu_q_lens[i]
 
+        # FSM-constrained rows: per-seq packed allow-masks for every
+        # enforced request that samples this step
+        allow_rows_l: List[int] = []
+        allow_words_l: List[np.ndarray] = []
+        idx_of = {}
+        for rid, (ep, i_seq) in bundle.seq_map.items():
+            idx_of[rid] = i_seq
+        for req in self.running:
+            if req.enforcer is None:
+                continue
+            i_seq = idx_of.get(req.request_id)
+            if i_seq is None or not advance_mask[i_seq]:
+                continue
+            mask = req.enforcer.allowed_mask(req.fsm_state)
+            words = np.packbits(
+                mask, bitorder="little"
+            ).view(np.uint8)
+            w32 = -(-mask.shape[0] // 32)
+            padded = np.zeros(w32 * 4, np.uint8)
+            padded[: words.shape[0]] = words
+            allow_rows_l.append(i_seq)
+            allow_words_l.append(padded.view(np.uint32))
         inp = StepInput(
             token_ids=token_ids,
             from_device=from_device,
@@ -618,6 +666,12 @@ class Scheduler:
             total_tokens=total_t,
             token_embeds=token_embeds,
             embeds_mask=embeds_mask,
+            allow_rows=(
+                np.asarray(allow_rows_l, np.int32) if allow_rows_l else None
+            ),
+            allow_words=(
+                np.stack(allow_words_l) if allow_words_l else None
+            ),
         )
         presence = any(
             r.sampling_params.presence_penalty != 0
@@ -652,7 +706,29 @@ class Scheduler:
         victim = max(candidates, key=lambda r: (r.priority, r.arrival_time))
         self._preempt(victim)
 
-    def _preempt(self, req: Request) -> None:
+    def _preempt(self, req: Request, is_self: bool = False) -> None:
+        # Livelock guard (round-1 review): a request whose
+        # prompt+generation PROVABLY outgrows the whole pool would
+        # self-preempt and recompute forever (each retry needs MORE
+        # blocks than the last). Fail it. Contention-driven
+        # self-preemptions (fits alone, pool busy) still re-queue: they
+        # make progress once earlier requests finish.
+        total_needed = -(-(req.num_prompt_tokens
+                           + len(req.output_token_ids) + 1)
+                         // self.page_size)
+        doomed = total_needed > self.block_mgr.num_blocks - 1
+        if is_self and doomed:
+            logger.error(
+                "request %s needs %d blocks but the pool only has %d; "
+                "failing it (generation exceeds KV cache capacity)",
+                req.request_id,
+                total_needed,
+                self.block_mgr.num_blocks - 1,
+            )
+            self._release(req)
+            req.set_finished(RequestStatus.FINISHED_ERROR, "error")
+            self._immediate_outputs.append(self._make_output(req, [], ""))
+            return
         logger.warning(
             "preempting request %s (out of KV blocks)", req.request_id
         )
@@ -714,6 +790,8 @@ class Scheduler:
         """Append one generated token; returns (new_tokens, emitted_text)."""
         req.output_token_ids.append(token)
         req.output_logprobs.append(logprob)
+        if req.enforcer is not None:
+            req.fsm_state = req.enforcer.advance(req.fsm_state, token)
         if req.first_token_time is None:
             req.first_token_time = time.time()
         self.stats.num_generated_tokens += 1

@@ -75,6 +75,8 @@ def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
     return int(num)
 
 
+_UNSET = object()
+
 _SAMPLING_KEYS = {
     "max_tokens", "temperature", "top_p", "top_k", "min_p",
     "presence_penalty", "repetition_penalty", "stop", "stop_token_ids",
@@ -239,11 +241,38 @@ class BatchedEngine(BaseEngine):
         sp = SamplingParams(
             **{k: v for k, v in kwargs.items() if k in _SAMPLING_KEYS}
         )
-        return Request(
+        req = Request(
             request_id=request_id or f"req-{uuid.uuid4().hex[:16]}",
             prompt=prompt,
             sampling_params=sp,
         )
+        schema = kwargs.get("json_schema_enforce", _UNSET)
+        if schema is not _UNSET:
+            req.enforcer = self._get_enforcer(schema)
+            req.fsm_state = req.enforcer.initial_state()
+        return req
+
+    def _get_enforcer(self, schema):
+        """Cached JsonTokenEnforcer per schema (the token trie is shared
+        across schemas via the tokenizer-level cache; reference
+        constrained/cache.py:136)."""
+        import json as _json
+
+        from ..constrained.fsm import JsonTokenEnforcer
+
+        key = _json.dumps(schema, sort_keys=True) if schema else ""
+        if not hasattr(self, "_enforcers"):
+            self._enforcers = {}
+        enf = self._enforcers.get(key)
+        if enf is None:
+            eos = sorted(self.scheduler._default_stop_tokens) if (
+                self.scheduler is not None
+            ) else None
+            enf = JsonTokenEnforcer(
+                self._tokenizer, schema or None, eos_ids=eos
+            )
+            self._enforcers[key] = enf
+        return enf
 
     async def _stream(
         self, request: Request
