@@ -58,6 +58,15 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                         "(0 disables)")
     p.add_argument("--kv-disk-cache-dir", default=None,
                    help="disk layer under the host tier (persists restarts)")
+    p.add_argument(
+        "--speculative-model",
+        help="Draft model checkpoint for greedy speculative decoding "
+        "(must share the target's tokenizer/vocab)",
+    )
+    p.add_argument(
+        "--num-speculative-tokens", type=int, default=3,
+        help="Draft tokens proposed per speculative round",
+    )
     p.add_argument("--quantization", choices=["none", "int8", "int4"],
                    default="none",
                    help="quantize weights at load time")
@@ -121,6 +130,8 @@ def serve_command(args: argparse.Namespace) -> None:
         stream_interval=args.stream_interval,
         seed=args.seed,
         quantization=None if args.quantization == "none" else args.quantization,
+        speculative_model=args.speculative_model,
+        num_speculative_tokens=args.num_speculative_tokens,
     )
     metrics = MetricsCollector(engine) if args.enable_metrics else None
     served = args.served_model_name or args.model

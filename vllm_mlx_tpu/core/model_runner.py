@@ -77,6 +77,10 @@ class RunnerState:
     block_tables: jax.Array  # [slots, pages_per_seq] i32
     kv_lens: jax.Array  # [slots] i32 — tokens whose KV is written
     n_active: jax.Array  # scalar i32 — decode-ready slot count
+    # Speculative decoding: the DRAFT model's KV pool (same page
+    # geometry as the target pool, so block tables and kv_lens are
+    # shared). None when speculation is off.
+    draft_pages: Optional[List[jax.Array]] = None
 
 
 @dataclass
@@ -168,6 +172,9 @@ class ModelRunner:
             donate_argnums=(1,),
         )
         self._multi_jits: Dict[Tuple[bool, int], Any] = {}
+        self.draft_params: Optional[Params] = None
+        self.draft_cfg = None
+        self.spec_k = 0
         self._admit_jit = jax.jit(self._admit, donate_argnums=(0,))
         self._move_jit = jax.jit(self._move_slot, donate_argnums=(0,))
         self._extend_jit = jax.jit(self._extend_table, donate_argnums=(0,))
@@ -232,11 +239,28 @@ class ModelRunner:
         use_presence: bool = False,
         allow_rows: Optional[jax.Array] = None,  # [M] i32
         allow_words: Optional[jax.Array] = None,  # [M, W32] u32
+        draft_params: Optional[Params] = None,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
             from_device, state.device_tokens[token_slot], token_ids
         )
+        # speculative mode: the draft model's KV pool must track every
+        # prefill/decode the target sees (same inputs, own pages)
+        new_draft_pages = state.draft_pages
+        if draft_params is not None and state.draft_pages is not None:
+            _, new_draft_pages = decoder.unified_forward(
+                draft_params,
+                self.draft_cfg,
+                tokens,
+                positions,
+                state.draft_pages,
+                kv_dest,
+                kv_lens,
+                page_indices,
+                cu_q_lens,
+                num_seqs,
+            )
         hidden, new_pages = decoder.unified_forward(
             params,
             self.cfg,
@@ -311,6 +335,7 @@ class ModelRunner:
             block_tables=new_tables,
             kv_lens=new_kv_lens,
             n_active=state.n_active,
+            draft_pages=new_draft_pages,
         )
         return new_state, sampled, logprobs
 
@@ -327,6 +352,7 @@ class ModelRunner:
         use_embeds: bool = False,
         allow_rows: Optional[jax.Array] = None,
         allow_words: Optional[jax.Array] = None,
+        draft_params: Optional[Params] = None,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         """One ragged step from TWO packed host uploads. Every h2d
         transfer costs ~30 ms latency on this platform, so the ~11
@@ -365,12 +391,166 @@ class ModelRunner:
             use_presence=use_presence,
             allow_rows=allow_rows,
             allow_words=allow_words,
+            draft_params=draft_params,
         )
+
+    # --------------------------------------------------- speculative decoding
+    def enable_speculative(self, draft_params, draft_cfg, k: int) -> None:
+        """Attach a draft model (same tokenizer/vocab, same page geometry
+        pool). The reference's MTP speculation is draft-1/verify-1 over
+        monkey-patched mlx-lm (reference scheduler.py:699-1130); here a
+        spec round is ONE compiled program: k draft decode steps +
+        a ragged verify of k+1 rows/seq + on-device acceptance and
+        kv-length rollback — no host round-trip in the loop, which
+        matters at ~30 ms/sync on this platform."""
+        if draft_cfg.vocab_size != self.cfg.vocab_size:
+            raise ValueError("draft/target vocab mismatch")
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec_k = int(k)
+        self.state = replace(
+            self.state,
+            draft_pages=make_kv_pages(
+                draft_cfg.num_hidden_layers,
+                self.num_pages,
+                self.page_size,
+                draft_cfg.num_key_value_heads,
+                draft_cfg.head_dim,
+                dtype=self.kv_dtype,
+            ),
+        )
+        self._spec_jit = jax.jit(
+            functools.partial(self._spec_round, k=self.spec_k),
+            donate_argnums=(2,),
+        )
+
+    def _spec_round(
+        self, params: Params, draft_params: Params, state: RunnerState,
+        k: int,
+    ) -> Tuple[RunnerState, jax.Array]:
+        """One greedy speculative round for every active slot.
+
+        Returns (state, packed [k+1, S] f32): bitcast int32 tokens with
+        -1 marking rejected positions; row j holds the j-th emitted
+        token of the round (accepted drafts then the bonus token).
+        """
+        s = self.max_num_seqs
+        ps = self.page_size
+        n_act = state.n_active
+        active = jnp.arange(s) < n_act
+        base = state.kv_lens  # [S]; device_tokens sit at position base
+        tables = state.block_tables
+        cu = jnp.minimum(jnp.arange(s + 1, dtype=jnp.int32), n_act)
+        oob = self.num_pages * ps
+        max_pos = self.sched_cfg.max_model_len - 1
+
+        def dest_at(pos):
+            idx = jnp.minimum(pos // ps, self.pages_per_seq - 1)
+            d = tables[jnp.arange(s), idx] * ps + pos % ps
+            return jnp.where(active & (pos <= max_pos), d, oob)
+
+        # ---- draft: k proposals (+1 step so the draft pool also holds
+        # d_k's KV — keeps next round's draft conditioning complete)
+        dpages = state.draft_pages
+        dt = state.device_tokens
+        drafts = []
+        for i in range(k + 1):
+            pos = base + i
+            dhid, dpages = decoder.unified_forward(
+                draft_params,
+                self.draft_cfg,
+                dt,
+                jnp.where(active, jnp.minimum(pos, max_pos), 0),
+                dpages,
+                dest_at(pos),
+                jnp.where(active, pos + 1, 0),
+                tables,
+                cu,
+                n_act[None],
+            )
+            dlogits = decoder.compute_logits(draft_params, self.draft_cfg, dhid)
+            dt = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+            if i < k:
+                drafts.append(dt)
+        draft_toks = jnp.stack(drafts, axis=1)  # [S, k] = d_1..d_k
+
+        # ---- target verify: k+1 rows per slot = [y, d_1..d_k]
+        row_tokens = jnp.concatenate(
+            [state.device_tokens[:, None], draft_toks], axis=1
+        )  # [S, k+1]
+        row_pos = base[:, None] + jnp.arange(k + 1)[None, :]  # [S, k+1]
+        flat_tokens = row_tokens.reshape(-1)
+        flat_pos = jnp.where(
+            active[:, None], jnp.minimum(row_pos, max_pos), 0
+        ).reshape(-1)
+        idx = jnp.minimum(row_pos // ps, self.pages_per_seq - 1)
+        flat_dest = jnp.where(
+            active[:, None] & (row_pos <= max_pos),
+            jnp.take_along_axis(tables, idx, axis=1) * ps + row_pos % ps,
+            oob,
+        ).reshape(-1)
+        hidden, new_pages = decoder.unified_forward(
+            params,
+            self.cfg,
+            flat_tokens,
+            flat_pos,
+            state.kv_pages,
+            flat_dest,
+            jnp.where(active, base + k + 1, 0),
+            tables,
+            cu * (k + 1),
+            n_act[None],
+            self.sched_cfg.moe_top_k,
+        )
+        logits = decoder.compute_logits(params, self.cfg, hidden)
+        preds = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(
+            s, k + 1
+        )
+
+        # ---- acceptance: longest prefix of drafts matching the target
+        match = preds[:, :k] == draft_toks  # [S, k]
+        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+        j = jnp.arange(k + 1)[None, :]
+        draft_pad = jnp.concatenate(
+            [draft_toks, jnp.zeros((s, 1), jnp.int32)], axis=1
+        )
+        out = jnp.where(
+            j < n_acc[:, None],
+            draft_pad,
+            jnp.where(j == n_acc[:, None], preds, -1),
+        )
+        # positions beyond the model-length cap are never emitted
+        out = jnp.where(
+            active[:, None] & (row_pos <= max_pos), out, -1
+        )
+        bonus = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
+        emitted = jnp.sum(out >= 0, axis=1)  # [S] tokens this round
+
+        new_state = replace(
+            state,
+            kv_pages=new_pages,
+            draft_pages=dpages,
+            device_tokens=jnp.where(active, bonus, state.device_tokens),
+            kv_lens=jnp.where(active, base + emitted, base),
+            step_count=state.step_count + 1,
+        )
+        packed = jax.lax.bitcast_convert_type(
+            out.T.astype(jnp.int32), jnp.float32
+        )  # [k+1, S]
+        return new_state, packed
+
+    def spec_round(self) -> jax.Array:
+        """Dispatch one speculative round; returns packed [k+1, S] f32
+        (bitcast int32 tokens, -1 = nothing emitted at that row)."""
+        self.state, packed = self._spec_jit(
+            self.params, self.draft_params, self.state
+        )
+        return packed
 
     # -------------------------------------------------- pure-decode fast path
     def _decode_fast(
         self, params: Params, state: RunnerState, greedy_only: bool,
-        use_presence: bool = False,
+        use_presence: bool = False, draft_params: Optional[Params] = None,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         """One decode token for every active slot, built entirely from
         device state — no host uploads on the hot path."""
@@ -401,6 +581,20 @@ class ModelRunner:
             n[None],
             self.sched_cfg.moe_top_k,
         )  # decode never overrides embeds
+        new_draft_pages = state.draft_pages
+        if draft_params is not None and state.draft_pages is not None:
+            _, new_draft_pages = decoder.unified_forward(
+                draft_params,
+                self.draft_cfg,
+                state.device_tokens,
+                jnp.where(active, pos, 0),
+                state.draft_pages,
+                kv_dest,
+                kv_lens_att,
+                state.block_tables,
+                cu_q_lens,
+                n[None],
+            )
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)
         sampled, logprobs = sample_tokens(
@@ -419,6 +613,7 @@ class ModelRunner:
             block_tables=state.block_tables,
             kv_lens=jnp.where(active, pos + 1, pos),
             n_active=state.n_active,
+            draft_pages=new_draft_pages,
         )
         return new_state, sampled, logprobs
 
@@ -427,13 +622,14 @@ class ModelRunner:
     ) -> Tuple[jax.Array, jax.Array]:
         self.state, sampled, logprobs = self._decode_jit(
             self.params, self.state, greedy_only=greedy_only,
-            use_presence=use_presence,
+            use_presence=use_presence, draft_params=self.draft_params,
         )
         return sampled, logprobs
 
     def _decode_fast_multi(
         self, params: Params, state: RunnerState, greedy_only: bool,
         steps: int, use_presence: bool = False,
+        draft_params: Optional[Params] = None,
     ) -> Tuple[RunnerState, jax.Array]:
         """``steps`` chained decode steps in one compiled program —
         amortizes dispatch/fetch overhead (the tokens feed back entirely
@@ -443,7 +639,8 @@ class ModelRunner:
 
         def body(st, _):
             st, tok, lp = self._decode_fast(
-                params, st, greedy_only, use_presence
+                params, st, greedy_only, use_presence,
+                draft_params=draft_params,
             )
             return st, (tok, lp)
 
@@ -477,7 +674,9 @@ class ModelRunner:
                 donate_argnums=(1,),
             )
             self._multi_jits[key] = jit
-        self.state, packed = jit(self.params, self.state)
+        self.state, packed = jit(
+            self.params, self.state, draft_params=self.draft_params
+        )
         return packed
 
     # -------------------------------------------- slot admin (single dispatch)
@@ -834,6 +1033,7 @@ class ModelRunner:
             use_embeds=use_embeds,
             allow_rows=allow_rows,
             allow_words=allow_words,
+            draft_params=self.draft_params,
         )
         return sampled, logprobs
 

@@ -84,6 +84,9 @@ class _StepBundle:
     packed: Optional[object] = None
     # decode steps covered by this dispatch (pipeline-lag accounting)
     steps: int = 1
+    # speculative round: packed is [k+1, S] emitted tokens (-1 = none);
+    # host accounting assumed k+1 tokens and is corrected on processing
+    spec: bool = False
     # rid -> (epoch, compact_index) for sequences whose sample is real
     seq_map: Dict[str, Tuple[int, int]] = field(default_factory=dict)
 
@@ -452,16 +455,81 @@ class Scheduler:
     def _has_enforced(self) -> bool:
         return any(r.enforcer is not None for r in self.running)
 
+    def _spec_eligible(self) -> bool:
+        """Greedy spec rounds only: no sampling penalties (their device
+        state isn't advanced inside a spec round), no FSM masks, no
+        per-token logprobs."""
+        if self.runner.spec_k <= 0:
+            return False
+        if not self.running or self._pending_prompt:
+            return False
+        for r in self.running:
+            if r.status != RequestStatus.RUNNING:
+                continue
+            sp = r.sampling_params
+            if (
+                sp.temperature != 0
+                or sp.repetition_penalty != 1.0
+                or sp.presence_penalty != 0.0
+                or sp.logprobs
+                or r.enforcer is not None
+            ):
+                return False
+        return True
+
+    def _drain_spec_inflight(self) -> None:
+        """Host position math for ragged dispatch needs exact lengths,
+        but in-flight spec bundles carry worst-case accounting — settle
+        them first."""
+        if any(b.spec for b in self._inflight):
+            while self._inflight:
+                self._immediate_outputs.extend(
+                    self._process_bundle(self._inflight.popleft())
+                )
+
     def _dispatch_step(self) -> Optional[_StepBundle]:
+        spec_ok = self._spec_eligible()
+        if not spec_ok:
+            self._drain_spec_inflight()
         # FSM-constrained requests need a fresh allow-mask per sampled
         # token: single-step ragged dispatch, consumed synchronously.
         if self.running and not self._pending_prompt:
             if self._has_enforced():
                 return self._dispatch_ragged()
+            if spec_ok:
+                return self._dispatch_spec()
             # Pure-decode fast path: every running request is
             # decode-ready -> zero-upload multi-step compiled bundles.
             return self._dispatch_decode_fast()
         return self._dispatch_ragged()
+
+    def _dispatch_spec(self) -> Optional[_StepBundle]:
+        """One device-resident speculative round (draft k + verify +
+        accept/rollback in a single compiled program)."""
+        k = self.runner.spec_k
+        for req in list(self.running):
+            if req.status != RequestStatus.RUNNING:
+                continue
+            self._ensure_growth(req, lookahead=k + 1)
+        decoding = [
+            r for r in self.running if r.status == RequestStatus.RUNNING
+        ]
+        self._flush_growth()
+        if not decoding:
+            return None
+        packed = self.runner.spec_round()
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        bundle = _StepBundle(packed=packed, steps=k + 1, spec=True)
+        for r in decoding:
+            rid = r.request_id
+            # assume the full round for growth bookkeeping; corrected to
+            # the actual emitted count when the bundle is processed
+            self._dispatched[rid] += k + 1
+            bundle.seq_map[rid] = (self._epoch[rid], r.slot)
+        return bundle
 
     def _dispatch_decode_fast(self) -> Optional[_StepBundle]:
         steps = max(1, self.config.decode_steps_per_dispatch)
@@ -881,6 +949,8 @@ class Scheduler:
 
     def _process_bundle(self, bundle: _StepBundle) -> List[RequestOutput]:
         outs: List[RequestOutput] = []
+        if bundle.spec:
+            return self._process_spec_bundle(bundle)
         if bundle.packed is not None:
             from .model_runner import unpack_multi
 
@@ -915,6 +985,47 @@ class Scheduler:
                 )
                 gained += g
                 text += t
+            if gained or text or req.is_finished():
+                outs.append(self._make_output(req, gained, text))
+            if req.is_finished():
+                self.stats.num_finished += 1
+                self._release(req)
+        return outs
+
+    def _process_spec_bundle(
+        self, bundle: _StepBundle
+    ) -> List[RequestOutput]:
+        outs: List[RequestOutput] = []
+        k1 = bundle.steps  # k + 1
+        arr = np.ascontiguousarray(
+            np.asarray(bundle.packed)
+        ).view(np.int32)  # [k+1, S]
+        for rid, (epoch, idx) in bundle.seq_map.items():
+            req = self.requests.get(rid)
+            if (
+                req is None
+                or req.status != RequestStatus.RUNNING
+                or self._epoch.get(rid) != epoch
+            ):
+                continue
+            gained: List[int] = []
+            text = ""
+            emitted = 0
+            for j in range(k1):
+                tok = int(arr[j, idx])
+                if tok < 0:
+                    break
+                emitted += 1
+                if req.is_finished():
+                    continue  # count device-side emissions past a stop
+                g, t = self._process_one_token(req, tok, 0.0)
+                gained += g
+                text += t
+            # settle worst-case growth accounting to reality
+            self._dispatched[rid] -= k1 - emitted
+            req.mtp_drafts += k1 - 1
+            req.mtp_accepted += max(0, emitted - 1)
+            self.stats.num_generated_tokens += 0  # counted per token
             if gained or text or req.is_finished():
                 outs.append(self._make_output(req, gained, text))
             if req.is_finished():

@@ -97,7 +97,11 @@ class BatchedEngine(BaseEngine):
         seed: int = 0,
         params: Any = None,
         quantization: Optional[str] = None,  # None | "int8" | "int4"
+        speculative_model: Optional[str] = None,
+        num_speculative_tokens: int = 3,
     ) -> None:
+        self.speculative_model = speculative_model
+        self.num_speculative_tokens = num_speculative_tokens
         self.quantization = quantization
         self.model_path = model_path
         self._model_config = model_config
@@ -186,6 +190,26 @@ class BatchedEngine(BaseEngine):
             self.scheduler_config,
             rng_seed=self._seed,
         )
+        if self.speculative_model:
+            # draft model for greedy speculative decoding (the
+            # reference's MTP speculation, reference scheduler.py:699)
+            dcfg = ModelConfig.from_pretrained(self.speculative_model)
+            dcfg.dtype = cfg.dtype
+            dparams = loader.load_params(self.speculative_model, dcfg)
+            if self.quantization in ("int8", "int4"):
+                from ..ops.quant import quantize_params
+
+                dparams = quantize_params(
+                    dparams, bits=8 if self.quantization == "int8" else 4
+                )
+            logger.info(
+                "speculative decoding: draft=%s k=%d",
+                self.speculative_model,
+                self.num_speculative_tokens,
+            )
+            runner.enable_speculative(
+                dparams, dcfg, self.num_speculative_tokens
+            )
         if self.enable_prefix_cache:
             host_tier = None
             if self.cache_config.host_cache_bytes > 0:
