@@ -624,3 +624,111 @@ class TestFsmConstrainedDecoding:
         # model; the server repairs truncated JSON (reference behavior),
         # so the payload must still parse
         json.loads(data["choices"][0]["message"]["content"])
+
+
+class TestServerHardening:
+    def test_rate_limiter_429(self, tiny_model_dir, server_client):
+        """Token-bucket rate limiting (reference server.py:1607)."""
+        loop, _ = server_client
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from vllm_mlx_tpu.api.server import build_app
+
+        engine = loop.run_until_complete(_noop_engine())
+
+        async def go():
+            app = build_app(
+                engine,
+                served_models=["tiny-llama"],
+                rate_limit_rps=1.0,
+                rate_limit_burst=2,
+            )
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            statuses = []
+            for _ in range(5):
+                resp = await client.post(
+                    "/v1/messages/count_tokens",
+                    json={
+                        "model": "tiny-llama",
+                        "messages": [{"role": "user", "content": "x"}],
+                    },
+                )
+                statuses.append(resp.status)
+            await client.close()
+            return statuses
+
+        statuses = loop.run_until_complete(go())
+        assert statuses[:2] == [200, 200]
+        assert 429 in statuses[2:]
+
+    def test_request_timeout_408(self, server_client):
+        loop, client = server_client
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from vllm_mlx_tpu.api.server import build_app
+
+        engine = client.app[_engine_key()]
+
+        async def go():
+            app = build_app(
+                engine,
+                served_models=["tiny-llama"],
+                request_timeout=0.05,
+            )
+            c2 = TestClient(TestServer(app))
+            await c2.start_server()
+            resp = await c2.post(
+                "/v1/chat/completions",
+                json={
+                    "model": "tiny-llama",
+                    "messages": [{"role": "user", "content": "x"}],
+                    "max_tokens": 200,
+                    "temperature": 0,
+                },
+            )
+            status = resp.status
+            data = await resp.json()
+            await c2.close()
+            return status, data
+
+        status, data = loop.run_until_complete(go())
+        assert status == 408
+        assert data["error"]["type"] == "timeout_error"
+
+    def test_status_per_request_fields(self, server_client):
+        # generate something, then check the status shape (no active
+        # requests after completion, but the key must exist)
+        _post(
+            server_client,
+            "/v1/chat/completions",
+            {
+                "model": "tiny-llama",
+                "messages": [{"role": "user", "content": "x"}],
+                "max_tokens": 4,
+                "temperature": 0,
+            },
+        )
+        status, data = _get(server_client, "/v1/status")
+        assert status == 200
+        assert "requests" in data["engine"]
+        assert isinstance(data["engine"]["requests"], list)
+
+
+def _engine_key():
+    from vllm_mlx_tpu.api.server import ENGINE_KEY
+
+    return ENGINE_KEY
+
+
+async def _noop_engine():
+    """Engine stub good enough for count_tokens routing."""
+    from unittest.mock import MagicMock
+
+    eng = MagicMock()
+    eng.is_running = True
+    tok = MagicMock()
+    tok.encode = lambda s: [0] * max(1, len(s) // 4)
+    eng.tokenizer = tok
+    eng.apply_chat_template = lambda messages, **kw: "x" * 16
+    return eng

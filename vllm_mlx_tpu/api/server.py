@@ -1259,6 +1259,60 @@ async def metrics_middleware(request: web.Request, handler):
         )
 
 
+def _make_rate_limit_middleware(rps: float, burst: int):
+    """Token-bucket rate limiter per client (api key if present, else
+    remote address); 429 on empty bucket (reference server.py:1607)."""
+    buckets: Dict[str, List[float]] = {}
+
+    @web.middleware
+    async def rate_limit_middleware(request: web.Request, handler):
+        if request.method != "POST" or not request.path.startswith("/v1"):
+            return await handler(request)
+        key = request.headers.get("Authorization") or request.remote or "?"
+        now = time.monotonic()
+        tokens, last = buckets.get(key, (float(burst), now))
+        tokens = min(float(burst), tokens + (now - last) * rps)
+        if tokens < 1.0:
+            buckets[key] = [tokens, now]
+            return _error(
+                429,
+                "Rate limit exceeded, retry later",
+                "rate_limit_error",
+            )
+        buckets[key] = [tokens - 1.0, now]
+        if len(buckets) > 10000:  # bound the table
+            buckets.clear()
+        return await handler(request)
+
+    return rate_limit_middleware
+
+
+def _make_timeout_middleware(budget_s: float):
+    """Per-request wall-clock budget over generation endpoints; the
+    handler task is cancelled on expiry, which closes its output stream
+    and aborts the engine request (reference server.py:4587)."""
+
+    @web.middleware
+    async def timeout_middleware(request: web.Request, handler):
+        if request.method != "POST" or not request.path.startswith("/v1"):
+            return await handler(request)
+        try:
+            async with asyncio.timeout(budget_s):
+                return await handler(request)
+        except TimeoutError:
+            logger.warning(
+                "request to %s exceeded the %.1fs budget", request.path,
+                budget_s,
+            )
+            return _error(
+                408,
+                f"Request exceeded the {budget_s:.0f}s time budget",
+                "timeout_error",
+            )
+
+    return timeout_middleware
+
+
 def build_app(
     engine: BaseEngine,
     *,
@@ -1274,8 +1328,17 @@ def build_app(
     tts_engine=None,
     mcp_manager=None,
     model_manager=None,
+    rate_limit_rps: Optional[float] = None,
+    rate_limit_burst: int = 32,
+    request_timeout: Optional[float] = None,
 ) -> web.Application:
     middlewares = [metrics_middleware] if metrics is not None else []
+    if rate_limit_rps:
+        middlewares.append(
+            _make_rate_limit_middleware(rate_limit_rps, rate_limit_burst)
+        )
+    if request_timeout:
+        middlewares.append(_make_timeout_middleware(request_timeout))
     app = web.Application(
         client_max_size=256 * 1024 * 1024, middlewares=middlewares
     )
@@ -1345,7 +1408,11 @@ async def serve(
         await mgr.start(mcp_servers)
         app_kwargs["mcp_manager"] = mgr
     app = build_app(engine, **app_kwargs)
-    runner = web.AppRunner(app)
+    # handler cancellation: a client disconnect cancels the handler task,
+    # closing its output stream, which aborts the engine request
+    # (reference's disconnect guard + 499, server.py:4295-4586; aiohttp
+    # can't send a status to a gone client, so we log instead)
+    runner = web.AppRunner(app, handler_cancellation=True)
     await runner.setup()
     site = web.TCPSite(runner, host, port)
     await site.start()

@@ -154,6 +154,197 @@ async def run_level(
     }
 
 
+# -------------------------------------------------------- workload contracts
+@dataclass
+class WorkloadCase:
+    """Declarative serving contract (reference bench_serve.py:50): a
+    payload plus QUALITY checks, so the bench detects behavioral
+    regressions, not only speed ones."""
+
+    name: str
+    payload: Dict
+    endpoint: str = "/v1/chat/completions"
+    expect_status: int = 200
+    expect_regex: Optional[str] = None  # must match the response text
+    forbid_regex: Optional[str] = None  # must NOT match
+    expect_json_valid: bool = False  # content parses as JSON
+    min_tokens: int = 0
+    timeout_s: float = 120.0
+
+
+def builtin_workloads(model: str) -> List[WorkloadCase]:
+    msg = [{"role": "user", "content": "Reply with the word apple."}]
+    return [
+        WorkloadCase(
+            name="chat_greedy",
+            payload={"model": model, "messages": msg, "max_tokens": 24,
+                     "temperature": 0},
+            min_tokens=1,
+        ),
+        WorkloadCase(
+            name="chat_sampled_seeded",
+            payload={"model": model, "messages": msg, "max_tokens": 24,
+                     "temperature": 0.8, "seed": 7},
+            min_tokens=1,
+        ),
+        WorkloadCase(
+            name="json_schema_contract",
+            payload={
+                "model": model,
+                "messages": [{"role": "user", "content": "emit"}],
+                "max_tokens": 120,
+                "temperature": 0,
+                "response_format": {
+                    "type": "json_schema",
+                    "json_schema": {
+                        "name": "t",
+                        "schema": {
+                            "type": "object",
+                            "properties": {
+                                "ok": {"type": "boolean"},
+                                "n": {"type": "integer"},
+                            },
+                            "required": ["ok", "n"],
+                            "additionalProperties": False,
+                        },
+                    },
+                },
+            },
+            expect_json_valid=True,
+            expect_regex=r'"ok"',
+        ),
+        WorkloadCase(
+            name="stop_string",
+            payload={"model": model, "messages": msg, "max_tokens": 64,
+                     "temperature": 0, "stop": ["apple"]},
+            forbid_regex=r"apple",
+        ),
+        WorkloadCase(
+            name="completions_basic",
+            endpoint="/v1/completions",
+            payload={"model": model, "prompt": "Once upon a time",
+                     "max_tokens": 16, "temperature": 0},
+            min_tokens=1,
+        ),
+    ]
+
+
+def _extract_text(endpoint: str, data: Dict) -> str:
+    try:
+        ch = data["choices"][0]
+        if endpoint.endswith("chat/completions"):
+            return ch["message"].get("content") or ""
+        return ch.get("text") or ""
+    except (KeyError, IndexError, TypeError):
+        return ""
+
+
+async def _fetch_metrics(session, url: str) -> Dict[str, float]:
+    try:
+        async with session.get(f"{url}/metrics") as resp:
+            if resp.status != 200:
+                return {}
+            out: Dict[str, float] = {}
+            for line in (await resp.text()).splitlines():
+                if line.startswith("#") or " " not in line:
+                    continue
+                name, _, val = line.rpartition(" ")
+                try:
+                    out[name] = float(val)
+                except ValueError:
+                    pass
+            return out
+    except Exception:
+        return {}
+
+
+async def run_workloads(
+    url: str, cases: List[WorkloadCase], repeat: int = 1
+) -> List[Dict]:
+    import re
+
+    rows: List[Dict] = []
+    async with aiohttp.ClientSession() as session:
+        metrics_before = await _fetch_metrics(session, url)
+        for case in cases:
+            passes, fails, latencies, failures = 0, 0, [], []
+            for _ in range(repeat):
+                t0 = time.time()
+                reasons = []
+                try:
+                    async with asyncio.timeout(case.timeout_s):
+                        async with session.post(
+                            f"{url}{case.endpoint}", json=case.payload
+                        ) as resp:
+                            data = await resp.json()
+                            if resp.status != case.expect_status:
+                                reasons.append(
+                                    f"status {resp.status} != "
+                                    f"{case.expect_status}"
+                                )
+                except TimeoutError:
+                    reasons.append(f"timeout > {case.timeout_s}s")
+                    data = {}
+                except Exception as e:
+                    reasons.append(f"error: {e}")
+                    data = {}
+                latencies.append(time.time() - t0)
+                if not reasons:
+                    text = _extract_text(case.endpoint, data)
+                    usage = data.get("usage") or {}
+                    if case.min_tokens and (
+                        usage.get("completion_tokens", 0) < case.min_tokens
+                    ):
+                        reasons.append("too few completion tokens")
+                    if case.expect_regex and not re.search(
+                        case.expect_regex, text
+                    ):
+                        reasons.append(
+                            f"missing /{case.expect_regex}/ in {text[:80]!r}"
+                        )
+                    if case.forbid_regex and re.search(
+                        case.forbid_regex, text
+                    ):
+                        reasons.append(f"forbidden /{case.forbid_regex}/")
+                    if case.expect_json_valid:
+                        try:
+                            json.loads(text)
+                        except (json.JSONDecodeError, TypeError):
+                            reasons.append(f"invalid JSON: {text[:80]!r}")
+                if reasons:
+                    fails += 1
+                    failures.extend(reasons)
+                else:
+                    passes += 1
+            rows.append(
+                {
+                    "case": case.name,
+                    "passes": passes,
+                    "fails": fails,
+                    "p50_latency_ms": round(
+                        1000 * statistics.median(latencies), 1
+                    ),
+                    "failures": failures[:5],
+                }
+            )
+        metrics_after = await _fetch_metrics(session, url)
+    deltas = {
+        k: round(metrics_after[k] - metrics_before.get(k, 0.0), 3)
+        for k in metrics_after
+        if metrics_after[k] != metrics_before.get(k, 0.0)
+        and ("_count" in k or "_total" in k)
+    }
+    if deltas:
+        rows.append({"case": "_metric_deltas", "deltas": deltas})
+    return rows
+
+
+def load_workloads(path: str) -> List[WorkloadCase]:
+    with open(path) as f:
+        raw = json.load(f)
+    return [WorkloadCase(**c) for c in raw]
+
+
 async def amain(args) -> List[Dict]:
     prompts = DEFAULT_PROMPTS
     if args.prompts_file:
@@ -166,6 +357,16 @@ async def amain(args) -> List[Dict]:
             async with session.get(f"{args.url}/v1/models") as resp:
                 models = await resp.json()
                 model = models["data"][0]["id"]
+    if args.workloads is not None:
+        cases = (
+            builtin_workloads(model)
+            if args.workloads == "builtin"
+            else load_workloads(args.workloads)
+        )
+        rows = await run_workloads(args.url, cases, repeat=args.repeat)
+        for row in rows:
+            print(json.dumps(row), flush=True)
+        return rows
     rows = []
     for c in args.concurrency:
         row = await run_level(
@@ -196,11 +397,28 @@ def main(argv=None):
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--prompts-file", default=None)
     p.add_argument("--output", default=None, help="write JSON results here")
+    p.add_argument(
+        "--workloads", default=None,
+        help="'builtin' or a JSON file of WorkloadCase dicts: run "
+        "quality contracts (regex/JSON/token checks + metric deltas) "
+        "instead of the throughput sweep",
+    )
+    p.add_argument("--repeat", type=int, default=3,
+                   help="repetitions per workload case")
+    p.add_argument("--csv", default=None, help="also write results as CSV")
     args = p.parse_args(argv)
     rows = asyncio.run(amain(args))
     if args.output:
         with open(args.output, "w") as f:
             json.dump(rows, f, indent=2)
+    if args.csv and rows:
+        import csv
+
+        keys = sorted({k for r in rows for k in r})
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(rows)
 
 
 if __name__ == "__main__":

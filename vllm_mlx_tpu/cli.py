@@ -41,8 +41,10 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--moe-top-k", type=int, default=None,
                    help="clamp MoE experts-per-token below checkpoint value")
-    p.add_argument("--decode-steps", type=int, default=1,
-                   help="chained decode steps per dispatch (fast path)")
+    p.add_argument("--decode-steps", type=int, default=16,
+                   help="chained decode steps per dispatch on the decode "
+                        "fast path (amortizes the ~3.5 ms host round-trip; "
+                        "32 = max throughput, 1 = lowest finish latency)")
     # kv cache
     p.add_argument("--block-size", type=int, default=32)
     p.add_argument(
@@ -58,6 +60,18 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                         "(0 disables)")
     p.add_argument("--kv-disk-cache-dir", default=None,
                    help="disk layer under the host tier (persists restarts)")
+    p.add_argument(
+        "--rate-limit", type=float, default=None,
+        help="Max requests/second per client (token bucket); 429 beyond",
+    )
+    p.add_argument(
+        "--rate-limit-burst", type=int, default=32,
+        help="Token-bucket burst size for --rate-limit",
+    )
+    p.add_argument(
+        "--request-timeout", type=float, default=None,
+        help="Per-request wall-clock budget in seconds (408 beyond)",
+    )
     p.add_argument(
         "--speculative-model",
         help="Draft model checkpoint for greedy speculative decoding "
@@ -186,6 +200,9 @@ def serve_command(args: argparse.Namespace) -> None:
                 warm_prompts=warm_prompts,
                 mcp_servers=mcp_servers,
                 model_manager=model_manager,
+                rate_limit_rps=args.rate_limit,
+                rate_limit_burst=args.rate_limit_burst,
+                request_timeout=args.request_timeout,
             )
         )
     except KeyboardInterrupt:

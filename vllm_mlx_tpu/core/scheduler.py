@@ -845,6 +845,53 @@ class Scheduler:
         self._base_len.pop(rid, None)
         if req in self.running:
             self.running.remove(req)
+        if req.is_finished():
+            # drop the registry entry (it would otherwise grow without
+            # bound on a long-running server); in-flight bundles for this
+            # id skip via requests.get() returning None
+            self.requests.pop(rid, None)
+            self._epoch.pop(rid, None)
+
+    def request_status(self) -> List[Dict]:
+        """Per-request live status (reference /v1/status per-request
+        phase/TTFT/tps, reference scheduler.py:2637-2703)."""
+        now = time.time()
+        out: List[Dict] = []
+        for req in list(self.requests.values()):
+            if req.is_finished():
+                continue
+            if req.status == RequestStatus.WAITING:
+                phase = "waiting"
+            elif req.request_id in self._pending_prompt:
+                phase = "prefill"
+            else:
+                phase = "decode"
+            ttft = (
+                round(req.first_token_time - req.arrival_time, 3)
+                if req.first_token_time
+                else None
+            )
+            ntok = len(req.output_token_ids)
+            tps = None
+            if req.first_token_time and ntok > 1:
+                dt = now - req.first_token_time
+                if dt > 0:
+                    tps = round((ntok - 1) / dt, 1)
+            entry = {
+                "request_id": req.request_id,
+                "phase": phase,
+                "prompt_tokens": req.num_prompt_tokens,
+                "generated_tokens": ntok,
+                "cached_tokens": req.cached_tokens,
+                "age_s": round(now - req.arrival_time, 2),
+                "ttft_s": ttft,
+                "decode_tps": tps,
+            }
+            if req.mtp_drafts:
+                entry["spec_drafts"] = req.mtp_drafts
+                entry["spec_accepted"] = req.mtp_accepted
+            out.append(entry)
+        return out
 
     # ------------------------------------------------------- output handling
     def _stop_token_set(self, req: Request) -> set:

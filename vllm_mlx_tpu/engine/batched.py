@@ -431,4 +431,6 @@ class BatchedEngine(BaseEngine):
             )
         if self.vision_cache is not None:
             stats["vision_cache"] = self.vision_cache.get_stats()
+        if self.scheduler is not None:
+            stats["requests"] = self.scheduler.request_status()
         return stats
