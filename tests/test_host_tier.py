@@ -110,12 +110,13 @@ class TestTierEndToEnd:
         run_to_completion(sched)
         assert tier.num_entries > 0  # spilled on eviction
         # resubmit a: chain restored from tier
-        sched.add_request(_req("a2", prompt_a, max_tokens=4))
+        req = _req("a2", prompt_a, max_tokens=4)
+        sched.add_request(req)
         out_a2 = run_to_completion(sched)["a2"]
         assert out_a2.output_token_ids == out_a1.output_token_ids
         assert out_a2.cached_tokens > 0
         assert tier.stats["restored_blocks"] > 0
-        req = sched.requests["a2"]
+        # finished requests leave the registry; inspect the object itself
         assert req.cache_hit_type and "tier" in req.cache_hit_type
 
 

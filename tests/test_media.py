@@ -1,0 +1,215 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Media plumbing: smart video frame extraction, message media
+extraction (image + video parts), and the SSRF-guarded remote fetch
+(reference models/mllm.py:483-838)."""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+
+from vllm_mlx_tpu.media_fetch import (
+    FetchPolicy,
+    UnsafeRemoteURLError,
+    fetch_url,
+    validate_url_safety,
+)
+from vllm_mlx_tpu.multimodal_processor import (
+    extract_media_from_messages,
+    extract_video_frames,
+    smart_nframes,
+)
+
+
+def _gif_bytes(n_frames=10, size=16, seed=3):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        Image.fromarray(
+            rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+        )
+        for _ in range(n_frames)
+    ]
+    buf = io.BytesIO()
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:],
+        duration=100, loop=0,
+    )
+    return buf.getvalue()
+
+
+class TestVideoExtraction:
+    def test_smart_nframes_clamps_and_rounds(self):
+        # 100 frames @ 10fps = 10s @ 2fps target -> 20 frames
+        assert smart_nframes(100, 10.0) == 20
+        # short clip clamps to min then factor
+        assert smart_nframes(3, 30.0) % 2 == 0
+        # cap respected
+        assert smart_nframes(10**6, 30.0, max_frames=64) == 64
+
+    def test_gif_frames(self):
+        frames, spg = extract_video_frames(_gif_bytes(10))
+        assert len(frames) >= 2 and len(frames) % 2 == 0
+        assert frames[0].mode == "RGB"
+        assert spg > 0
+
+    def test_data_uri_and_path(self, tmp_path):
+        data = _gif_bytes(6)
+        uri = "data:video/gif;base64," + base64.b64encode(data).decode()
+        frames1, _ = extract_video_frames(uri)
+        p = tmp_path / "clip.gif"
+        p.write_bytes(data)
+        frames2, _ = extract_video_frames(str(p))
+        assert len(frames1) == len(frames2)
+
+    def test_unrecognized_raises(self):
+        with pytest.raises(ValueError):
+            extract_video_frames("not-a-video")
+
+
+class TestMessageExtraction:
+    def test_mixed_image_and_video_parts(self):
+        messages = [
+            {
+                "role": "user",
+                "content": [
+                    {"type": "text", "text": "what happens?"},
+                    {"type": "image_url", "image_url": {"url": "data:image/png;base64,AA"}},
+                    {"type": "video_url", "video_url": {"url": "data:video/mp4;base64,BB"}},
+                    {"type": "video", "video": "clip.gif"},
+                ],
+            }
+        ]
+        cleaned, media = extract_media_from_messages(messages)
+        kinds = [m["kind"] for m in media]
+        assert kinds == ["image", "video", "video"]
+        types = [c["type"] for c in cleaned[0]["content"]]
+        assert types == ["text", "image", "video", "video"]
+
+
+class TestSSRFPolicy:
+    def test_scheme_rejected(self):
+        for url in ("ftp://host/x", "file:///etc/passwd", "gopher://x"):
+            with pytest.raises(UnsafeRemoteURLError):
+                validate_url_safety(url)
+
+    def test_blocked_hostnames(self):
+        with pytest.raises(UnsafeRemoteURLError):
+            validate_url_safety("http://localhost/x")
+        with pytest.raises(UnsafeRemoteURLError):
+            validate_url_safety("http://metadata.google.internal/computeMetadata")
+
+    def test_private_resolution_rejected(self, monkeypatch):
+        import socket as sock
+
+        for ip in ("127.0.0.1", "10.0.0.5", "192.168.1.2", "169.254.169.254",
+                   "100.64.1.1", "0.0.0.0", "::1", "fe80::1"):
+            monkeypatch.setattr(
+                sock, "getaddrinfo",
+                lambda *a, _ip=ip, **k: [(2, 1, 6, "", (_ip, 80))],
+            )
+            with pytest.raises(UnsafeRemoteURLError):
+                validate_url_safety("http://evil.example/x")
+
+    def test_public_resolution_ok(self, monkeypatch):
+        import socket as sock
+
+        monkeypatch.setattr(
+            sock, "getaddrinfo",
+            lambda *a, **k: [(2, 1, 6, "", ("93.184.216.34", 80))],
+        )
+        validate_url_safety("https://example.com/cat.png")
+
+    def test_fetch_disabled_by_default(self):
+        with pytest.raises(UnsafeRemoteURLError, match="disabled"):
+            fetch_url("https://example.com/x")
+
+    def test_redirect_to_private_rejected(self, monkeypatch):
+        """First hop is public; its redirect target resolves private —
+        the per-hop re-validation must reject it."""
+        import socket as sock
+        import urllib.error
+        import urllib.request as ur
+
+        resolutions = {"good.example": "93.184.216.34",
+                       "internal.example": "10.0.0.9"}
+        monkeypatch.setattr(
+            sock, "getaddrinfo",
+            lambda host, *a, **k: [(2, 1, 6, "", (resolutions[host], 80))],
+        )
+
+        class Opener:
+            def open(self, req, timeout=None):
+                raise urllib.error.HTTPError(
+                    req.full_url, 302, "Found",
+                    {"Location": "http://internal.example/loot"}, io.BytesIO(),
+                )
+
+        monkeypatch.setattr(ur, "build_opener", lambda *h: Opener())
+        with pytest.raises(UnsafeRemoteURLError, match="non-public"):
+            fetch_url(
+                "http://good.example/x", FetchPolicy(allow_remote=True)
+            )
+
+    def test_size_cap_enforced(self, monkeypatch):
+        import socket as sock
+        import urllib.request as ur
+
+        monkeypatch.setattr(
+            sock, "getaddrinfo",
+            lambda *a, **k: [(2, 1, 6, "", ("93.184.216.34", 80))],
+        )
+
+        class Resp:
+            status = 200
+            headers = {}
+
+            def read(self, n):
+                return b"x" * n  # endless stream
+
+            def close(self):
+                pass
+
+        class Opener:
+            def open(self, req, timeout=None):
+                return Resp()
+
+        monkeypatch.setattr(ur, "build_opener", lambda *h: Opener())
+        with pytest.raises(ValueError, match="exceeds"):
+            fetch_url(
+                "http://good.example/big",
+                FetchPolicy(allow_remote=True, max_bytes=1 << 20),
+            )
+
+    def test_successful_fetch(self, monkeypatch):
+        import socket as sock
+        import urllib.request as ur
+
+        monkeypatch.setattr(
+            sock, "getaddrinfo",
+            lambda *a, **k: [(2, 1, 6, "", ("93.184.216.34", 80))],
+        )
+
+        class Resp:
+            status = 200
+            headers = {"Content-Length": "5"}
+
+            def __init__(self):
+                self._data = io.BytesIO(b"hello")
+
+            def read(self, n):
+                return self._data.read(n)
+
+            def close(self):
+                pass
+
+        class Opener:
+            def open(self, req, timeout=None):
+                return Resp()
+
+        monkeypatch.setattr(ur, "build_opener", lambda *h: Opener())
+        assert fetch_url(
+            "http://good.example/x", FetchPolicy(allow_remote=True)
+        ) == b"hello"

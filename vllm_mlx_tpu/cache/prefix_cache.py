@@ -91,26 +91,48 @@ class PrefixCache:
         block_mgr.evict_callback = on_evict
 
     # ------------------------------------------------------------------ fetch
-    def block_hashes(self, tokens: Sequence[int]) -> List[str]:
-        """Chain hashes for every *full* block of the token sequence."""
+    def block_hashes(
+        self,
+        tokens: Sequence[int],
+        media_spans: Optional[Sequence[Tuple[int, int, str]]] = None,
+    ) -> List[str]:
+        """Chain hashes for every *full* block of the token sequence.
+
+        ``media_spans`` salts rows covered by image/video features with
+        the media CONTENT hash (+ row offset): multimodal placeholder
+        tokens share ids across different images, so without salting two
+        prompts differing only in pixels would collide (the reference's
+        image-hash-keyed mllm_cache, mllm_cache.py:134-344). Text blocks
+        before the first media span keep their plain hashes, so shared
+        system prompts still hit across requests with different media."""
         bs = self.block_size
+        toks: Sequence = tokens
+        if media_spans:
+            aug = list(tokens)
+            for start, end, mh in media_spans:
+                for i in range(start, min(end, len(aug))):
+                    aug[i] = f"{aug[i]}@{mh}:{i - start}"
+            toks = aug
         out: List[str] = []
         parent: Optional[str] = None
-        for i in range(len(tokens) // bs):
-            h = hash_block_tokens(parent, tokens[i * bs : (i + 1) * bs])
+        for i in range(len(toks) // bs):
+            h = hash_block_tokens(parent, toks[i * bs : (i + 1) * bs])
             out.append(h)
             parent = h
         return out
 
     def fetch(
-        self, block_mgr: BlockManager, tokens: Sequence[int]
+        self,
+        block_mgr: BlockManager,
+        tokens: Sequence[int],
+        media_spans: Optional[Sequence[Tuple[int, int, str]]] = None,
     ) -> Tuple[List[int], int, str]:
         """Longest cached block-chain prefix. Increfs matched blocks and
         returns (blocks, cached_token_count, hit_type)."""
         if not self.enabled:
             return [], 0, "disabled"
         self.stats.queries += 1
-        hashes = self.block_hashes(tokens)
+        hashes = self.block_hashes(tokens, media_spans)
         blocks = block_mgr.lookup_prefix(hashes)
         tier_hit = False
         if (
@@ -144,6 +166,7 @@ class PrefixCache:
         block_mgr: BlockManager,
         tokens: Sequence[int],
         blocks: Sequence[int],
+        media_spans: Optional[Sequence[Tuple[int, int, str]]] = None,
     ) -> bool:
         """Publish a finished request's full blocks for future reuse.
 
@@ -159,11 +182,11 @@ class PrefixCache:
         n_full = min(valid // bs, len(blocks))
         if n_full == 0:
             return False
-        parent: Optional[str] = None
+        hashes = self.block_hashes(
+            list(tokens[: n_full * bs]), media_spans
+        )
         for i in range(n_full):
-            h = hash_block_tokens(parent, tokens[i * bs : (i + 1) * bs])
-            block_mgr.register_block_hash(blocks[i], h)
-            parent = h
+            block_mgr.register_block_hash(blocks[i], hashes[i])
         self.stats.stored_entries += 1
         self.stats.stored_blocks += n_full
         return True

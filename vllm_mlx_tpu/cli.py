@@ -106,6 +106,12 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                    help="path to a Whisper checkpoint for /v1/audio/transcriptions")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-level", default="info")
+    p.add_argument(
+        "--allow-remote-media", action="store_true",
+        help="fetch http(s) image/video URLs in chat messages "
+             "(SSRF-guarded: public addresses only, validated per "
+             "redirect hop, size-capped)",
+    )
 
 
 def serve_command(args: argparse.Namespace) -> None:
@@ -146,6 +152,7 @@ def serve_command(args: argparse.Namespace) -> None:
         quantization=None if args.quantization == "none" else args.quantization,
         speculative_model=args.speculative_model,
         num_speculative_tokens=args.num_speculative_tokens,
+        allow_remote_media=args.allow_remote_media,
     )
     metrics = MetricsCollector(engine) if args.enable_metrics else None
     served = args.served_model_name or args.model

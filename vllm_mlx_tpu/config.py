@@ -59,6 +59,10 @@ class ModelConfig:
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
     attn_scale: Optional[float] = None  # overrides head_dim**-0.5
+    # Qwen-VL multimodal RoPE: per-(t,h,w)-component channel sections of
+    # the rotary half-dim (HF ``rope_scaling.mrope_section``). Text-only
+    # requests on an mrope model use equal components == plain RoPE.
+    mrope_section: Optional[List[int]] = None
     # Generation defaults
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -121,8 +125,14 @@ class ModelConfig:
             else None,
             layer_types=cfg.get("layer_types"),
         )
-        if model_type in ("qwen3", "qwen3_moe"):
+        if model_type in ("qwen3", "qwen3_moe", "qwen3_vl_text"):
             kw["use_qk_norm"] = True
+        if model_type in ("qwen2_vl_text", "qwen2_5_vl_text", "qwen2_vl", "qwen2_5_vl"):
+            # Qwen-VL text stacks are Qwen2-style (qkv bias)
+            kw["attention_bias"] = True
+        rs = cfg.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            kw["mrope_section"] = list(rs["mrope_section"])
         if model_type in ("gemma2", "gemma3_text"):
             qpas = cfg.get("query_pre_attn_scalar")
             kw.update(

@@ -77,6 +77,10 @@ class RunnerState:
     block_tables: jax.Array  # [slots, pages_per_seq] i32
     kv_lens: jax.Array  # [slots] i32 — tokens whose KV is written
     n_active: jax.Array  # scalar i32 — decode-ready slot count
+    # M-RoPE (Qwen-VL): rope position = kv position + delta per slot.
+    # After the prompt all three rope components are equal, so decode
+    # stays 1-D; zero for text requests/models (HF mrope_position_deltas).
+    rope_deltas: jax.Array = None  # [slots] i32
     # Speculative decoding: the DRAFT model's KV pool (same page
     # geometry as the target pool, so block tables and kv_lens are
     # shared). None when speculation is off.
@@ -105,6 +109,8 @@ class StepInput:
     # FSM-constrained rows: compact seq indices + packed vocab bitmasks
     allow_rows: Optional[np.ndarray] = None  # [M] i32 (-1 = padding)
     allow_words: Optional[np.ndarray] = None  # [M, ceil(V/32)] u32
+    # mrope models (Qwen-VL): explicit [3, T] (t, h, w) rope positions
+    rope_pos: Optional[np.ndarray] = None
 
 
 def unpack_multi(packed: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -199,6 +205,7 @@ class ModelRunner:
             ),
             kv_lens=jnp.zeros((self.max_num_seqs,), jnp.int32),
             n_active=jnp.zeros((), jnp.int32),
+            rope_deltas=jnp.zeros((self.max_num_seqs,), jnp.int32),
         )
 
     def reset(self) -> None:
@@ -240,6 +247,7 @@ class ModelRunner:
         allow_rows: Optional[jax.Array] = None,  # [M] i32
         allow_words: Optional[jax.Array] = None,  # [M, W32] u32
         draft_params: Optional[Params] = None,
+        rope_positions: Optional[jax.Array] = None,  # [3, T] mrope
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
@@ -265,7 +273,7 @@ class ModelRunner:
             params,
             self.cfg,
             tokens,
-            positions,
+            positions if rope_positions is None else rope_positions,
             state.kv_pages,
             kv_dest,
             kv_lens,
@@ -335,6 +343,7 @@ class ModelRunner:
             block_tables=new_tables,
             kv_lens=new_kv_lens,
             n_active=state.n_active,
+            rope_deltas=state.rope_deltas,
             draft_pages=new_draft_pages,
         )
         return new_state, sampled, logprobs
@@ -357,7 +366,8 @@ class ModelRunner:
         """One ragged step from TWO packed host uploads. Every h2d
         transfer costs ~30 ms latency on this platform, so the ~11
         logical step inputs travel as two i32 buffers (+ embeds only for
-        multimodal steps)."""
+        multimodal steps). For mrope models tok_pack carries 3 extra
+        rows of explicit (t, h, w) rope positions."""
         s = self.max_num_seqs
         p = self.pages_per_seq
         kv_lens = seq_pack[0:s]
@@ -392,6 +402,9 @@ class ModelRunner:
             allow_rows=allow_rows,
             allow_words=allow_words,
             draft_params=draft_params,
+            rope_positions=(
+                tok_pack[5:8] if tok_pack.shape[0] >= 8 else None
+            ),
         )
 
     # --------------------------------------------------- speculative decoding
@@ -480,8 +493,11 @@ class ModelRunner:
         )  # [S, k+1]
         row_pos = base[:, None] + jnp.arange(k + 1)[None, :]  # [S, k+1]
         flat_tokens = row_tokens.reshape(-1)
+        # target rope position = kv position + per-slot mrope delta
         flat_pos = jnp.where(
-            active[:, None], jnp.minimum(row_pos, max_pos), 0
+            active[:, None],
+            jnp.minimum(row_pos, max_pos) + state.rope_deltas[:, None],
+            0,
         ).reshape(-1)
         idx = jnp.minimum(row_pos // ps, self.pages_per_seq - 1)
         flat_dest = jnp.where(
@@ -572,7 +588,7 @@ class ModelRunner:
             params,
             self.cfg,
             state.device_tokens,
-            jnp.where(active, pos, 0),
+            jnp.where(active, pos + state.rope_deltas, 0),
             state.kv_pages,
             kv_dest,
             kv_lens_att,
@@ -613,6 +629,7 @@ class ModelRunner:
             block_tables=state.block_tables,
             kv_lens=jnp.where(active, pos + 1, pos),
             n_active=state.n_active,
+            rope_deltas=state.rope_deltas,
             draft_pages=new_draft_pages,
         )
         return new_state, sampled, logprobs
@@ -696,6 +713,7 @@ class ModelRunner:
         seed: jax.Array,
         prompt_tail: jax.Array,  # [REP_WINDOW] i32, -1 padded
         tail_len: jax.Array,
+        rope_delta: jax.Array,
     ) -> RunnerState:
         from ..ops.sampling import REP_WINDOW
 
@@ -724,6 +742,7 @@ class ModelRunner:
             block_tables=state.block_tables.at[slot].set(table_row),
             kv_lens=state.kv_lens.at[slot].set(kv_len),
             n_active=n_active,
+            rope_deltas=state.rope_deltas.at[slot].set(rope_delta),
         )
 
     def admit_slot(
@@ -741,6 +760,7 @@ class ModelRunner:
         prompt_tail: Sequence[int],
         presence_penalty: float = 0.0,
         seed: int = -1,
+        rope_delta: int = 0,
     ) -> None:
         from ..ops.sampling import REP_WINDOW
 
@@ -764,12 +784,13 @@ class ModelRunner:
             jnp.int32(seed),
             jnp.asarray(tail),
             jnp.int32(len(t)),
+            jnp.int32(rope_delta),
         )
 
     def _admit_many(
         self,
         state: RunnerState,
-        ipack: jax.Array,  # [B, 5+P+W] i32
+        ipack: jax.Array,  # [B, 6+P+W] i32
         fpack: jax.Array,  # [B, 5] f32
         n_active: jax.Array,  # scalar i32
     ) -> RunnerState:
@@ -784,8 +805,9 @@ class ModelRunner:
         top_k = ipack[:, 2]
         seed = ipack[:, 3]
         tail_len = ipack[:, 4]
-        table_rows = ipack[:, 5 : 5 + p]
-        tails = ipack[:, 5 + p : 5 + p + REP_WINDOW]
+        rope_delta = ipack[:, 5]
+        table_rows = ipack[:, 6 : 6 + p]
+        tails = ipack[:, 6 + p : 6 + p + REP_WINDOW]
         samp = state.sampling
 
         def put(arr, vals):
@@ -814,6 +836,7 @@ class ModelRunner:
             block_tables=put(state.block_tables, table_rows),
             kv_lens=put(state.kv_lens, kv_len),
             n_active=n_active,
+            rope_deltas=put(state.rope_deltas, rope_delta),
         )
 
     _ADMIT_BUCKETS = (1, 8)
@@ -838,9 +861,9 @@ class ModelRunner:
         )
         for i in range(0, len(admissions), b):
             chunk = admissions[i : i + b]
-            ipack = np.zeros((b, 5 + p + w), np.int32)
+            ipack = np.zeros((b, 6 + p + w), np.int32)
             ipack[:, 0] = self.max_num_seqs  # padding sentinel -> dropped
-            ipack[:, 5 + p :] = -1
+            ipack[:, 6 + p :] = -1
             fpack = np.zeros((b, 5), np.float32)
             for j, a in enumerate(chunk):
                 tail = list(a["prompt_tail"])[-w:]
@@ -849,9 +872,10 @@ class ModelRunner:
                 ipack[j, 2] = a["top_k"]
                 ipack[j, 3] = a.get("seed", -1)
                 ipack[j, 4] = len(tail)
+                ipack[j, 5] = a.get("rope_delta", 0)
                 row = a["table"][:p]
-                ipack[j, 5 : 5 + len(row)] = row
-                ipack[j, 5 + p : 5 + p + len(tail)] = tail
+                ipack[j, 6 : 6 + len(row)] = row
+                ipack[j, 6 + p : 6 + p + len(tail)] = tail
                 fpack[j] = (
                     a["temperature"],
                     a["top_p"],
@@ -883,6 +907,7 @@ class ModelRunner:
             block_tables=mv(state.block_tables),
             kv_lens=mv(state.kv_lens),
             n_active=n_active,
+            rope_deltas=mv(state.rope_deltas),
         )
 
     def move_slot(self, dst: int, src: int, n_active: int) -> None:
@@ -985,13 +1010,16 @@ class ModelRunner:
 
         oob = self.num_pages * self.page_size
         t = inp.total_tokens
-        tok_pack = np.zeros((5, bucket), np.int32)
+        use_mrope = inp.rope_pos is not None
+        tok_pack = np.zeros((8 if use_mrope else 5, bucket), np.int32)
         tok_pack[0, :t] = inp.token_ids
         tok_pack[1, :t] = inp.from_device
         tok_pack[2, :t] = inp.token_slot
         tok_pack[3, :t] = inp.positions
         tok_pack[4, :] = oob
         tok_pack[4, :t] = inp.kv_dest
+        if use_mrope:
+            tok_pack[5:8, :t] = inp.rope_pos
 
         s = self.max_num_seqs
         p = self.pages_per_seq

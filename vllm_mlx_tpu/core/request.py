@@ -88,6 +88,13 @@ class Request:
     prompt_embeds: Optional[Any] = None  # np [num_prompt_tokens, H]
     embeds_mask: Optional[Any] = None  # np [num_prompt_tokens] bool
     is_multimodal: bool = False
+    # Qwen-VL M-RoPE: explicit (t, h, w) prompt positions + decode delta
+    # (HF get_rope_index semantics; None for text / non-mrope models)
+    mrope_positions: Optional[Any] = None  # np [3, num_prompt_tokens] i32
+    mrope_delta: int = 0
+    # content hashes of media spans for prefix-cache keying
+    # [(start_row, end_row, hash_hex)] over the expanded prompt
+    media_spans: Optional[Any] = None
 
     # Prefix cache
     cached_tokens: int = 0

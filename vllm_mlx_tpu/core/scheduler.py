@@ -320,15 +320,18 @@ class Scheduler:
             tokens = _all_tokens(req)
             cached_tokens = 0
             cached_blocks: List[int] = []
-            # multimodal prompts: image content isn't captured by token
-            # hashes, so skip the prefix cache (image-hash keyed MLLM
-            # cache lands with the vision round, reference mllm_cache.py)
-            use_cache = (
-                self.prefix_cache is not None and req.prompt_embeds is None
+            # multimodal prompts participate too: media rows are salted
+            # with the image/video CONTENT hash (req.media_spans), the
+            # image-hash-keyed MLLM cache of the reference
+            # (mllm_cache.py:134-344) at block granularity. Multimodal
+            # requests without span info must not hit (placeholder ids
+            # collide across different images).
+            use_cache = self.prefix_cache is not None and (
+                req.prompt_embeds is None or req.media_spans is not None
             )
             if use_cache:
                 cached_blocks, cached_tokens, hit = self.prefix_cache.fetch(
-                    self.block_mgr, tokens
+                    self.block_mgr, tokens, media_spans=req.media_spans
                 )
                 req.cache_hit_type = hit
                 self.stats.prefix_cache_queries += 1
@@ -396,6 +399,7 @@ class Scheduler:
                     presence_penalty=sp.presence_penalty,
                     prompt_tail=tokens[-20:],
                     seed=sp.seed if sp.seed is not None else -1,
+                    rope_delta=getattr(req, "mrope_delta", 0) or 0,
                 )
             )
             if self.detok is not None and req.detok_state is None:
@@ -637,6 +641,13 @@ class Scheduler:
             h = self.runner.cfg.hidden_size
             token_embeds = np.zeros((total_t, h), np.float32)
             embeds_mask = np.zeros(total_t, bool)
+        # mrope models (Qwen-VL) need explicit (t, h, w) rope positions:
+        # vision rows use grid coordinates, text rows token index + delta
+        rope_pos = (
+            np.zeros((3, total_t), np.int32)
+            if self.runner.cfg.mrope_section
+            else None
+        )
         t = 0
         i = 0
         greedy = True
@@ -647,6 +658,8 @@ class Scheduler:
             from_device[t] = True
             token_slot[t] = req.slot
             positions[t] = pos
+            if rope_pos is not None:
+                rope_pos[:, t] = pos + (getattr(req, "mrope_delta", 0) or 0)
             kv_dest[t] = self._dest_for(req, pos)
             kv_lens[i] = pos + 1
             blocks = req.blocks[:pages_per_seq]
@@ -666,6 +679,19 @@ class Scheduler:
             n = len(chunk)
             token_ids[t : t + n] = chunk
             positions[t : t + n] = np.arange(c0, c0 + n)
+            if rope_pos is not None:
+                mp = getattr(req, "mrope_positions", None)
+                if mp is not None:
+                    hi = min(c0 + n, mp.shape[1])
+                    if c0 < hi:
+                        rope_pos[:, t : t + (hi - c0)] = mp[:, c0:hi]
+                    if hi < c0 + n:  # beyond prompt: token index + delta
+                        d = getattr(req, "mrope_delta", 0) or 0
+                        rope_pos[:, t + (hi - c0) : t + n] = (
+                            np.arange(max(c0, hi), c0 + n) + d
+                        )
+                else:
+                    rope_pos[:, t : t + n] = np.arange(c0, c0 + n)
             if token_embeds is not None and req.prompt_embeds is not None:
                 pe = req.prompt_embeds
                 pm = req.embeds_mask
@@ -740,6 +766,7 @@ class Scheduler:
             allow_words=(
                 np.stack(allow_words_l) if allow_words_l else None
             ),
+            rope_pos=rope_pos,
         )
         presence = any(
             r.sampling_params.presence_penalty != 0
@@ -832,10 +859,13 @@ class Scheduler:
             if (
                 self.prefix_cache is not None
                 and req.is_finished()
-                and req.prompt_embeds is None
+                and (req.prompt_embeds is None or req.media_spans is not None)
             ):
                 cache = self.prefix_cache.store(
-                    self.block_mgr, _all_tokens(req), req.blocks
+                    self.block_mgr,
+                    _all_tokens(req),
+                    req.blocks,
+                    media_spans=req.media_spans,
                 )
             self.block_mgr.free(req.blocks, cache=cache)
             req.blocks = []

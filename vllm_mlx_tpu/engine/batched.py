@@ -34,6 +34,25 @@ from .base import BaseEngine, GenerationOutput
 
 logger = logging.getLogger(__name__)
 
+def _media_spans(ids, mask, keys, counts):
+    """Per-media (start_row, end_row, content_hash) spans over the
+    expanded prompt (True runs of the embeds mask walked in media order,
+    each claiming its own row count so adjacent media stay distinct) —
+    the prefix-cache key material for multimodal prompts (reference
+    mllm_cache.py image-hash keying)."""
+    spans = []
+    t = 0
+    n = len(mask)
+    for key, cnt in zip(keys, counts):
+        while t < n and not mask[t]:
+            t += 1
+        if t >= n:
+            break
+        spans.append((t, t + cnt, key))
+        t += cnt
+    return spans or None
+
+
 def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
     """Size the KV pool from free HBM x memory_utilization (the vLLM
     ``gpu_memory_utilization`` pattern; replaces the reference's Metal
@@ -99,7 +118,11 @@ class BatchedEngine(BaseEngine):
         quantization: Optional[str] = None,  # None | "int8" | "int4"
         speculative_model: Optional[str] = None,
         num_speculative_tokens: int = 3,
+        allow_remote_media: bool = False,
     ) -> None:
+        from ..media_fetch import FetchPolicy
+
+        self.media_policy = FetchPolicy(allow_remote=allow_remote_media)
         self.speculative_model = speculative_model
         self.num_speculative_tokens = num_speculative_tokens
         self.quantization = quantization
@@ -146,24 +169,42 @@ class BatchedEngine(BaseEngine):
             and is_mllm_model(self.model_path)
         ):
             # vision-language checkpoint: vision tower + projector + LM
-            from ..cache.vision_embedding_cache import VisionEmbeddingCache
-            from ..models.mllm import MultimodalLM
-            from ..multimodal_processor import ImageProcessor
+            import json as _json
 
-            logger.info("loading multimodal checkpoint (LLaVA-style)")
-            self.vlm = MultimodalLM(self.model_path).load()
-            cfg = self.vlm.text_config
-            params = self.vlm.lm_params
-            if os.path.exists(
-                os.path.join(self.model_path, "preprocessor_config.json")
-            ):
-                self.image_processor = ImageProcessor.from_pretrained(
+            from ..cache.vision_embedding_cache import VisionEmbeddingCache
+
+            with open(os.path.join(self.model_path, "config.json")) as f:
+                raw_cfg = _json.load(f)
+            if raw_cfg.get("model_type") in ("qwen2_vl", "qwen2_5_vl"):
+                # Qwen-VL: dynamic-resolution tower + M-RoPE
+                from ..models.qwen_vl import QwenVLModel
+                from ..multimodal_processor import QwenVLImageProcessor
+
+                logger.info("loading multimodal checkpoint (Qwen-VL)")
+                self.vlm = QwenVLModel(self.model_path).load()
+                self.vlm_kind = "qwen_vl"
+                self.image_processor = QwenVLImageProcessor.from_pretrained(
                     self.model_path
                 )
             else:
-                self.image_processor = ImageProcessor(
-                    image_size=self.vlm.cfg.vision.image_size
-                )
+                from ..models.mllm import MultimodalLM
+                from ..multimodal_processor import ImageProcessor
+
+                logger.info("loading multimodal checkpoint (LLaVA-style)")
+                self.vlm = MultimodalLM(self.model_path).load()
+                self.vlm_kind = "llava"
+                if os.path.exists(
+                    os.path.join(self.model_path, "preprocessor_config.json")
+                ):
+                    self.image_processor = ImageProcessor.from_pretrained(
+                        self.model_path
+                    )
+                else:
+                    self.image_processor = ImageProcessor(
+                        image_size=self.vlm.cfg.vision.image_size
+                    )
+            cfg = self.vlm.text_config
+            params = self.vlm.lm_params
             self.vision_cache = VisionEmbeddingCache()
         if cfg is None:
             cfg = ModelConfig.from_pretrained(self.model_path)
@@ -338,19 +379,19 @@ class BatchedEngine(BaseEngine):
         chat_template_kwargs: Optional[Dict[str, Any]] = None,
         **kwargs,
     ) -> AsyncIterator[GenerationOutput]:
-        images: List[Any] = []
+        media: List[Dict[str, Any]] = []
         if self.vlm is not None:
             from ..multimodal_processor import extract_media_from_messages
 
-            messages, images = extract_media_from_messages(messages)
+            messages, media = extract_media_from_messages(messages)
         prompt = self.apply_chat_template(
             messages, tools=tools, chat_template_kwargs=chat_template_kwargs
         )
-        if images:
+        if media:
             req = await asyncio.get_running_loop().run_in_executor(
                 None,
                 lambda: self._make_multimodal_request(
-                    prompt, images, request_id, **kwargs
+                    prompt, media, request_id, **kwargs
                 ),
             )
         else:
@@ -361,11 +402,11 @@ class BatchedEngine(BaseEngine):
     def _make_multimodal_request(
         self,
         prompt: str,
-        images: List[Any],
+        media: List[Dict[str, Any]],
         request_id: Optional[str] = None,
         **kwargs,
     ) -> Request:
-        """Encode images (through the vision cache) and expand the prompt
+        """Encode media (through the vision cache) and expand the prompt
         with feature-carrying rows (reference MLLM preprocess path,
         mllm_batch_generator.py:866-1017)."""
         import numpy as np
@@ -374,6 +415,21 @@ class BatchedEngine(BaseEngine):
         from ..multimodal_processor import image_bytes_key
 
         token_ids = self._tokenizer.encode(prompt)
+        if getattr(self, "vlm_kind", "llava") == "qwen_vl":
+            return self._make_qwen_vl_request(
+                token_ids, media, request_id, **kwargs
+            )
+        from ..media_fetch import resolve_media_source
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError(
+                "video input requires a Qwen-VL-class model"
+            )
         features: List[Any] = []
         to_encode = []
         keys = []
@@ -397,6 +453,75 @@ class BatchedEngine(BaseEngine):
         req.prompt_embeds = embeds
         req.embeds_mask = mask
         req.is_multimodal = True
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_qwen_vl_request(
+        self,
+        token_ids: List[int],
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Qwen-VL: per-media dynamic-resolution patchify + encode
+        (vision cache holds (features, grid, second_per_grid_t) per
+        content hash), M-RoPE prompt positions + decode delta. Videos
+        are smart-sampled into frame stacks (grid_t > 1)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import (
+            extract_video_frames,
+            image_bytes_key,
+            load_image,
+            video_bytes_key,
+        )
+
+        features: List[Any] = []
+        grids: List[Any] = []
+        spgs: List[float] = []
+        keys: List[str] = []
+        for m in media:
+            kind = m.get("kind", "image")
+            src = resolve_media_source(m.get("src"), self.media_policy)
+            key = image_hash(
+                (b"video:" if kind == "video" else b"image:")
+                + (
+                    video_bytes_key(src)
+                    if kind == "video"
+                    else image_bytes_key(src)
+                )
+            )
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                if kind == "video":
+                    frames, spg = extract_video_frames(src)
+                else:
+                    frames, spg = [load_image(src)], 1.0
+                flat, grid = self.image_processor.patchify(frames)
+                feats = self.vlm.encode_media(flat, grid)
+                self.vision_cache.put(key, (feats, grid, spg))
+            else:
+                feats, grid, spg = cached
+            features.append(feats)
+            grids.append(grid)
+            spgs.append(spg)
+        ids, embeds, mask, positions, delta = (
+            self.vlm.build_multimodal_prompt(
+                token_ids, features, grids, second_per_grid_ts=spgs
+            )
+        )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        req.mrope_positions = positions
+        req.mrope_delta = delta
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
         return req
 
     def apply_chat_template(

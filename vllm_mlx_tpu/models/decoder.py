@@ -153,7 +153,10 @@ def _stack(
             else jnp.ones((x.shape[0], 1), bool)
         )
         x = jnp.where(mask, token_embeds.astype(x.dtype), x)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling,
+        tuple(cfg.mrope_section) if cfg.mrope_section else None,
+    )
     a1 = cfg.rms_add_one
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps, a1)
@@ -326,6 +329,7 @@ def dense_forward(
     moe_top_k: Optional[int] = None,
     token_embeds: Optional[jax.Array] = None,
     embeds_mask: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,  # [T] or [3, T] (mrope)
 ) -> jax.Array:
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
@@ -336,7 +340,8 @@ def dense_forward(
         )
         return out, pool
 
-    positions = jnp.arange(token_ids.shape[0])
+    if positions is None:
+        positions = jnp.arange(token_ids.shape[0])
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
         token_embeds, embeds_mask,

@@ -43,7 +43,12 @@ def iter_safetensors(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def _strip(name: str) -> str:
-    for prefix in ("model.", "language_model.model.", "language_model."):
+    for prefix in (
+        "model.language_model.",  # Qwen-VL (new transformers layout)
+        "model.",
+        "language_model.model.",
+        "language_model.",
+    ):
         if name.startswith(prefix):
             return name[len(prefix):]
     return name

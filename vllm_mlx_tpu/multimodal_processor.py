@@ -134,13 +134,288 @@ class ImageProcessor:
         return np.stack([self(load_image(im)) for im in images])
 
 
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = 28,
+    min_pixels: int = 56 * 56,
+    max_pixels: int = 14 * 14 * 4 * 1280,
+) -> Tuple[int, int]:
+    """Qwen-VL naive-dynamic-resolution target size: dimensions rounded
+    to ``factor`` with total pixels in [min_pixels, max_pixels] keeping
+    aspect ratio (HF image_processing_qwen2_vl.smart_resize parity)."""
+    import math
+
+    if max(height, width) / min(height, width) > 200:
+        raise ValueError("absolute aspect ratio must be smaller than 200")
+    h_bar = round(height / factor) * factor
+    w_bar = round(width / factor) * factor
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = max(factor, math.floor(height / beta / factor) * factor)
+        w_bar = max(factor, math.floor(width / beta / factor) * factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = math.ceil(height * beta / factor) * factor
+        w_bar = math.ceil(width * beta / factor) * factor
+    return h_bar, w_bar
+
+
+class QwenVLImageProcessor:
+    """Qwen2-VL-family preprocessing: smart resize + normalize + flatten
+    into ``[grid_t*grid_h*grid_w, C*temporal*patch*patch]`` patch rows
+    (HF Qwen2VLImageProcessor._preprocess parity)."""
+
+    def __init__(
+        self,
+        patch_size: int = 14,
+        merge_size: int = 2,
+        temporal_patch_size: int = 2,
+        min_pixels: int = 56 * 56,
+        max_pixels: int = 14 * 14 * 4 * 1280,
+        mean: Tuple[float, ...] = CLIP_MEAN,
+        std: Tuple[float, ...] = CLIP_STD,
+    ) -> None:
+        self.patch_size = patch_size
+        self.merge_size = merge_size
+        self.temporal_patch_size = temporal_patch_size
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "QwenVLImageProcessor":
+        path = os.path.join(model_path, "preprocessor_config.json")
+        kw: Dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            for k in (
+                "patch_size",
+                "merge_size",
+                "temporal_patch_size",
+                "min_pixels",
+                "max_pixels",
+            ):
+                if cfg.get(k) is not None:
+                    kw[k] = cfg[k]
+            size = cfg.get("size") or {}
+            if isinstance(size, dict):
+                if size.get("shortest_edge"):
+                    kw["min_pixels"] = size["shortest_edge"]
+                if size.get("longest_edge"):
+                    kw["max_pixels"] = size["longest_edge"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+        return cls(**kw)
+
+    def _normalize_frames(self, frames: List[Any]) -> np.ndarray:
+        """PIL frames -> [T, C, H, W] float32 at the smart-resized size."""
+        from PIL import Image
+
+        w, h = frames[0].size
+        factor = self.patch_size * self.merge_size
+        rh, rw = smart_resize(
+            h, w, factor, self.min_pixels, self.max_pixels
+        )
+        out = []
+        for fr in frames:
+            fr = fr.resize((rw, rh), Image.BICUBIC)
+            arr = np.asarray(fr, np.float32).transpose(2, 0, 1) / 255.0
+            out.append((arr - self.mean) / self.std)
+        return np.stack(out)
+
+    def patchify(
+        self, frames: List[Any]
+    ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+        """Frames (1 for an image) -> (flatten_patches, grid (t, h, w))."""
+        patches = self._normalize_frames(frames)
+        tp = self.temporal_patch_size
+        if patches.shape[0] % tp != 0:
+            reps = np.repeat(
+                patches[-1:], tp - (patches.shape[0] % tp), axis=0
+            )
+            patches = np.concatenate([patches, reps], axis=0)
+        t, c, hh, ww = patches.shape
+        p, m = self.patch_size, self.merge_size
+        grid_t = t // tp
+        grid_h, grid_w = hh // p, ww // p
+        patches = patches.reshape(
+            grid_t, tp, c, grid_h // m, m, p, grid_w // m, m, p
+        )
+        patches = patches.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+        flat = patches.reshape(grid_t * grid_h * grid_w, c * tp * p * p)
+        return np.ascontiguousarray(flat), (grid_t, grid_h, grid_w)
+
+    def __call__(self, image) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+        return self.patchify([load_image(image)])
+
+
+# ---------------------------------------------------------------------- video
+FRAME_FACTOR = 2  # frames per temporal patch
+DEFAULT_VIDEO_FPS = 2.0
+MIN_FRAMES = 4
+MAX_FRAMES = 768
+
+_VIDEO_DATA_URI_RE = re.compile(
+    r"^data:video/[\w.+-]+;base64,(.*)$", re.DOTALL
+)
+
+
+def smart_nframes(
+    total_frames: int,
+    video_fps: float,
+    target_fps: float = DEFAULT_VIDEO_FPS,
+    min_frames: int = MIN_FRAMES,
+    max_frames: int = MAX_FRAMES,
+    factor: int = FRAME_FACTOR,
+) -> int:
+    """Frame count for smart video sampling: duration x target fps,
+    clamped to [min, max, total] and floored to the temporal patch
+    factor (reference models/mllm.py:1098 ``smart_nframes``)."""
+    import math
+
+    duration = total_frames / video_fps if video_fps > 0 else 0.0
+    n = max(min_frames, min(duration * target_fps, max_frames, total_frames))
+    return int(max(factor, math.floor(n / factor) * factor))
+
+
+def extract_video_frames(
+    source: Any,
+    target_fps: float = DEFAULT_VIDEO_FPS,
+    max_frames: int = MAX_FRAMES,
+) -> Tuple[List[Any], float]:
+    """Decode a video (path / bytes / base64 data URI / GIF) into
+    smart-sampled RGB PIL frames.
+
+    Returns (frames, second_per_grid_t): seconds spanned by one temporal
+    patch of the sampled clip — the Qwen2.5-VL M-RoPE time scale.
+    """
+    from PIL import Image
+
+    data: Optional[bytes] = None
+    path: Optional[str] = None
+    if isinstance(source, bytes):
+        data = source
+    elif isinstance(source, str):
+        m = _VIDEO_DATA_URI_RE.match(source)
+        if m:
+            data = base64.b64decode(m.group(1))
+        elif os.path.exists(source):
+            path = source
+        else:
+            try:
+                data = base64.b64decode(source, validate=True)
+            except Exception:
+                raise ValueError("unrecognized video source")
+    else:
+        raise TypeError(f"unsupported video source type {type(source)}")
+
+    tmp = None
+    try:
+        if path is None:
+            import tempfile
+
+            # GIF/animated images decode via PIL without a temp file
+            try:
+                im = Image.open(io.BytesIO(data))
+                if getattr(im, "n_frames", 1) > 1:
+                    return _frames_from_pil_anim(
+                        im, target_fps, max_frames
+                    )
+            except Exception:
+                pass
+            fd, tmp = tempfile.mkstemp(suffix=".mp4")
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            path = tmp
+        else:
+            try:
+                im = Image.open(path)
+                if getattr(im, "n_frames", 1) > 1:
+                    return _frames_from_pil_anim(im, target_fps, max_frames)
+            except Exception:
+                pass
+        return _frames_from_cv2(path, target_fps, max_frames)
+    finally:
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
+def _frames_from_pil_anim(im, target_fps: float, max_frames: int):
+    from PIL import ImageSequence
+
+    raw = [f.convert("RGB") for f in ImageSequence.Iterator(im)]
+    dur_ms = im.info.get("duration", 100) or 100
+    video_fps = 1000.0 / float(dur_ms)
+    n = smart_nframes(len(raw), video_fps, target_fps, max_frames=max_frames)
+    idx = np.linspace(0, len(raw) - 1, n).round().astype(int)
+    frames = [raw[i] for i in idx]
+    duration_s = len(raw) / video_fps
+    spg = FRAME_FACTOR * duration_s / max(1, len(frames))
+    return frames, spg
+
+
+def _frames_from_cv2(path: str, target_fps: float, max_frames: int):
+    import cv2
+    from PIL import Image
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError("cannot open video")
+    try:
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        video_fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        n = smart_nframes(total, video_fps, target_fps, max_frames=max_frames)
+        idx = np.linspace(0, max(0, total - 1), n).round().astype(int)
+        frames = []
+        for i in idx:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(i))
+            ok, frame = cap.read()
+            if not ok:
+                continue
+            frames.append(
+                Image.fromarray(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            )
+        if not frames:
+            raise ValueError("no frames decoded")
+        duration_s = total / video_fps if video_fps > 0 else len(frames)
+        spg = FRAME_FACTOR * duration_s / max(1, len(frames))
+        return frames, spg
+    finally:
+        cap.release()
+
+
+def video_bytes_key(source: Any) -> bytes:
+    """Stable content bytes for hashing a video source."""
+    if isinstance(source, bytes):
+        return source
+    if isinstance(source, str):
+        m = _VIDEO_DATA_URI_RE.match(source)
+        if m:
+            return base64.b64decode(m.group(1))
+        if os.path.exists(source):
+            with open(source, "rb") as f:
+                return f.read()
+        return source.encode()
+    raise TypeError(f"unsupported video source type {type(source)}")
+
+
 def extract_media_from_messages(
     messages: List[Dict[str, Any]],
-) -> Tuple[List[Dict[str, Any]], List[Any]]:
-    """Pull image content parts out of chat messages, replacing them with
-    the model's image placeholder handled by the chat template
-    (reference engine/batched.py:66-137 media extraction)."""
-    images: List[Any] = []
+) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
+    """Pull image/video content parts out of chat messages, replacing
+    them with the model's placeholders handled by the chat template
+    (reference engine/batched.py:66-137 media extraction). Returns
+    (cleaned_messages, media) where each media item is
+    {"kind": "image" | "video", "src": <source>}."""
+    media: List[Dict[str, Any]] = []
     cleaned: List[Dict[str, Any]] = []
     for m in messages:
         content = m.get("content")
@@ -151,17 +426,28 @@ def extract_media_from_messages(
         for c in content:
             if not isinstance(c, dict):
                 continue
-            if c.get("type") == "image_url":
+            ctype = c.get("type")
+            if ctype == "image_url":
                 url = c.get("image_url")
                 if isinstance(url, dict):
                     url = url.get("url", "")
-                images.append(url)
+                media.append({"kind": "image", "src": url})
                 parts.append({"type": "image"})
-            elif c.get("type") == "image":
+            elif ctype == "image":
                 if "image" in c:
-                    images.append(c["image"])
+                    media.append({"kind": "image", "src": c["image"]})
                 parts.append({"type": "image"})
+            elif ctype == "video_url":
+                url = c.get("video_url")
+                if isinstance(url, dict):
+                    url = url.get("url", "")
+                media.append({"kind": "video", "src": url})
+                parts.append({"type": "video"})
+            elif ctype == "video":
+                if "video" in c:
+                    media.append({"kind": "video", "src": c["video"]})
+                parts.append({"type": "video"})
             else:
                 parts.append(c)
         cleaned.append({**m, "content": parts})
-    return cleaned, images
+    return cleaned, media

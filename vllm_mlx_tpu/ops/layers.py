@@ -85,13 +85,40 @@ def rope_cos_sin(
     head_dim: int,
     rope_theta: float,
     rope_scaling: Optional[Dict[str, Any]] = None,
+    mrope_section: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """cos/sin tables for the given integer positions. Shapes [T, head_dim//2]."""
-    items = tuple(sorted(rope_scaling.items())) if rope_scaling else None
+    """cos/sin tables for the given integer positions. Shapes [T, head_dim//2].
+
+    ``positions`` may be [3, T] (Qwen-VL multimodal RoPE, HF
+    ``apply_multimodal_rotary_pos_emb`` semantics): rotary channels are
+    split into ``mrope_section`` chunks taking angles from the temporal /
+    height / width position components respectively. 1-D positions on an
+    mrope model are equivalent to all three components being equal."""
+    items = (
+        tuple(
+            (k, tuple(v) if isinstance(v, list) else v)
+            for k, v in sorted(rope_scaling.items())
+        )
+        if rope_scaling
+        else None
+    )
     inv_freq = jnp.asarray(
         _rope_inv_freq_cached(head_dim, float(rope_theta), items)
     )
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    if positions.ndim == 2:  # [3, T] multimodal components
+        if not mrope_section:
+            raise ValueError("3-component positions require mrope_section")
+        angles3 = (
+            positions.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
+        )  # [3, T, head_dim//2]
+        parts = []
+        off = 0
+        for comp, sec in enumerate(mrope_section):
+            parts.append(angles3[comp, :, off : off + sec])
+            off += sec
+        angles = jnp.concatenate(parts, axis=-1)  # [T, head_dim//2]
+    else:
+        angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
     return jnp.cos(angles), jnp.sin(angles)
 
 

@@ -90,6 +90,7 @@ def state_pspecs(state: Any) -> Any:
         block_tables=P(),
         kv_lens=P(),
         n_active=P(),
+        rope_deltas=P(),
     )
 
 
