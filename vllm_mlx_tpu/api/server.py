@@ -1040,13 +1040,24 @@ async def handle_speech(request: web.Request) -> web.Response:
         return _error(400, f"invalid JSON: {e}")
     text = body.get("input", "")
     voice = body.get("voice")
+    speed = float(body.get("speed", 1.0) or 1.0)
+    response_format = body.get("response_format", "wav") or "wav"
+    seed = int(body.get("seed", 0) or 0)
     if not text:
         return _error(400, "missing 'input'")
     loop = asyncio.get_running_loop()
-    wav_bytes = await loop.run_in_executor(
-        None, lambda: eng.synthesize_wav(text, voice=voice)
-    )
-    return web.Response(body=wav_bytes, content_type="audio/wav")
+    try:
+        wav_bytes = await loop.run_in_executor(
+            None,
+            lambda: eng.synthesize_wav(
+                text, voice=voice, speed=speed,
+                response_format=response_format, seed=seed,
+            ),
+        )
+    except ValueError as e:
+        return _error(400, str(e))
+    ctype = "audio/wav" if response_format == "wav" else "audio/pcm"
+    return web.Response(body=wav_bytes, content_type=ctype)
 
 
 async def handle_voices(request: web.Request) -> web.Response:

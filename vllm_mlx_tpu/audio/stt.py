@@ -57,9 +57,24 @@ class STTEngine:
         )
         from transformers import AutoTokenizer
 
-        self.tokenizer = AutoTokenizer.from_pretrained(
-            self.model_path, local_files_only=True
-        )
+        try:
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                self.model_path, local_files_only=True
+            )
+        except (OSError, TypeError, ValueError) as e:
+            # checkpoint without tokenizer files (e.g. RTF benching on a
+            # weights-only export): decode to raw token ids
+            logger.warning("no tokenizer at %s (%s); using id decoder",
+                           self.model_path, e)
+
+            class _IdTokenizer:
+                def convert_tokens_to_ids(self, tok):
+                    return None
+
+                def decode(self, ids, skip_special_tokens=True):
+                    return " ".join(str(i) for i in ids)
+
+            self.tokenizer = _IdTokenizer()
         self._build_jits()
         self._loaded = True
         logger.info("whisper loaded in %.1fs: %s", time.time() - t0, self.model_path)

@@ -108,6 +108,67 @@ def run_case(
     }
 
 
+def bench_stt(model_path: str, audio_seconds: float = 30.0,
+              trials: int = 3) -> dict:
+    """Whisper real-time factor: transcribed audio seconds per wall
+    second (north star RTF > 100x on real checkpoints; reference
+    docs/benchmarks/audio.md)."""
+    import numpy as np
+
+    from .audio.stt import STTEngine
+
+    eng = STTEngine(model_path).load()
+    sr = 16000
+    rng = np.random.default_rng(0)
+    # speech-band noise: exercises the full encoder-decoder path
+    audio = (rng.standard_normal(int(sr * audio_seconds)) * 0.05).astype(
+        np.float32
+    )
+    eng.transcribe(audio[: sr * 5])  # compile warmup
+    best = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        eng.transcribe(audio)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    row = {
+        "bench": "stt_rtf",
+        "model": model_path,
+        "audio_s": audio_seconds,
+        "wall_s": round(best, 3),
+        "rtf": round(audio_seconds / best, 1),
+    }
+    log(json.dumps(row))
+    return row
+
+
+def bench_tts(model_path: str, trials: int = 3) -> dict:
+    """TTS real-time factor: synthesized audio seconds per wall second
+    (reference Kokoro RTF ~22x, docs/benchmarks/audio.md:95)."""
+    from .audio.tts import TTSEngine
+
+    eng = TTSEngine(model_path).load()
+    text = (
+        "the quick brown fox jumps over the lazy dog while "
+        "seventy six trombones led the big parade"
+    )
+    eng.synthesize(text)  # compile warmup
+    best_rtf = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        wave = eng.synthesize(text)
+        dt = time.perf_counter() - t0
+        best_rtf = max(best_rtf, len(wave) / eng.sample_rate / dt)
+    row = {
+        "bench": "tts_rtf",
+        "model": model_path,
+        "sample_rate": eng.sample_rate,
+        "rtf": round(best_rtf, 1),
+    }
+    log(json.dumps(row))
+    return row
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     p = argparse.ArgumentParser(description="local decode benchmark")
     p.add_argument("--model", required=True)

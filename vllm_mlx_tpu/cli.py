@@ -104,6 +104,8 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                    help="path to a cross-encoder checkpoint for /v1/rerank")
     p.add_argument("--stt-model", default=None,
                    help="path to a Whisper checkpoint for /v1/audio/transcriptions")
+    p.add_argument("--tts-model", default=None,
+                   help="path to a VITS/MMS-TTS checkpoint for /v1/audio/speech")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-level", default="info")
     p.add_argument(
@@ -171,6 +173,11 @@ def serve_command(args: argparse.Namespace) -> None:
         from .audio.stt import STTEngine
 
         stt_engine = STTEngine(args.stt_model).load()
+    tts_engine = None
+    if args.tts_model:
+        from .audio.tts import TTSEngine
+
+        tts_engine = TTSEngine(args.tts_model).load()
     warm_prompts = None
     if args.warm_prompts_file:
         from .prompt_warmup import load_warm_prompts
@@ -204,6 +211,7 @@ def serve_command(args: argparse.Namespace) -> None:
                 embedding_engine=embedding_engine,
                 rerank_engine=rerank_engine,
                 stt_engine=stt_engine,
+                tts_engine=tts_engine,
                 warm_prompts=warm_prompts,
                 mcp_servers=mcp_servers,
                 model_manager=model_manager,
@@ -217,6 +225,16 @@ def serve_command(args: argparse.Namespace) -> None:
 
 
 def bench_command(args: argparse.Namespace) -> None:
+    if getattr(args, "bench_stt_model", None):
+        from . import benchmark
+
+        benchmark.bench_stt(args.bench_stt_model)
+        return
+    if getattr(args, "bench_tts_model", None):
+        from . import benchmark
+
+        benchmark.bench_tts(args.bench_tts_model)
+        return
     if args.model:
         from . import benchmark
 
@@ -282,6 +300,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     bench_p = sub.add_parser("bench", help="run the local benchmark")
     bench_p.add_argument("--model", default=None,
                          help="checkpoint to benchmark (default: synthetic)")
+    bench_p.add_argument("--stt-model", dest="bench_stt_model", default=None,
+                         help="measure Whisper transcription RTF")
+    bench_p.add_argument("--tts-model", dest="bench_tts_model", default=None,
+                         help="measure TTS synthesis RTF")
     bench_p.add_argument("--quantization",
                          choices=["none", "int8", "int4"], default="none")
     bench_p.set_defaults(func=bench_command)
