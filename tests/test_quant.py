@@ -94,3 +94,101 @@ def test_quantized_generation_runs(rng):
     sched.add_request(_req("q", prompt, max_tokens=8))
     outs = run_to_completion(sched)
     assert len(outs["q"].output_token_ids) >= 1
+
+
+class TestKVQuant:
+    """Quantized KV pools (reference memory_cache.py:491-595, redesigned
+    as quantize-on-write into the paged pool; the attention kernel
+    dequantizes on read via k_scale/v_scale)."""
+
+    def _attend(self, kv_dtype, kv_scale, rng):
+        from vllm_mlx_tpu.ops.ragged_attention import (
+            interleave_kv,
+            make_kv_pages,
+            ragged_attention,
+            write_kv_pages,
+        )
+
+        t, kvh, hd, ps = 16, 2, 16, 8
+        k = jnp.asarray(rng.standard_normal((t, kvh, hd)) * 0.5, jnp.float32)
+        v = jnp.asarray(rng.standard_normal((t, kvh, hd)) * 0.5, jnp.float32)
+        q = jnp.asarray(rng.standard_normal((t, 4, hd)) * 0.5, jnp.float32)
+        pages = make_kv_pages(1, 4, ps, kvh, hd, dtype=kv_dtype)[0]
+        dest = jnp.arange(t, dtype=jnp.int32)  # pages 0-1
+        pages = write_kv_pages(pages, interleave_kv(k, v), dest, kv_scale)
+        out = ragged_attention(
+            q, pages,
+            kv_lens=jnp.asarray([t], jnp.int32),
+            page_indices=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+            cu_q_lens=jnp.asarray([0, t, t], jnp.int32),
+            num_seqs=jnp.asarray([1], jnp.int32),
+            scale=hd ** -0.5,
+            k_scale=kv_scale,
+            v_scale=kv_scale,
+        )
+        return np.asarray(out)
+
+    def test_int8_kv_attention_close_to_float(self, rng):
+        ref = self._attend(jnp.float32, None, np.random.default_rng(5))
+        got = self._attend(jnp.int8, 0.02, np.random.default_rng(5))
+        np.testing.assert_allclose(got, ref, atol=0.03, rtol=0.05)
+
+    def test_fp8_kv_attention_close_to_float(self, rng):
+        ref = self._attend(jnp.float32, None, np.random.default_rng(6))
+        got = self._attend(jnp.float8_e4m3fn, 1.0, np.random.default_rng(6))
+        np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.08)
+
+    @pytest.mark.parametrize("kv_dtype", ["fp8_e4m3", "int8"])
+    def test_engine_generates_with_quantized_kv(self, kv_dtype, rng):
+        """End-to-end smoke: continuous batching on a quantized pool
+        produces a full-length generation and token ids stay close to
+        the float pool (identical for this tiny model)."""
+        from vllm_mlx_tpu.config import (
+            CacheConfig,
+            ModelConfig,
+            SchedulerConfig,
+        )
+        from vllm_mlx_tpu.core.model_runner import ModelRunner
+        from vllm_mlx_tpu.core.request import Request, SamplingParams
+        from vllm_mlx_tpu.core.scheduler import Scheduler
+        from vllm_mlx_tpu.models import loader
+
+        cfg = ModelConfig(
+            model_type="llama", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, dtype="float32",
+        )
+        params = loader.init_params(cfg, seed=9, dtype="float32")
+        prompt = np.random.default_rng(4).integers(2, 128, size=24).tolist()
+
+        def run(kvd, scale=0.05):
+            runner = ModelRunner(
+                cfg, params,
+                CacheConfig(block_size=8, num_blocks=32, kv_dtype=kvd,
+                            kv_scale=scale),
+                SchedulerConfig(max_num_seqs=2, max_prefill_tokens=64,
+                                prefill_chunk_sizes=[16, 64],
+                                max_model_len=256),
+            )
+            sched = Scheduler(runner, tokenizer=None, stop_tokens=set())
+            req = Request(
+                request_id="q", prompt=list(prompt),
+                sampling_params=SamplingParams(temperature=0.0,
+                                               max_tokens=8),
+            )
+            sched.add_request(req)
+            steps = 0
+            out = None
+            while sched.has_unfinished():
+                for o in sched.step():
+                    if o.finished:
+                        out = o
+                steps += 1
+                assert steps < 100
+            return out.output_token_ids
+
+        ref = run("float32")
+        got = run(kv_dtype)
+        assert len(got) == 8
+        # tiny-model greedy is robust to 8-bit KV error
+        assert got == ref

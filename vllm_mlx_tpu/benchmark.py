@@ -29,6 +29,7 @@ def build_scheduler(
     quantization: Optional[str] = None,
     max_num_seqs: int = 32,
     max_model_len: int = 4096,
+    kv_dtype: str = "bfloat16",
 ):
     from .config import CacheConfig, ModelConfig, SchedulerConfig
     from .core.model_runner import (
@@ -54,7 +55,7 @@ def build_scheduler(
     runner = ModelRunner(
         cfg,
         params,
-        CacheConfig(block_size=32, num_blocks=0 or 1024),
+        CacheConfig(block_size=32, num_blocks=0 or 1024, kv_dtype=kv_dtype),
         SchedulerConfig(
             max_num_seqs=max_num_seqs,
             max_model_len=max_model_len,
@@ -167,6 +168,31 @@ def bench_tts(model_path: str, trials: int = 3) -> dict:
     }
     log(json.dumps(row))
     return row
+
+
+def bench_kv_quant(
+    model_path: str,
+    kv_dtypes: Optional[List[str]] = None,
+    quantization: Optional[str] = None,
+    batch: int = 8,
+    prompt_len: int = 512,
+    max_tokens: int = 128,
+) -> List[dict]:
+    """Decode throughput across KV-cache dtypes (reference cli.py:1608
+    bench-kv-cache-quant): fp8/int8 halve KV bytes per token, which is
+    the decode bandwidth bottleneck at long context."""
+    rows = []
+    for dt in kv_dtypes or ["bfloat16", "fp8_e4m3", "int8"]:
+        sched = build_scheduler(
+            model_path, quantization=quantization, kv_dtype=dt
+        )
+        run_case(sched, batch, prompt_len, 4, seed=7)  # warm compile
+        row = run_case(sched, batch, prompt_len, max_tokens, seed=7)
+        row["kv_dtype"] = dt
+        rows.append(row)
+        log(json.dumps(row))
+        del sched
+    return rows
 
 
 def main(argv: Optional[List[str]] = None) -> None:

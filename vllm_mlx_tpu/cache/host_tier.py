@@ -113,6 +113,19 @@ class HostKVTier:
     def contains(self, block_hash: str) -> bool:
         return block_hash in self._entries or block_hash in self._disk_index
 
+    def flush_to_disk(self) -> int:
+        """Persist every in-memory entry to the disk layer (shutdown
+        save, reference memory_cache.py:1207-1415 save-on-shutdown).
+        Entries stay resident; returns the number written."""
+        if not self.disk_dir:
+            return 0
+        n = 0
+        for h, kv in self._entries.items():
+            if h not in self._disk_index:
+                self._spill_to_disk(h, kv)
+                n += 1
+        return n
+
     def clear(self) -> None:
         self._entries.clear()
         self._bytes = 0

@@ -192,6 +192,25 @@ class PrefixCache:
         return True
 
     # ------------------------------------------------------------------ admin
+    def save_all(self, block_mgr: BlockManager) -> int:
+        """Shutdown persistence: copy every idle cached block's KV into
+        the host tier and flush the tier to disk, so a restarted server
+        with the same --kv-disk-cache-dir restores warm prefixes on
+        first fetch (reference memory_cache.py:1207-1415 +
+        server.py:1177-1237 save/load at shutdown/startup; the model
+        fingerprint guard is the tier's namespace + per-entry
+        shape/dtype checks)."""
+        if self.host_tier is None or self.runner is None:
+            return 0
+        saved = 0
+        for b in list(block_mgr._cached_lru):
+            h = block_mgr.block_hash.get(b)
+            if h is not None and not self.host_tier.contains(h):
+                self.host_tier.store(h, self.runner.read_block(b))
+                saved += 1
+        self.host_tier.flush_to_disk()
+        return saved
+
     def clear(self, block_mgr: BlockManager) -> int:
         """Drop every refcount-0 cached block back to the free list
         (DELETE /v1/cache semantics, reference server.py:3576)."""

@@ -32,6 +32,10 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     # scheduler
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=8192)
+    p.add_argument("--max-kv-size", type=int, default=None,
+                   help="rotating attention window: attend only the last "
+                        "N tokens and reclaim KV blocks behind the window "
+                        "(bounds per-sequence KV memory; lossy beyond N)")
     p.add_argument("--max-prefill-tokens", type=int, default=2048)
     p.add_argument(
         "--prefill-chunk-sizes",
@@ -53,7 +57,12 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--memory-utilization", type=float, default=0.85)
     p.add_argument("--kv-cache-dtype", default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float32", "fp8_e4m3", "fp8_e5m2",
+                            "int8"],
+                   help="fp8/int8 halve KV memory and double decode "
+                        "HBM bandwidth (lossy)")
+    p.add_argument("--kv-scale", type=float, default=0.1,
+                   help="int8 KV quantization step (value = stored * scale)")
     p.add_argument("--no-prefix-cache", action="store_true")
     p.add_argument("--host-kv-cache-gb", type=float, default=2.0,
                    help="host-DRAM spill tier size for evicted KV blocks "
@@ -131,6 +140,7 @@ def serve_command(args: argparse.Namespace) -> None:
         block_size=args.block_size,
         num_blocks=args.num_kv_blocks,
         kv_dtype=args.kv_cache_dtype,
+        kv_scale=args.kv_scale,
         memory_utilization=args.memory_utilization,
         host_cache_bytes=int(args.host_kv_cache_gb * 1024**3),
         disk_cache_dir=args.kv_disk_cache_dir,
@@ -140,6 +150,7 @@ def serve_command(args: argparse.Namespace) -> None:
         max_prefill_tokens=args.max_prefill_tokens,
         prefill_chunk_sizes=args.prefill_chunk_sizes,
         max_model_len=args.max_model_len,
+        max_kv_size=args.max_kv_size,
         moe_top_k=args.moe_top_k,
         decode_steps_per_dispatch=max(1, args.decode_steps),
     )
@@ -225,6 +236,15 @@ def serve_command(args: argparse.Namespace) -> None:
 
 
 def bench_command(args: argparse.Namespace) -> None:
+    if getattr(args, "bench_kv_quant", False):
+        from . import benchmark
+
+        benchmark.bench_kv_quant(
+            args.model,
+            quantization=None
+            if args.quantization == "none" else args.quantization,
+        )
+        return
     if getattr(args, "bench_stt_model", None):
         from . import benchmark
 
@@ -300,6 +320,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     bench_p = sub.add_parser("bench", help="run the local benchmark")
     bench_p.add_argument("--model", default=None,
                          help="checkpoint to benchmark (default: synthetic)")
+    bench_p.add_argument("--kv-cache-quant", dest="bench_kv_quant",
+                         action="store_true",
+                         help="compare decode throughput across KV dtypes "
+                              "(bf16 / fp8 / int8)")
     bench_p.add_argument("--stt-model", dest="bench_stt_model", default=None,
                          help="measure Whisper transcription RTF")
     bench_p.add_argument("--tts-model", dest="bench_tts_model", default=None,

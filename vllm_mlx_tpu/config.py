@@ -187,8 +187,13 @@ class CacheConfig:
 
     block_size: int = 32
     num_blocks: int = 512
-    # KV dtype: "bfloat16" | "float32" | "int8"
+    # KV dtype: "bfloat16" | "float32" | "fp8_e4m3" | "fp8_e5m2" | "int8"
+    # (fp8/int8 halve KV memory vs bf16 and double effective HBM
+    # bandwidth in decode; int8 stores value/kv_scale, dequantized by
+    # the attention kernel — reference memory_cache.py:491-595)
     kv_dtype: str = "bfloat16"
+    # int8 KV quantization step (value = stored * kv_scale)
+    kv_scale: float = 0.1
     # Fraction of HBM to dedicate to KV when auto-sizing.
     memory_utilization: float = 0.85
     # Host-DRAM spill tier for evicted prefix blocks (0 disables);
@@ -217,6 +222,12 @@ class SchedulerConfig:
     moe_top_k: Optional[int] = None
     # Cap on per-sequence context length (block table width)
     max_model_len: int = 4096
+    # Rotating attention window (reference max_kv_size,
+    # scheduler.py:129,2027-2032): attention reads only the last N
+    # tokens on EVERY layer and KV blocks that fall fully behind the
+    # window are reclaimed, bounding per-sequence KV memory for long
+    # generations (lossy beyond the window, like mlx RotatingKVCache).
+    max_kv_size: Optional[int] = None
     # Chained decode steps per dispatch on the fast path (amortizes
     # host-side dispatch/fetch overhead; >1 coarsens streaming
     # granularity and adds up to N-1 zombie tokens after a stop).

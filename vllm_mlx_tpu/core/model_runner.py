@@ -153,10 +153,25 @@ class ModelRunner:
         self.token_buckets = buckets
         self._rng_base = jax.random.PRNGKey(rng_seed)
         if kv_dtype is None:
-            kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-                cache_cfg.kv_dtype
-            ]
+            kv_dtype = {
+                "bfloat16": jnp.bfloat16,
+                "float32": jnp.float32,
+                "int8": jnp.int8,
+                "fp8_e4m3": jnp.float8_e4m3fn,
+                "fp8_e5m2": jnp.float8_e5m2,
+            }[cache_cfg.kv_dtype]
         self.kv_dtype = kv_dtype
+        # quantized-KV pools: int8 stores value/kv_scale (kernel
+        # dequantizes on read); fp8 stores the value with a unit scale
+        # (the explicit scale forces the kernel's f32 upcast path)
+        if kv_dtype == jnp.int8:
+            self.kv_scale: Optional[float] = float(
+                getattr(cache_cfg, "kv_scale", 0.1) or 0.1
+            )
+        elif kv_dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            self.kv_scale = 1.0
+        else:
+            self.kv_scale = None
         self.state = self._init_state()
         if mesh is not None:
             from ..parallel.mesh import shard_runner_state
@@ -268,6 +283,7 @@ class ModelRunner:
                 page_indices,
                 cu_q_lens,
                 num_seqs,
+                kv_scale=self.kv_scale,
             )
         hidden, new_pages = decoder.unified_forward(
             params,
@@ -283,6 +299,7 @@ class ModelRunner:
             self.sched_cfg.moe_top_k,
             token_embeds,
             embeds_mask,
+            kv_scale=self.kv_scale,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -480,6 +497,7 @@ class ModelRunner:
                 tables,
                 cu,
                 n_act[None],
+                kv_scale=self.kv_scale,
             )
             dlogits = decoder.compute_logits(draft_params, self.draft_cfg, dhid)
             dt = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
@@ -517,6 +535,7 @@ class ModelRunner:
             cu * (k + 1),
             n_act[None],
             self.sched_cfg.moe_top_k,
+            kv_scale=self.kv_scale,
         )
         logits = decoder.compute_logits(params, self.cfg, hidden)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(
@@ -596,6 +615,7 @@ class ModelRunner:
             cu_q_lens,
             n[None],
             self.sched_cfg.moe_top_k,
+            kv_scale=self.kv_scale,
         )  # decode never overrides embeds
         new_draft_pages = state.draft_pages
         if draft_params is not None and state.draft_pages is not None:
@@ -610,6 +630,7 @@ class ModelRunner:
                 state.block_tables,
                 cu_q_lens,
                 n[None],
+                kv_scale=self.kv_scale,
             )
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)

@@ -95,6 +95,12 @@ class Request:
     # content hashes of media spans for prefix-cache keying
     # [(start_row, end_row, hash_hex)] over the expanded prompt
     media_spans: Optional[Any] = None
+    # leading KV blocks reclaimed behind the rotating attention window
+    # (max_kv_size); their table entries are stale but never read
+    num_retired_blocks: int = 0
+    # prompt blocks already published to the prefix cache mid-prefill
+    # (reference mid-prefill cache saves, scheduler.py:1470-1538)
+    published_blocks: int = 0
 
     # Prefix cache
     cached_tokens: int = 0

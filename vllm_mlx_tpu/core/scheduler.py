@@ -191,6 +191,8 @@ class Scheduler:
         outputs: List[RequestOutput] = []
         outputs.extend(self._process_aborts())
         self._schedule_waiting()
+        if self.config.max_kv_size:
+            self._retire_window_blocks()
         if self._immediate_outputs:
             outputs.extend(self._immediate_outputs)
             self._immediate_outputs.clear()
@@ -436,6 +438,54 @@ class Scheduler:
                 (req, self._epoch.get(rid, 0), len(req.blocks) - 1, blocks[0])
             )
         return True
+
+    def _publish_prompt_blocks(self, req: Request) -> None:
+        """Register the content hashes of a request's fully-computed
+        prompt blocks while it is still prefilling. Safe because device
+        steps execute in dispatch order: any fetch by a later request is
+        dispatched after the writes it aliases."""
+        if req.prompt_embeds is not None and req.media_spans is None:
+            return  # unsalted multimodal rows must not be shared
+        ps = self.page_size
+        n_full = min(
+            req.num_prompt_tokens, req.num_computed_tokens
+        ) // ps
+        n_full = min(n_full, len(req.blocks))
+        if n_full <= req.published_blocks:
+            return
+        tokens = _all_tokens(req)[: n_full * ps]
+        hashes = self.prefix_cache.block_hashes(
+            list(tokens), req.media_spans
+        )
+        for i in range(req.published_blocks, n_full):
+            self.block_mgr.register_block_hash(req.blocks[i], hashes[i])
+        req.published_blocks = n_full
+
+    def _retire_window_blocks(self) -> None:
+        """Rotating-window memory reclaim (reference max_kv_size,
+        scheduler.py:2027-2032): a KV block whose every position is at
+        least ``max_kv_size`` behind the earliest possible future query
+        can never be attended again — free it back to the pool. Its
+        block-table entry stays as a stale index: the kernel's window
+        mask zeroes any contribution from whatever tenant reuses the
+        page, so this is exact, not approximate."""
+        w = self.config.max_kv_size
+        ps = self.page_size
+        for req in self.running:
+            if req.status != RequestStatus.RUNNING:
+                continue
+            # earliest possible future query position: prompt tokens
+            # computed so far + outputs actually PROCESSED (in-flight
+            # dispatches are at higher positions and snapshot their
+            # page tables at dispatch, so this is conservative)
+            p_min = req.num_computed_tokens + len(req.output_token_ids)
+            while (
+                (req.num_retired_blocks + 1) * ps <= p_min - w + 1
+                and req.num_retired_blocks < len(req.blocks)
+            ):
+                b = req.blocks[req.num_retired_blocks]
+                self.block_mgr.free([b])
+                req.num_retired_blocks += 1
 
     def _flush_growth(self) -> None:
         if not self._pending_growth:
@@ -722,6 +772,12 @@ class Scheduler:
             t += n
             i += 1
         cu_q_lens[i + 1 :] = cu_q_lens[i]
+        # mid-prefill cache saves (reference scheduler.py:1470-1538):
+        # publish fully-computed PROMPT blocks now, so concurrent
+        # same-prefix requests share KV before this one finishes
+        if self.prefix_cache is not None:
+            for req, _, _ in prefill:
+                self._publish_prompt_blocks(req)
 
         # FSM-constrained rows: per-seq packed allow-masks for every
         # enforced request that samples this step
@@ -811,6 +867,12 @@ class Scheduler:
         total_needed = -(-(req.num_prompt_tokens
                            + len(req.output_token_ids) + 1)
                          // self.page_size)
+        if self.config.max_kv_size:
+            # rotating window: concurrent footprint is bounded by the
+            # window (+ slack for the not-yet-retired boundary block)
+            total_needed = min(
+                total_needed, self.config.max_kv_size // self.page_size + 2
+            )
         doomed = total_needed > self.block_mgr.num_blocks - 1
         if is_self and doomed:
             logger.error(
@@ -855,10 +917,12 @@ class Scheduler:
         elif req in self.running:
             self.running.remove(req)
         if req.blocks:
+            live = req.blocks[req.num_retired_blocks :]
             cache = False
             if (
                 self.prefix_cache is not None
                 and req.is_finished()
+                and req.num_retired_blocks == 0  # rotated chains are partial
                 and (req.prompt_embeds is None or req.media_spans is not None)
             ):
                 cache = self.prefix_cache.store(
@@ -867,8 +931,10 @@ class Scheduler:
                     req.blocks,
                     media_spans=req.media_spans,
                 )
-            self.block_mgr.free(req.blocks, cache=cache)
+            self.block_mgr.free(live, cache=cache)
             req.blocks = []
+            req.num_retired_blocks = 0
+            req.published_blocks = 0
         rid = req.request_id
         self._pending_prompt.pop(rid, None)
         self._dispatched.pop(rid, None)

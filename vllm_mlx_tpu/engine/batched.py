@@ -61,7 +61,10 @@ def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    itemsize = 2 if cache_cfg.kv_dtype == "bfloat16" else 4
+    itemsize = {
+        "bfloat16": 2, "float32": 4,
+        "fp8_e4m3": 1, "fp8_e5m2": 1, "int8": 1,
+    }.get(cache_cfg.kv_dtype, 2)
     bytes_per_block = (
         cfg.num_hidden_layers
         * cache_cfg.block_size
@@ -208,6 +211,14 @@ class BatchedEngine(BaseEngine):
             self.vision_cache = VisionEmbeddingCache()
         if cfg is None:
             cfg = ModelConfig.from_pretrained(self.model_path)
+        if self.scheduler_config.max_kv_size:
+            # rotating window: every layer attends only the last
+            # max_kv_size tokens (reference max_kv_size semantics —
+            # lossy beyond the window); the scheduler reclaims KV blocks
+            # behind it
+            w = self.scheduler_config.max_kv_size
+            cfg.sliding_window = min(cfg.sliding_window or w, w)
+            cfg.layer_types = None
         self._model_config = cfg
         if params is None:
             params = loader.load_params(self.model_path, cfg)
@@ -285,6 +296,20 @@ class BatchedEngine(BaseEngine):
     async def stop(self) -> None:
         if self.core is not None:
             self.core.stop()
+        # shutdown persistence: flush idle cached KV to the disk layer so
+        # a restart with the same cache dir starts warm (reference
+        # server.py:1177-1237 save-on-shutdown)
+        if (
+            self.prefix_cache is not None
+            and self.prefix_cache.host_tier is not None
+            and self.prefix_cache.host_tier.disk_dir
+            and self.scheduler is not None
+        ):
+            try:
+                n = self.prefix_cache.save_all(self.scheduler.block_mgr)
+                logger.info("persisted %d cached KV blocks to disk", n)
+            except Exception as e:  # pragma: no cover
+                logger.warning("KV shutdown save failed: %s", e)
         self._running = False
 
     @property

@@ -203,12 +203,18 @@ def unified_forward(
     moe_top_k: Optional[int] = None,
     token_embeds: Optional[jax.Array] = None,
     embeds_mask: Optional[jax.Array] = None,
+    kv_scale: Optional[float] = None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """One step for a ragged mixed prefill/decode batch.
 
     Writes each layer's new K/V into the page pool (single scatter),
     then ragged paged attention over the updated pages. Returns
     (hidden [T, H], updated kv_pages).
+
+    ``kv_scale`` activates quantized-KV pools (int8 pages store
+    value/kv_scale; fp8 pages use kv_scale=1.0) — the kernel dequantizes
+    on read (reference memory_cache.py:491-595 KV quantization,
+    redesigned as quantize-on-write into the paged pool).
     """
     from ..ops.ragged_attention import (
         interleave_kv,
@@ -220,7 +226,9 @@ def unified_forward(
     new_pages: List[jax.Array] = []
 
     def attend(_, i, q, k, v):
-        pages_i = write_kv_pages(kv_pages[i], interleave_kv(k, v), kv_dest)
+        pages_i = write_kv_pages(
+            kv_pages[i], interleave_kv(k, v), kv_dest, kv_scale
+        )
         new_pages.append(pages_i)
         out = ragged_attention(
             q,
@@ -232,6 +240,8 @@ def unified_forward(
             scale,
             sliding_window=_layer_window(cfg, i),
             softcap=cfg.attn_softcap,
+            k_scale=kv_scale,
+            v_scale=kv_scale,
         )
         return out, None
 

@@ -53,9 +53,13 @@ def write_kv_pages(
     pages: jax.Array,  # [num_pages, page_size, 2*kvh, hd]
     kv_new: jax.Array,  # [T, 2*kvh, hd] interleaved
     kv_dest: jax.Array,  # [T] flat slot = page*page_size + offset; OOB = drop
+    kv_scale: Optional[float] = None,  # int8 pools: value = stored * scale
 ) -> jax.Array:
     np_, ps, ch, hd = pages.shape
     flat = pages.reshape(np_ * ps, ch, hd)
+    if pages.dtype == jnp.int8:
+        scaled = kv_new.astype(jnp.float32) * (1.0 / (kv_scale or 1.0))
+        kv_new = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
     flat = flat.at[kv_dest].set(
         kv_new.astype(pages.dtype), mode="drop", unique_indices=True
     )
@@ -72,6 +76,8 @@ def ragged_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
 ) -> jax.Array:
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
@@ -88,12 +94,14 @@ def ragged_attention(
             sm_scale=scale,
             sliding_window=sliding_window,
             soft_cap=softcap,
+            k_scale=k_scale,
+            v_scale=v_scale,
             num_kv_pages_per_block=4,
             num_queries_per_block=32,
         )
     return ragged_attention_xla(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
-        sliding_window, softcap,
+        sliding_window, softcap, k_scale, v_scale,
     )
 
 
@@ -107,6 +115,8 @@ def ragged_attention_xla(
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
 ) -> jax.Array:
     """Masked reference implementation (any backend, O(T * max_ctx))."""
     t, num_q_heads, hd = q.shape
@@ -135,6 +145,10 @@ def ragged_attention_xla(
     kv = kv.reshape(t, pages_per_seq * ps, ch, hd)
     k = kv[:, :, 0::2, :]
     v = kv[:, :, 1::2, :]
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale
+    if v_scale is not None:
+        v = v.astype(jnp.float32) * v_scale
     kv_pos = jnp.arange(pages_per_seq * ps)
 
     qg = q.reshape(t, kvh, group, hd).astype(jnp.float32)
