@@ -10,8 +10,13 @@ import logging
 import time
 from typing import Any, Dict, List, Optional
 
-from .client import MCPError, MCPStdioClient
-from .security import MCPSecurity, MCPSecurityError, SecurityPolicy
+from .client import MCPError, MCPSSEClient, MCPStdioClient
+from .security import (
+    MCPSecurity,
+    MCPSecurityError,
+    SecurityPolicy,
+    validate_mcp_server_config,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -25,17 +30,25 @@ class MCPManager:
 
     async def start(self, server_configs: List[Dict[str, Any]]) -> None:
         for spec in server_configs:
-            name = spec["name"]
+            name = spec.get("name", "")
             try:
-                self.security.validate_server(
-                    spec["command"], spec.get("args", []), spec.get("env", {})
-                )
-                client = MCPStdioClient(
-                    name,
-                    spec["command"],
-                    spec.get("args"),
-                    spec.get("env"),
-                )
+                validate_mcp_server_config(spec)
+                if spec.get("url"):  # remote SSE transport
+                    self.security.validate_url(spec["url"])
+                    client: Any = MCPSSEClient(
+                        name, spec["url"], spec.get("headers")
+                    )
+                else:
+                    self.security.validate_server(
+                        spec["command"], spec.get("args", []),
+                        spec.get("env", {}),
+                    )
+                    client = MCPStdioClient(
+                        name,
+                        spec["command"],
+                        spec.get("args"),
+                        spec.get("env"),
+                    )
                 await client.start()
                 self.clients[name] = client
             except (MCPSecurityError, MCPError, OSError) as e:
@@ -106,11 +119,15 @@ class MCPManager:
             result = await self.clients[sname].call_tool(
                 tool.get("name", tool_name), arguments
             )
-            self.security.record(sname, tool_name, True, time.time() - t0)
+            self.security.record(
+                sname, tool_name, True, time.time() - t0,
+                arguments=arguments,
+            )
             return {"ok": True, "result": result}
         except (MCPError, MCPSecurityError, asyncio.TimeoutError) as e:
             self.security.record(
-                sname, tool_name, False, time.time() - t0, str(e)
+                sname, tool_name, False, time.time() - t0, str(e),
+                arguments=arguments,
             )
             return {"ok": False, "error": str(e)}
 
