@@ -1,0 +1,121 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Data-parallel engine replicas behind the least-loaded router
+(SURVEY §2.8 DP)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+    from transformers import LlamaConfig, LlamaForCausalLM, PreTrainedTokenizerFast
+
+    d = tmp_path_factory.mktemp("dp_model")
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=300,
+        special_tokens=["</s>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(["the quick brown fox jumps"] * 8, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, eos_token="</s>", pad_token="</s>"
+    )
+    fast.save_pretrained(d)
+    torch.manual_seed(0)
+    cfg = LlamaConfig(
+        vocab_size=tok.get_vocab_size(), hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=512,
+        eos_token_id=fast.eos_token_id,
+    )
+    LlamaForCausalLM(cfg).eval().save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def test_dp_replicas_route_and_agree(tiny_model_dir):
+    from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_mlx_tpu.engine.dp import DPEngine
+
+    async def go():
+        eng = DPEngine(
+            tiny_model_dir,
+            dp_size=2,
+            cache_config=CacheConfig(
+                block_size=8, num_blocks=32, kv_dtype="float32"
+            ),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=2, max_prefill_tokens=64,
+                prefill_chunk_sizes=[16, 64], max_model_len=256,
+            ),
+        )
+        await eng.start()
+        try:
+            assert eng.is_running and len(eng.replicas) == 2
+
+            async def run_one(i):
+                out = None
+                async for chunk in eng.stream_generate(
+                    "the quick brown", request_id=f"r{i}",
+                    temperature=0.0, max_tokens=8,
+                ):
+                    out = chunk
+                return out.token_ids if hasattr(out, "token_ids") else out
+
+            results = await asyncio.gather(*[run_one(i) for i in range(4)])
+            # identical greedy outputs regardless of which replica served
+            texts = [getattr(r, "text", r) for r in results]
+            assert len(set(map(str, texts))) == 1
+            stats = eng.get_stats()
+            assert stats["dp_size"] == 2
+            per_finished = [
+                p.get("num_finished", 0) for p in stats["replicas"]
+            ]
+            assert sum(per_finished) == 4
+            assert all(n > 0 for n in per_finished)  # both replicas used
+            assert stats["num_finished"] == 4
+        finally:
+            await eng.stop()
+
+    asyncio.run(go())
+
+
+def test_dp_abort_routes_home(tiny_model_dir):
+    from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_mlx_tpu.engine.dp import DPEngine
+
+    async def go():
+        eng = DPEngine(
+            tiny_model_dir,
+            dp_size=2,
+            cache_config=CacheConfig(
+                block_size=8, num_blocks=32, kv_dtype="float32"
+            ),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=2, max_prefill_tokens=64,
+                prefill_chunk_sizes=[16, 64], max_model_len=256,
+            ),
+        )
+        await eng.start()
+        try:
+            agen = eng.stream_generate(
+                "the quick", request_id="doomed",
+                temperature=0.0, max_tokens=200,
+            )
+            got_one = False
+            async for _ in agen:
+                if not got_one:
+                    got_one = True
+                    eng.abort_request("doomed")
+            assert got_one
+        finally:
+            await eng.stop()
+
+    asyncio.run(go())

@@ -1060,6 +1060,48 @@ async def handle_speech(request: web.Request) -> web.Response:
     return web.Response(body=wav_bytes, content_type=ctype)
 
 
+async def handle_profile_start(request: web.Request) -> web.Response:
+    """Start a jax.profiler trace (reference §5.1 tracing/profiling;
+    the vLLM /start_profile pattern). Dump dir from --profile-dir."""
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    state = _state(request)
+    pdir = state.get("profile_dir")
+    if not pdir:
+        return _error(
+            503, "profiling disabled (start with --profile-dir)", "api_error"
+        )
+    if state.get("profiling"):
+        return _error(409, "a trace is already running")
+    import jax
+
+    try:
+        jax.profiler.start_trace(pdir)
+    except Exception as e:
+        return _error(500, f"could not start trace: {e}")
+    state["profiling"] = True
+    return web.json_response({"status": "profiling", "dir": pdir})
+
+
+async def handle_profile_stop(request: web.Request) -> web.Response:
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    state = _state(request)
+    if not state.get("profiling"):
+        return _error(409, "no trace is running")
+    import jax
+
+    try:
+        jax.profiler.stop_trace()
+    finally:
+        state["profiling"] = False
+    return web.json_response(
+        {"status": "stopped", "dir": state.get("profile_dir")}
+    )
+
+
 async def handle_voices(request: web.Request) -> web.Response:
     eng = _state(request).get("tts_engine")
     voices = eng.voices() if eng is not None else []
@@ -1337,6 +1379,7 @@ def build_app(
     rerank_engine=None,
     stt_engine=None,
     tts_engine=None,
+    profile_dir=None,
     mcp_manager=None,
     model_manager=None,
     rate_limit_rps: Optional[float] = None,
@@ -1367,6 +1410,8 @@ def build_app(
         "rerank_engine": rerank_engine,
         "stt_engine": stt_engine,
         "tts_engine": tts_engine,
+        "profile_dir": profile_dir,
+        "profiling": False,
         "mcp_manager": mcp_manager,
         "model_manager": model_manager,
     }
@@ -1391,6 +1436,8 @@ def build_app(
     app.router.add_post("/v1/audio/transcriptions", handle_transcriptions)
     app.router.add_post("/v1/audio/speech", handle_speech)
     app.router.add_get("/v1/audio/voices", handle_voices)
+    app.router.add_post("/v1/profile/start", handle_profile_start)
+    app.router.add_post("/v1/profile/stop", handle_profile_stop)
     app.router.add_post("/v1/responses", handle_responses)
     app.router.add_post("/v1/messages", handle_anthropic_messages)
     app.router.add_post(

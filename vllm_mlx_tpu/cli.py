@@ -29,6 +29,11 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
         default="batched",
         help="continuous batching (default) or serialized single-request",
     )
+    p.add_argument(
+        "--dp-size", type=int, default=1,
+        help="data-parallel engine replicas behind a least-loaded "
+             "router (each pins its own device; no cross-device comms)",
+    )
     # scheduler
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=8192)
@@ -90,6 +95,14 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
         "--num-speculative-tokens", type=int, default=3,
         help="Draft tokens proposed per speculative round",
     )
+    p.add_argument(
+        "--specprefill-model",
+        help="Draft checkpoint for attention-guided sparse prefill "
+        "(SpecPrefill): long prompts keep only the important token "
+        "chunks, cutting TTFT roughly by the drop ratio",
+    )
+    p.add_argument("--specprefill-keep-pct", type=float, default=0.3)
+    p.add_argument("--specprefill-min-tokens", type=int, default=512)
     p.add_argument("--quantization", choices=["none", "int8", "int4"],
                    default="none",
                    help="quantize weights at load time")
@@ -117,6 +130,12 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
                    help="path to a VITS/MMS-TTS checkpoint for /v1/audio/speech")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-level", default="info")
+    p.add_argument("--text-only", action="store_true",
+                   help="serve only a VLM checkpoint's language model "
+                        "(vision tower never loaded)")
+    p.add_argument("--profile-dir", default=None,
+                   help="enable POST /v1/profile/start|stop jax.profiler "
+                        "traces dumped to this directory")
     p.add_argument(
         "--allow-remote-media", action="store_true",
         help="fetch http(s) image/video URLs in chat messages "
@@ -155,6 +174,11 @@ def serve_command(args: argparse.Namespace) -> None:
         decode_steps_per_dispatch=max(1, args.decode_steps),
     )
     engine_cls = SimpleEngine if args.engine == "simple" else BatchedEngine
+    if args.dp_size > 1:
+        from .engine.dp import DPEngine
+        import functools
+
+        engine_cls = functools.partial(DPEngine, dp_size=args.dp_size)
     engine = engine_cls(
         args.model,
         cache_config=cache_cfg,
@@ -166,6 +190,10 @@ def serve_command(args: argparse.Namespace) -> None:
         speculative_model=args.speculative_model,
         num_speculative_tokens=args.num_speculative_tokens,
         allow_remote_media=args.allow_remote_media,
+        specprefill_model=args.specprefill_model,
+        specprefill_keep_pct=args.specprefill_keep_pct,
+        specprefill_min_tokens=args.specprefill_min_tokens,
+        text_only=args.text_only,
     )
     metrics = MetricsCollector(engine) if args.enable_metrics else None
     served = args.served_model_name or args.model
@@ -223,6 +251,7 @@ def serve_command(args: argparse.Namespace) -> None:
                 rerank_engine=rerank_engine,
                 stt_engine=stt_engine,
                 tts_engine=tts_engine,
+                profile_dir=args.profile_dir,
                 warm_prompts=warm_prompts,
                 mcp_servers=mcp_servers,
                 model_manager=model_manager,

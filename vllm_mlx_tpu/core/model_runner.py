@@ -131,13 +131,19 @@ class ModelRunner:
         rng_seed: int = 0,
         kv_dtype=None,
         mesh=None,
+        device=None,
     ) -> None:
         self.cfg = cfg
         self.mesh = mesh
+        self.device = device
         if mesh is not None:
             from ..parallel.mesh import shard_params
 
             params = shard_params(mesh, params)
+        elif device is not None:
+            # data-parallel replica pinning: params/state committed to
+            # this device; every jit dispatch follows its operands
+            params = jax.device_put(params, device)
         self.params = params
         self.cache_cfg = cache_cfg
         self.sched_cfg = sched_cfg
@@ -177,6 +183,8 @@ class ModelRunner:
             from ..parallel.mesh import shard_runner_state
 
             self.state = shard_runner_state(mesh, self.state)
+        elif device is not None:
+            self.state = jax.device_put(self.state, device)
         self._step_jit = jax.jit(
             self._step,
             static_argnames=("greedy_only", "use_presence"),

@@ -92,6 +92,9 @@ class Request:
     # (HF get_rope_index semantics; None for text / non-mrope models)
     mrope_positions: Optional[Any] = None  # np [3, num_prompt_tokens] i32
     mrope_delta: int = 0
+    # SpecPrefill: original-position rope override for a pruned prompt
+    # (1-D; kv slots stay compacted, only rotary positions differ)
+    rope_positions: Optional[Any] = None  # np [num_prompt_tokens] i32
     # content hashes of media spans for prefix-cache keying
     # [(start_row, end_row, hash_hex)] over the expanded prompt
     media_spans: Optional[Any] = None

@@ -328,8 +328,12 @@ class Scheduler:
             # (mllm_cache.py:134-344) at block granularity. Multimodal
             # requests without span info must not hit (placeholder ids
             # collide across different images).
-            use_cache = self.prefix_cache is not None and (
-                req.prompt_embeds is None or req.media_spans is not None
+            use_cache = (
+                self.prefix_cache is not None
+                # pruned (SpecPrefill) prompts: KV depends on the rope
+                # override, not just token content — never share
+                and req.rope_positions is None
+                and (req.prompt_embeds is None or req.media_spans is not None)
             )
             if use_cache:
                 cached_blocks, cached_tokens, hit = self.prefix_cache.fetch(
@@ -446,6 +450,8 @@ class Scheduler:
         dispatched after the writes it aliases."""
         if req.prompt_embeds is not None and req.media_spans is None:
             return  # unsalted multimodal rows must not be shared
+        if req.rope_positions is not None:
+            return  # pruned (SpecPrefill) KV is positional, never shared
         ps = self.page_size
         n_full = min(
             req.num_prompt_tokens, req.num_computed_tokens
@@ -707,9 +713,11 @@ class Scheduler:
             pos = min(pos, self.config.max_model_len - 1)
             from_device[t] = True
             token_slot[t] = req.slot
-            positions[t] = pos
+            # positions feed ROPE only (kv_dest carries the write slot),
+            # so the per-request rope delta applies here directly
+            positions[t] = pos + (req.mrope_delta or 0)
             if rope_pos is not None:
-                rope_pos[:, t] = pos + (getattr(req, "mrope_delta", 0) or 0)
+                rope_pos[:, t] = pos + (req.mrope_delta or 0)
             kv_dest[t] = self._dest_for(req, pos)
             kv_lens[i] = pos + 1
             blocks = req.blocks[:pages_per_seq]
@@ -729,6 +737,16 @@ class Scheduler:
             n = len(chunk)
             token_ids[t : t + n] = chunk
             positions[t : t + n] = np.arange(c0, c0 + n)
+            rp1 = req.rope_positions
+            if rp1 is not None:  # SpecPrefill: original-position rope
+                hi = min(c0 + n, len(rp1))
+                if c0 < hi:
+                    positions[t : t + (hi - c0)] = rp1[c0:hi]
+                if hi < c0 + n:
+                    d = req.mrope_delta or 0
+                    positions[t + (hi - c0) : t + n] = (
+                        np.arange(max(c0, hi), c0 + n) + d
+                    )
             if rope_pos is not None:
                 mp = getattr(req, "mrope_positions", None)
                 if mp is not None:
@@ -923,6 +941,7 @@ class Scheduler:
                 self.prefix_cache is not None
                 and req.is_finished()
                 and req.num_retired_blocks == 0  # rotated chains are partial
+                and req.rope_positions is None  # pruned KV is positional
                 and (req.prompt_embeds is None or req.media_spans is not None)
             ):
                 cache = self.prefix_cache.store(

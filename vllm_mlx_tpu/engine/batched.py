@@ -122,12 +122,23 @@ class BatchedEngine(BaseEngine):
         speculative_model: Optional[str] = None,
         num_speculative_tokens: int = 3,
         allow_remote_media: bool = False,
+        specprefill_model: Optional[str] = None,
+        specprefill_keep_pct: float = 0.3,
+        specprefill_min_tokens: int = 512,
+        text_only: bool = False,
+        device=None,  # DP replica pinning (jax device)
     ) -> None:
+        self.text_only = text_only
+        self.device = device
         from ..media_fetch import FetchPolicy
 
         self.media_policy = FetchPolicy(allow_remote=allow_remote_media)
         self.speculative_model = speculative_model
         self.num_speculative_tokens = num_speculative_tokens
+        self.specprefill_model = specprefill_model
+        self.specprefill_keep_pct = specprefill_keep_pct
+        self.specprefill_min_tokens = specprefill_min_tokens
+        self._specprefill = None
         self.quantization = quantization
         self.model_path = model_path
         self._model_config = model_config
@@ -166,6 +177,17 @@ class BatchedEngine(BaseEngine):
         enable_persistent_compilation_cache()
         params = self._preloaded_params
         cfg = self._model_config
+        if (
+            params is None
+            and cfg is None
+            and self.text_only
+            and is_mllm_model(self.model_path)
+        ):
+            # serve only the checkpoint's language model (reference
+            # text_model_from_vlm.py:38) — vision tower never loaded
+            from ..text_model_from_vlm import load_text_model_from_vlm
+
+            cfg, params = load_text_model_from_vlm(self.model_path)
         if (
             params is None
             and cfg is None
@@ -241,6 +263,7 @@ class BatchedEngine(BaseEngine):
             self.cache_config,
             self.scheduler_config,
             rng_seed=self._seed,
+            device=self.device,
         )
         if self.speculative_model:
             # draft model for greedy speculative decoding (the
@@ -262,6 +285,17 @@ class BatchedEngine(BaseEngine):
             runner.enable_speculative(
                 dparams, dcfg, self.num_speculative_tokens
             )
+        if self.specprefill_model:
+            # sparse-prefill draft (reference specprefill.py): scores
+            # prompt-token importance; can share a checkpoint with the
+            # speculative-decoding draft
+            from ..specprefill import SpecPrefillScorer
+
+            spcfg = ModelConfig.from_pretrained(self.specprefill_model)
+            spcfg.dtype = cfg.dtype
+            spparams = loader.load_params(self.specprefill_model, spcfg)
+            logger.info("specprefill draft: %s", self.specprefill_model)
+            self._specprefill = SpecPrefillScorer(spparams, spcfg)
         if self.enable_prefix_cache:
             host_tier = None
             if self.cache_config.host_cache_bytes > 0:
@@ -340,7 +374,41 @@ class BatchedEngine(BaseEngine):
         if schema is not _UNSET:
             req.enforcer = self._get_enforcer(schema)
             req.fsm_state = req.enforcer.initial_state()
+        self._maybe_specprefill(req)
         return req
+
+    def _maybe_specprefill(self, req: Request) -> None:
+        """Attention-guided sparse prefill for long prompts (reference
+        specprefill.py): a draft model scores prompt tokens; only the
+        important chunks are prefilled, with ORIGINAL rotary positions
+        restored via the rope-position override."""
+        if self._specprefill is None:
+            return
+        ids = req.prompt_token_ids
+        if ids is None:
+            if isinstance(req.prompt, str):
+                ids = self._tokenizer.encode(req.prompt)
+            else:
+                ids = list(req.prompt)
+        if len(ids) < self.specprefill_min_tokens:
+            return
+        from ..specprefill import prune_prompt
+
+        pruned, positions, delta = prune_prompt(
+            ids,
+            self._specprefill,
+            keep_pct=self.specprefill_keep_pct,
+        )
+        logger.info(
+            "specprefill: %d -> %d prompt tokens (%.0f%% kept)",
+            len(ids), len(pruned), 100 * len(pruned) / len(ids),
+        )
+        req.prompt_token_ids = pruned
+        req.num_prompt_tokens = len(pruned)
+        req.rope_positions = positions
+        req.mrope_delta = delta
+        req.media_spans = None  # pruned prompts never share KV prefixes
+        req.specprefill_dropped = delta
 
     def _get_enforcer(self, schema):
         """Cached JsonTokenEnforcer per schema (the token trie is shared
