@@ -292,6 +292,7 @@ class ModelRunner:
                 cu_q_lens,
                 num_seqs,
                 kv_scale=self.kv_scale,
+                mesh=self.mesh,
             )
         hidden, new_pages = decoder.unified_forward(
             params,
@@ -308,6 +309,7 @@ class ModelRunner:
             token_embeds,
             embeds_mask,
             kv_scale=self.kv_scale,
+            mesh=self.mesh,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -506,6 +508,7 @@ class ModelRunner:
                 cu,
                 n_act[None],
                 kv_scale=self.kv_scale,
+                mesh=self.mesh,
             )
             dlogits = decoder.compute_logits(draft_params, self.draft_cfg, dhid)
             dt = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
@@ -544,6 +547,7 @@ class ModelRunner:
             n_act[None],
             self.sched_cfg.moe_top_k,
             kv_scale=self.kv_scale,
+            mesh=self.mesh,
         )
         logits = decoder.compute_logits(params, self.cfg, hidden)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(
@@ -624,6 +628,7 @@ class ModelRunner:
             n[None],
             self.sched_cfg.moe_top_k,
             kv_scale=self.kv_scale,
+            mesh=self.mesh,
         )  # decode never overrides embeds
         new_draft_pages = state.draft_pages
         if draft_params is not None and state.draft_pages is not None:
@@ -639,6 +644,7 @@ class ModelRunner:
                 cu_q_lens,
                 n[None],
                 kv_scale=self.kv_scale,
+                mesh=self.mesh,
             )
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)

@@ -204,6 +204,7 @@ def unified_forward(
     token_embeds: Optional[jax.Array] = None,
     embeds_mask: Optional[jax.Array] = None,
     kv_scale: Optional[float] = None,
+    mesh=None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """One step for a ragged mixed prefill/decode batch.
 
@@ -242,6 +243,7 @@ def unified_forward(
             softcap=cfg.attn_softcap,
             k_scale=kv_scale,
             v_scale=kv_scale,
+            mesh=mesh,
         )
         return out, None
 
