@@ -84,3 +84,94 @@ class TestOutputCollector:
         assert sent == [False, False, True, False, False]
         fin = RequestOutput(request_id="r", new_token_ids=[9], finished=True)
         assert st.should_send(fin)
+
+
+class TestConvertRegisterQualify:
+    """acquire/convert/register/qualify workflow (reference
+    model_workflow.py:369-680)."""
+
+    @pytest.fixture(scope="class")
+    def tiny_llama_dir(self, tmp_path_factory):
+        import torch
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        torch.manual_seed(0)
+        d = tmp_path_factory.mktemp("wf_model")
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=512,
+        )
+        LlamaForCausalLM(cfg).eval().save_pretrained(
+            d, safe_serialization=True
+        )
+        return str(d)
+
+    def test_convert_int8_roundtrip(self, tiny_llama_dir, tmp_path):
+        """Converted pre-quantized artifact loads through the auto
+        loader and generates identically to load-time quantization."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_mlx_tpu.config import ModelConfig
+        from vllm_mlx_tpu.model_workflow import convert_model
+        from vllm_mlx_tpu.models import decoder, loader
+        from vllm_mlx_tpu.ops.quant import quantize_params
+
+        out = str(tmp_path / "artifact-int8")
+        manifest = convert_model(
+            tiny_llama_dir, out, dtype="float32", quantize="int8"
+        )
+        assert manifest["status"] == "succeeded"
+        assert (tmp_path / "artifact-int8" / "model.safetensors").exists()
+
+        cfg = ModelConfig.from_pretrained(out)
+        converted = loader.load_params_auto(out, cfg, dtype="float32")
+        reference = quantize_params(
+            loader.load_params(tiny_llama_dir, cfg, dtype="float32"),
+            bits=8,
+        )
+        ids = np.random.default_rng(0).integers(2, 128, size=9).tolist()
+        la = decoder.dense_forward(converted, cfg, jnp.asarray(ids))
+        lb = decoder.dense_forward(reference, cfg, jnp.asarray(ids))
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-5
+        )
+
+    def test_convert_dry_run(self, tiny_llama_dir, tmp_path):
+        from vllm_mlx_tpu.model_workflow import convert_model
+
+        m = convert_model(
+            tiny_llama_dir, str(tmp_path / "x"), dry_run=True
+        )
+        assert m["status"] == "dry_run"
+        assert not (tmp_path / "x").exists()
+
+    def test_register_manifest(self, tiny_llama_dir):
+        import json
+        import os
+
+        from vllm_mlx_tpu.model_workflow import register_model
+
+        payload = register_model(
+            tiny_llama_dir, model_id="tiny", served_model_name="tiny-prod",
+            tool_call_parser="hermes",
+            serving_defaults={"temperature": 0.6},
+        )
+        assert payload["qualification_required"] is True
+        assert payload["production_ready"] is False
+        assert os.path.exists(payload["manifest_path"])
+        with open(payload["manifest_path"]) as f:
+            on_disk = json.load(f)
+        assert on_disk["served_model_name"] == "tiny-prod"
+        assert on_disk["parser_policy"]["tool_call_parser"] == "hermes"
+
+    def test_qualify_dry_run(self, tmp_path):
+        from vllm_mlx_tpu.model_workflow import qualify_model
+
+        out = str(tmp_path / "qual.json")
+        payload = qualify_model(
+            "tiny", "http://localhost:9", dry_run=True, output_path=out
+        )
+        assert payload["status"] == "dry_run"
+        assert (tmp_path / "qual.json").exists()

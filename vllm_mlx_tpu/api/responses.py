@@ -26,17 +26,36 @@ def input_to_messages(inp: Any, instructions: Optional[str]) -> List[Dict]:
             continue
         itype = item.get("type", "message")
         if itype == "message":
+            role = item.get("role", "user")
+            if role == "developer":  # Responses alias for system
+                role = "system"
             content = item.get("content")
             if isinstance(content, list):
-                parts = []
+                parts: List[Any] = []
+                has_media = False
                 for c in content:
                     ctype = c.get("type")
                     if ctype in ("input_text", "output_text", "text"):
-                        parts.append(c.get("text", ""))
-                content = "".join(parts)
-            messages.append(
-                {"role": item.get("role", "user"), "content": content or ""}
-            )
+                        parts.append(
+                            {"type": "text", "text": c.get("text", "")}
+                        )
+                    elif ctype == "input_image":
+                        has_media = True
+                        parts.append(
+                            {
+                                "type": "image_url",
+                                "image_url": {
+                                    "url": c.get("image_url", "")
+                                },
+                            }
+                        )
+                if has_media:  # multimodal chat content parts
+                    messages.append({"role": role, "content": parts})
+                    continue
+                content = "".join(p["text"] for p in parts)
+            messages.append({"role": role, "content": content or ""})
+        elif itype == "reasoning":
+            continue  # prior-turn reasoning items are not re-fed
         elif itype == "function_call":
             messages.append(
                 {

@@ -803,15 +803,47 @@ async def handle_responses(request: web.Request) -> web.Response:
     )
     shell["output"] = []
     await ev("response.created", {"response": shell})
+    await ev("response.in_progress", {"response": shell})
     full_text = ""
     final = None
     item_id = f"msg_{uuid.uuid4().hex[:20]}"
+    item_open = False
     try:
         async for chunk in engine.stream_chat(
             messages, request_id=response_id, tools=tools, **kwargs
         ):
             final = chunk
             if chunk.text:
+                if not item_open:
+                    # full item/part lifecycle (reference server.py:5136
+                    # Responses SSE shape)
+                    item_open = True
+                    await ev(
+                        "response.output_item.added",
+                        {
+                            "output_index": 0,
+                            "item": {
+                                "type": "message",
+                                "id": item_id,
+                                "role": "assistant",
+                                "status": "in_progress",
+                                "content": [],
+                            },
+                        },
+                    )
+                    await ev(
+                        "response.content_part.added",
+                        {
+                            "item_id": item_id,
+                            "output_index": 0,
+                            "content_index": 0,
+                            "part": {
+                                "type": "output_text",
+                                "text": "",
+                                "annotations": [],
+                            },
+                        },
+                    )
                 full_text += chunk.text
                 await ev(
                     "response.output_text.delta",
@@ -825,6 +857,48 @@ async def handle_responses(request: web.Request) -> web.Response:
     except ConnectionResetError:
         engine.abort_request(response_id)
         return resp
+    if item_open:
+        await ev(
+            "response.output_text.done",
+            {
+                "item_id": item_id,
+                "output_index": 0,
+                "content_index": 0,
+                "text": full_text,
+            },
+        )
+        await ev(
+            "response.content_part.done",
+            {
+                "item_id": item_id,
+                "output_index": 0,
+                "content_index": 0,
+                "part": {
+                    "type": "output_text",
+                    "text": full_text,
+                    "annotations": [],
+                },
+            },
+        )
+        await ev(
+            "response.output_item.done",
+            {
+                "output_index": 0,
+                "item": {
+                    "type": "message",
+                    "id": item_id,
+                    "role": "assistant",
+                    "status": "completed",
+                    "content": [
+                        {
+                            "type": "output_text",
+                            "text": full_text,
+                            "annotations": [],
+                        }
+                    ],
+                },
+            },
+        )
     done = make_response_body(
         response_id=response_id,
         model=model,

@@ -304,6 +304,54 @@ def bench_command(args: argparse.Namespace) -> None:
     mod.main()
 
 
+def model_acquire_command(args: argparse.Namespace) -> None:
+    import json as _json
+
+    from .model_workflow import acquire_model
+
+    print(_json.dumps(acquire_model(
+        args.model_id, target_dir=args.target_dir,
+        revision=args.revision, is_mllm=args.mllm,
+    ), indent=2, default=str))
+
+
+def model_convert_command(args: argparse.Namespace) -> None:
+    import json as _json
+
+    from .model_workflow import convert_model
+
+    print(_json.dumps(convert_model(
+        args.source, args.output, dtype=args.dtype,
+        quantize=args.quantize, group_size=args.group_size,
+        dry_run=args.dry_run,
+    ), indent=2, default=str))
+
+
+def model_register_command(args: argparse.Namespace) -> None:
+    import json as _json
+
+    from .model_workflow import register_model
+
+    print(_json.dumps(register_model(
+        args.artifact, model_id=args.model_id,
+        served_model_name=args.served_model_name,
+        tool_call_parser=args.tool_call_parser,
+        reasoning_parser=args.reasoning_parser,
+        output_path=args.output,
+    ), indent=2, default=str))
+
+
+def model_qualify_command(args: argparse.Namespace) -> None:
+    import json as _json
+
+    from .model_workflow import qualify_model
+
+    print(_json.dumps(qualify_model(
+        args.model_id, args.url, repetitions=args.repetitions,
+        output_path=args.output, dry_run=args.dry_run,
+    ), indent=2, default=str))
+
+
 def model_inspect_command(args: argparse.Namespace) -> None:
     import json as _json
 
@@ -375,6 +423,46 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     verify_p.add_argument("path")
     verify_p.set_defaults(func=model_verify_command)
+    acq_p = model_sub.add_parser(
+        "acquire", help="download + write an acquisition manifest"
+    )
+    acq_p.add_argument("model_id")
+    acq_p.add_argument("--target-dir", default=None)
+    acq_p.add_argument("--revision", default=None)
+    acq_p.add_argument("--mllm", action="store_true")
+    acq_p.set_defaults(func=model_acquire_command)
+    conv_p = model_sub.add_parser(
+        "convert",
+        help="cast / pre-quantize a checkpoint into a serving artifact",
+    )
+    conv_p.add_argument("source")
+    conv_p.add_argument("output")
+    conv_p.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32", "float16"])
+    conv_p.add_argument("--quantize", default=None,
+                        choices=["int8", "int4"])
+    conv_p.add_argument("--group-size", type=int, default=64)
+    conv_p.add_argument("--dry-run", action="store_true")
+    conv_p.set_defaults(func=model_convert_command)
+    reg_p = model_sub.add_parser(
+        "register", help="write a registration handoff manifest"
+    )
+    reg_p.add_argument("artifact")
+    reg_p.add_argument("--model-id", default=None)
+    reg_p.add_argument("--served-model-name", default=None)
+    reg_p.add_argument("--tool-call-parser", default=None)
+    reg_p.add_argument("--reasoning-parser", default=None)
+    reg_p.add_argument("--output", default=None)
+    reg_p.set_defaults(func=model_register_command)
+    qual_p = model_sub.add_parser(
+        "qualify", help="run bench-serve workloads against a live server"
+    )
+    qual_p.add_argument("model_id")
+    qual_p.add_argument("--url", default="http://localhost:8000")
+    qual_p.add_argument("--repetitions", type=int, default=1)
+    qual_p.add_argument("--output", default=None)
+    qual_p.add_argument("--dry-run", action="store_true")
+    qual_p.set_defaults(func=model_qualify_command)
 
     args = parser.parse_args(argv)
     args.func(args)

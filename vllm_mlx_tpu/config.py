@@ -63,6 +63,14 @@ class ModelConfig:
     # the rotary half-dim (HF ``rope_scaling.mrope_section``). Text-only
     # requests on an mrope model use equal components == plain RoPE.
     mrope_section: Optional[List[int]] = None
+    # Partial rotary (Bamba/Nemotron style): rope applies to the first
+    # head_dim * factor channels only
+    partial_rotary_factor: float = 1.0
+    # Hybrid SSM (Mamba2/Bamba): layer_types entries "mamba" use the
+    # SSD mixer instead of attention; mamba_cfg holds its geometry.
+    # block_has_mlp=False for pure Mamba2 (block = norm -> mixer only).
+    mamba_cfg: Optional[Dict[str, Any]] = None
+    block_has_mlp: bool = True
     # Generation defaults
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -133,6 +141,72 @@ class ModelConfig:
         rs = cfg.get("rope_scaling") or {}
         if rs.get("mrope_section"):
             kw["mrope_section"] = list(rs["mrope_section"])
+        if cfg.get("partial_rotary_factor"):
+            kw["partial_rotary_factor"] = float(cfg["partial_rotary_factor"])
+        if model_type == "mamba2":
+            n_layers = cfg.get("num_hidden_layers", 64)
+            kw.update(
+                layer_types=["mamba"] * n_layers,
+                block_has_mlp=False,
+                intermediate_size=0,
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                mamba_cfg=dict(
+                    num_heads=cfg.get("num_heads", 128),
+                    head_dim=cfg.get("head_dim", 64),
+                    state_size=cfg.get("state_size", 128),
+                    n_groups=cfg.get("n_groups", 8),
+                    conv_kernel=cfg.get("conv_kernel", 4),
+                    intermediate_size=int(
+                        cfg.get("expand", 2) * cfg.get("hidden_size", 4096)
+                    ),
+                    use_conv_bias=cfg.get("use_conv_bias", True),
+                    use_bias=cfg.get("use_bias", False),
+                    norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                    time_step_limit=tuple(
+                        cfg.get("time_step_limit", (0.0, float("inf")))
+                    ),
+                    chunk_size=cfg.get("chunk_size", 256),
+                ),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+            kw["head_dim"] = cfg.get("head_dim", 64)
+        if model_type == "bamba":
+            n_layers = cfg.get("num_hidden_layers", 32)
+            attn_idx = set(cfg.get("attn_layer_indices") or [])
+            kw.update(
+                layer_types=[
+                    "full_attention" if i in attn_idx else "mamba"
+                    for i in range(n_layers)
+                ],
+                block_has_mlp=True,
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+                attention_bias=cfg.get("attention_bias", False),
+                mamba_cfg=dict(
+                    num_heads=cfg.get("mamba_n_heads", 128),
+                    head_dim=(
+                        cfg["mamba_d_head"]
+                        if isinstance(cfg.get("mamba_d_head"), int)
+                        else int(
+                            cfg.get("mamba_expand", 2)
+                            * cfg.get("hidden_size", 4096)
+                        ) // cfg.get("mamba_n_heads", 128)
+                    ),
+                    state_size=cfg.get("mamba_d_state", 256),
+                    n_groups=cfg.get("mamba_n_groups", 1),
+                    conv_kernel=cfg.get("mamba_d_conv", 4),
+                    intermediate_size=int(
+                        cfg.get("mamba_expand", 2)
+                        * cfg.get("hidden_size", 4096)
+                    ),
+                    use_conv_bias=cfg.get("mamba_conv_bias", True),
+                    use_bias=cfg.get("mamba_proj_bias", False),
+                    norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                    time_step_limit=(0.0, float("inf")),
+                    chunk_size=cfg.get("mamba_chunk_size", 256),
+                ),
+            )
         if model_type in ("gemma2", "gemma3_text"):
             qpas = cfg.get("query_pre_attn_scalar")
             kw.update(

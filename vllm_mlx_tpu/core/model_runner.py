@@ -85,6 +85,10 @@ class RunnerState:
     # geometry as the target pool, so block tables and kv_lens are
     # shared). None when speculation is off.
     draft_pages: Optional[List[jax.Array]] = None
+    # Hybrid SSM (Mamba2/Bamba): per-mamba-layer recurrent state —
+    # (conv_state [slots, cd, K], ssm_state [slots, nh, hd, ds]) —
+    # the KV-cache analogue for SSD layers. None for pure-attention.
+    ssm_states: Optional[List[Tuple[jax.Array, jax.Array]]] = None
 
 
 @dataclass
@@ -111,6 +115,8 @@ class StepInput:
     allow_words: Optional[np.ndarray] = None  # [M, ceil(V/32)] u32
     # mrope models (Qwen-VL): explicit [3, T] (t, h, w) rope positions
     rope_pos: Optional[np.ndarray] = None
+    # hybrid SSM: slot per row (sentinel max_num_seqs for padding)
+    row_slot: Optional[np.ndarray] = None
 
 
 def unpack_multi(packed: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -209,11 +215,32 @@ class ModelRunner:
         self._extend_jit = jax.jit(self._extend_table, donate_argnums=(0,))
 
     # ------------------------------------------------------------------ state
+    @property
+    def has_ssm(self) -> bool:
+        return self.cfg.mamba_cfg is not None
+
+    @property
+    def num_attn_layers(self) -> int:
+        if self.cfg.layer_types is None:
+            return self.cfg.num_hidden_layers
+        return sum(1 for lt in self.cfg.layer_types if lt != "mamba")
+
     def _init_state(self) -> RunnerState:
         c = self.cfg
+        ssm_states = None
+        if self.has_ssm:
+            from ..models.mamba2 import MambaMixerConfig, init_mixer_states
+
+            mc = MambaMixerConfig(**c.mamba_cfg)
+            n_mamba = sum(1 for lt in c.layer_types if lt == "mamba")
+            ssm_states = [
+                init_mixer_states(mc, self.max_num_seqs)
+                for _ in range(n_mamba)
+            ]
         return RunnerState(
+            ssm_states=ssm_states,
             kv_pages=make_kv_pages(
-                c.num_hidden_layers,
+                self.num_attn_layers,
                 self.num_pages,
                 self.page_size,
                 c.num_key_value_heads,
@@ -238,7 +265,7 @@ class ModelRunner:
         c = self.cfg
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         return (
-            c.num_hidden_layers
+            self.num_attn_layers
             * self.num_pages
             * self.page_size
             * 2
@@ -271,16 +298,24 @@ class ModelRunner:
         allow_words: Optional[jax.Array] = None,  # [M, W32] u32
         draft_params: Optional[Params] = None,
         rope_positions: Optional[jax.Array] = None,  # [3, T] mrope
+        row_slot: Optional[jax.Array] = None,  # [T] hybrid SSM routing
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
             from_device, state.device_tokens[token_slot], token_ids
         )
+        ssm_ctx = None
+        if state.ssm_states is not None:
+            ssm_ctx = {
+                "states": state.ssm_states,
+                "row_slot": row_slot,
+                "from_device": from_device,
+            }
         # speculative mode: the draft model's KV pool must track every
         # prefill/decode the target sees (same inputs, own pages)
         new_draft_pages = state.draft_pages
         if draft_params is not None and state.draft_pages is not None:
-            _, new_draft_pages = decoder.unified_forward(
+            _, new_draft_pages, _ = decoder.unified_forward(
                 draft_params,
                 self.draft_cfg,
                 tokens,
@@ -294,7 +329,7 @@ class ModelRunner:
                 kv_scale=self.kv_scale,
                 mesh=self.mesh,
             )
-        hidden, new_pages = decoder.unified_forward(
+        hidden, new_pages, new_ssm = decoder.unified_forward(
             params,
             self.cfg,
             tokens,
@@ -310,6 +345,7 @@ class ModelRunner:
             embeds_mask,
             kv_scale=self.kv_scale,
             mesh=self.mesh,
+            ssm_ctx=ssm_ctx,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -372,6 +408,7 @@ class ModelRunner:
             n_active=state.n_active,
             rope_deltas=state.rope_deltas,
             draft_pages=new_draft_pages,
+            ssm_states=new_ssm if new_ssm is not None else state.ssm_states,
         )
         return new_state, sampled, logprobs
 
@@ -432,6 +469,9 @@ class ModelRunner:
             rope_positions=(
                 tok_pack[5:8] if tok_pack.shape[0] >= 8 else None
             ),
+            row_slot=(
+                tok_pack[-1] if self.cfg.mamba_cfg is not None else None
+            ),
         )
 
     # --------------------------------------------------- speculative decoding
@@ -445,6 +485,11 @@ class ModelRunner:
         matters at ~30 ms/sync on this platform."""
         if draft_cfg.vocab_size != self.cfg.vocab_size:
             raise ValueError("draft/target vocab mismatch")
+        if self.has_ssm:
+            raise ValueError(
+                "speculative decoding is not supported for hybrid SSM "
+                "models (recurrent state cannot roll back)"
+            )
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.spec_k = int(k)
@@ -496,7 +541,7 @@ class ModelRunner:
         drafts = []
         for i in range(k + 1):
             pos = base + i
-            dhid, dpages = decoder.unified_forward(
+            dhid, dpages, _ = decoder.unified_forward(
                 draft_params,
                 self.draft_cfg,
                 dt,
@@ -534,7 +579,7 @@ class ModelRunner:
             jnp.take_along_axis(tables, idx, axis=1) * ps + row_pos % ps,
             oob,
         ).reshape(-1)
-        hidden, new_pages = decoder.unified_forward(
+        hidden, new_pages, new_ssm = decoder.unified_forward(
             params,
             self.cfg,
             flat_tokens,
@@ -615,7 +660,15 @@ class ModelRunner:
         cu_q_lens = jnp.minimum(
             jnp.arange(s + 1, dtype=jnp.int32), n
         )
-        hidden, new_pages = decoder.unified_forward(
+        ssm_ctx = None
+        if state.ssm_states is not None:
+            # decode fast path: row i IS slot i (prefix-compacted)
+            ssm_ctx = {
+                "states": state.ssm_states,
+                "row_slot": jnp.where(active, jnp.arange(s), s),
+                "from_device": jnp.ones((s,), bool),
+            }
+        hidden, new_pages, new_ssm = decoder.unified_forward(
             params,
             self.cfg,
             state.device_tokens,
@@ -629,10 +682,11 @@ class ModelRunner:
             self.sched_cfg.moe_top_k,
             kv_scale=self.kv_scale,
             mesh=self.mesh,
+            ssm_ctx=ssm_ctx,
         )  # decode never overrides embeds
         new_draft_pages = state.draft_pages
         if draft_params is not None and state.draft_pages is not None:
-            _, new_draft_pages = decoder.unified_forward(
+            _, new_draft_pages, _ = decoder.unified_forward(
                 draft_params,
                 self.draft_cfg,
                 state.device_tokens,
@@ -666,6 +720,7 @@ class ModelRunner:
             n_active=state.n_active,
             rope_deltas=state.rope_deltas,
             draft_pages=new_draft_pages,
+            ssm_states=new_ssm if new_ssm is not None else state.ssm_states,
         )
         return new_state, sampled, logprobs
 
@@ -771,6 +826,12 @@ class ModelRunner:
             ),
             seen_bits=samp.seen_bits.at[slot].set(0),
         )
+        ssm_states = state.ssm_states
+        if ssm_states is not None:
+            ssm_states = [
+                (conv.at[slot].set(0.0), ssm.at[slot].set(0.0))
+                for conv, ssm in ssm_states
+            ]
         return replace(
             state,
             sampling=sampling,
@@ -778,6 +839,7 @@ class ModelRunner:
             kv_lens=state.kv_lens.at[slot].set(kv_len),
             n_active=n_active,
             rope_deltas=state.rope_deltas.at[slot].set(rope_delta),
+            ssm_states=ssm_states,
         )
 
     def admit_slot(
@@ -865,6 +927,16 @@ class ModelRunner:
                 ),
             ),
         )
+        ssm_states = state.ssm_states
+        if ssm_states is not None:
+            # fresh sequences start from zero recurrent state
+            ssm_states = [
+                (
+                    conv.at[slots].set(0.0, mode="drop"),
+                    ssm.at[slots].set(0.0, mode="drop"),
+                )
+                for conv, ssm in ssm_states
+            ]
         return replace(
             state,
             sampling=sampling,
@@ -872,6 +944,7 @@ class ModelRunner:
             kv_lens=put(state.kv_lens, kv_len),
             n_active=n_active,
             rope_deltas=put(state.rope_deltas, rope_delta),
+            ssm_states=ssm_states,
         )
 
     _ADMIT_BUCKETS = (1, 8)
@@ -935,6 +1008,9 @@ class ModelRunner:
             return a.at[dst].set(a[src])
 
         sampling = jax.tree.map(mv, samp)
+        ssm_states = state.ssm_states
+        if ssm_states is not None:
+            ssm_states = [(mv(c), mv(h)) for c, h in ssm_states]
         return replace(
             state,
             sampling=sampling,
@@ -943,6 +1019,7 @@ class ModelRunner:
             kv_lens=mv(state.kv_lens),
             n_active=n_active,
             rope_deltas=mv(state.rope_deltas),
+            ssm_states=ssm_states,
         )
 
     def move_slot(self, dst: int, src: int, n_active: int) -> None:
@@ -1046,7 +1123,9 @@ class ModelRunner:
         oob = self.num_pages * self.page_size
         t = inp.total_tokens
         use_mrope = inp.rope_pos is not None
-        tok_pack = np.zeros((8 if use_mrope else 5, bucket), np.int32)
+        use_ssm = inp.row_slot is not None
+        rows = 5 + (3 if use_mrope else 0) + (1 if use_ssm else 0)
+        tok_pack = np.zeros((rows, bucket), np.int32)
         tok_pack[0, :t] = inp.token_ids
         tok_pack[1, :t] = inp.from_device
         tok_pack[2, :t] = inp.token_slot
@@ -1055,6 +1134,9 @@ class ModelRunner:
         tok_pack[4, :t] = inp.kv_dest
         if use_mrope:
             tok_pack[5:8, :t] = inp.rope_pos
+        if use_ssm:  # padding rows carry the sentinel slot
+            tok_pack[-1, :] = self.max_num_seqs
+            tok_pack[-1, :t] = inp.row_slot
 
         s = self.max_num_seqs
         p = self.pages_per_seq

@@ -659,11 +659,17 @@ class Scheduler:
         # prefill chunks
         prefill: List[Tuple[Request, List[int], bool]] = []
         t_used = len(decode_reqs)
+        # hybrid SSM models: the in-step scan handles ONE prefilling
+        # sequence (its contiguous rows roll to the front); decode rows
+        # still batch freely alongside it
+        max_prefills = 1 if getattr(self.runner, "has_ssm", False) else 10**9
         for req in self.running:
             rid = req.request_id
             pending = self._pending_prompt.get(rid)
             if not pending or budget <= 0 or t_used >= max_t:
                 continue
+            if len(prefill) >= max_prefills:
+                break
             chunk = pending[: min(budget, max_t - t_used)]
             is_final = len(chunk) == len(pending)
             prefill.append((req, chunk, is_final))
@@ -704,6 +710,12 @@ class Scheduler:
             if self.runner.cfg.mrope_section
             else None
         )
+        # hybrid SSM: slot per row for device-side state routing
+        row_slot = (
+            np.full(total_t, s_max, np.int32)
+            if getattr(self.runner, "has_ssm", False)
+            else None
+        )
         t = 0
         i = 0
         greedy = True
@@ -718,6 +730,8 @@ class Scheduler:
             positions[t] = pos + (req.mrope_delta or 0)
             if rope_pos is not None:
                 rope_pos[:, t] = pos + (req.mrope_delta or 0)
+            if row_slot is not None:
+                row_slot[t] = req.slot
             kv_dest[t] = self._dest_for(req, pos)
             kv_lens[i] = pos + 1
             blocks = req.blocks[:pages_per_seq]
@@ -737,6 +751,8 @@ class Scheduler:
             n = len(chunk)
             token_ids[t : t + n] = chunk
             positions[t : t + n] = np.arange(c0, c0 + n)
+            if row_slot is not None:
+                row_slot[t : t + n] = req.slot
             rp1 = req.rope_positions
             if rp1 is not None:  # SpecPrefill: original-position rope
                 hi = min(c0 + n, len(rp1))
@@ -841,6 +857,7 @@ class Scheduler:
                 np.stack(allow_words_l) if allow_words_l else None
             ),
             rope_pos=rope_pos,
+            row_slot=row_slot,
         )
         presence = any(
             r.sampling_params.presence_penalty != 0

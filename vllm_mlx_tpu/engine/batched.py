@@ -242,14 +242,28 @@ class BatchedEngine(BaseEngine):
             cfg.sliding_window = min(cfg.sliding_window or w, w)
             cfg.layer_types = None
         self._model_config = cfg
+        prequantized = False
         if params is None:
-            params = loader.load_params(self.model_path, cfg)
+            params = loader.load_params_auto(self.model_path, cfg)
+            import json as _json2
+            try:
+                with open(os.path.join(self.model_path, "config.json")) as f:
+                    prequantized = bool(
+                        _json2.load(f)
+                        .get("vllm_mlx_tpu_quantization", {})
+                        .get("quantize")
+                    )
+            except (OSError, ValueError):
+                pass
         if self.quantization in ("int8", "int4"):
-            from ..ops.quant import quantize_params
+            if prequantized:
+                logger.info("artifact is pre-quantized; --quantization ignored")
+            else:
+                from ..ops.quant import quantize_params
 
-            bits = 8 if self.quantization == "int8" else 4
-            logger.info("quantizing weights to int%d", bits)
-            params = quantize_params(params, bits=bits)
+                bits = 8 if self.quantization == "int8" else 4
+                logger.info("quantizing weights to int%d", bits)
+                params = quantize_params(params, bits=bits)
         self._tokenizer = load_tokenizer(self.model_path)
         eos = collect_eos_ids(self._tokenizer, self.model_path)
         eos.update(cfg.eos_token_ids)
@@ -296,6 +310,13 @@ class BatchedEngine(BaseEngine):
             spparams = loader.load_params(self.specprefill_model, spcfg)
             logger.info("specprefill draft: %s", self.specprefill_model)
             self._specprefill = SpecPrefillScorer(spparams, spcfg)
+        if cfg.mamba_cfg is not None and self.enable_prefix_cache:
+            # hybrid SSM: KV blocks cover only attention layers; a
+            # prefix hit could not restore the mamba recurrent state,
+            # so prefix caching is disabled (state snapshots are a
+            # future extension, reference utils/mamba_cache.py)
+            logger.info("hybrid SSM model: prefix cache disabled")
+            self.enable_prefix_cache = False
         if self.enable_prefix_cache:
             host_tier = None
             if self.cache_config.host_cache_bytes > 0:

@@ -61,8 +61,18 @@ def _qkv(
     if cfg.use_qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.partial_rotary_factor < 1.0:
+        # Bamba/Nemotron-style partial rope: rotate the leading channels
+        rd = int(hd * cfg.partial_rotary_factor)
+        q = jnp.concatenate(
+            [apply_rope(q[..., :rd], cos, sin), q[..., rd:]], axis=-1
+        )
+        k = jnp.concatenate(
+            [apply_rope(k[..., :rd], cos, sin), k[..., rd:]], axis=-1
+        )
+    else:
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
     return q, k, v
 
 
@@ -134,9 +144,12 @@ def _stack(
     moe_top_k: Optional[int] = None,
     token_embeds: Optional[jax.Array] = None,  # [T, H] multimodal override
     embeds_mask: Optional[jax.Array] = None,  # [T] bool: use override row
+    ssm_fn: Optional[Callable] = None,  # (layer, params, h) -> out
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Shared layer stack. ``attend(kv_pool, layer, q, k, v) ->
-    (attn_out, kv_pool)`` encapsulates cache writing + attention.
+    (attn_out, kv_pool)`` encapsulates cache writing + attention;
+    ``ssm_fn(layer, mamba_params, h) -> out`` does the same for hybrid
+    Mamba2 layers (cfg.layer_types entries "mamba").
 
     ``token_embeds``/``embeds_mask`` inject precomputed embeddings
     (vision features) at selected rows — the TPU-native path for
@@ -154,12 +167,29 @@ def _stack(
         )
         x = jnp.where(mask, token_embeds.astype(x.dtype), x)
     cos, sin = rope_cos_sin(
-        positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling,
+        positions,
+        int(cfg.head_dim * cfg.partial_rotary_factor),
+        cfg.rope_theta,
+        cfg.rope_scaling,
         tuple(cfg.mrope_section) if cfg.mrope_section else None,
     )
     a1 = cfg.rms_add_one
     for i, p in enumerate(params["layers"]):
         h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps, a1)
+        if cfg.layer_types is not None and cfg.layer_types[i] == "mamba":
+            # hybrid SSM block: the mixer replaces attention; the
+            # caller's ssm_fn owns state plumbing (serving) or runs
+            # stateless (dense parity)
+            mix_out = ssm_fn(i, p["mamba"], h)
+            if cfg.block_has_mlp:  # Bamba-style
+                x = x + mix_out
+                h = rms_norm(
+                    x, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
+                )
+                x = x + _mlp_block(cfg, i, p, h, moe_top_k)
+            else:  # pure Mamba2: block = norm -> mixer only
+                x = x + mix_out
+            continue
         q, k, v = _qkv(cfg, p, h, cos, sin)
         attn_out, kv_pool = attend(kv_pool, i, q, k, v)
         t = attn_out.shape[0]
@@ -205,17 +235,28 @@ def unified_forward(
     embeds_mask: Optional[jax.Array] = None,
     kv_scale: Optional[float] = None,
     mesh=None,
-) -> Tuple[jax.Array, List[jax.Array]]:
+    ssm_ctx: Optional[Dict[str, Any]] = None,
+) -> Tuple[jax.Array, List[jax.Array], Optional[List[Tuple]]]:
     """One step for a ragged mixed prefill/decode batch.
 
     Writes each layer's new K/V into the page pool (single scatter),
     then ragged paged attention over the updated pages. Returns
-    (hidden [T, H], updated kv_pages).
+    (hidden [T, H], updated kv_pages, updated ssm_states or None).
 
     ``kv_scale`` activates quantized-KV pools (int8 pages store
     value/kv_scale; fp8 pages use kv_scale=1.0) — the kernel dequantizes
     on read (reference memory_cache.py:491-595 KV quantization,
     redesigned as quantize-on-write into the paged pool).
+
+    Hybrid SSM (``ssm_ctx``): kv_pages hold ATTENTION layers only (in
+    layer order); mamba layers carry per-slot recurrent state instead.
+    ssm_ctx = {"states": [(conv [S+?,cd,K], ssm [S,nh,hd,ds])...],
+    "row_slot": [T] (slot per row, = num slots for padding),
+    "from_device": [T] bool (decode rows)}. Decode rows take a batched
+    closed-form update; the (single) prefilling sequence's contiguous
+    rows are rolled to the front and scanned with its carried state
+    (the scheduler guarantees at most one prefill per step for hybrid
+    models).
     """
     from ..ops.ragged_attention import (
         interleave_kv,
@@ -225,10 +266,26 @@ def unified_forward(
 
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
+    # kv pool index per layer (hybrid models pool only attention layers)
+    if cfg.layer_types is not None and "mamba" in cfg.layer_types:
+        attn_layers = [
+            i for i, lt in enumerate(cfg.layer_types) if lt != "mamba"
+        ]
+        pool_of = {i: j for j, i in enumerate(attn_layers)}
+        mamba_of = {
+            i: j
+            for j, i in enumerate(
+                i for i, lt in enumerate(cfg.layer_types) if lt == "mamba"
+            )
+        }
+    else:
+        pool_of = None
+        mamba_of = {}
 
     def attend(_, i, q, k, v):
+        pi = pool_of[i] if pool_of is not None else i
         pages_i = write_kv_pages(
-            kv_pages[i], interleave_kv(k, v), kv_dest, kv_scale
+            kv_pages[pi], interleave_kv(k, v), kv_dest, kv_scale
         )
         new_pages.append(pages_i)
         out = ragged_attention(
@@ -247,11 +304,69 @@ def unified_forward(
         )
         return out, None
 
+    ssm_fn = None
+    new_ssm_states: Optional[List[Tuple]] = None
+    if ssm_ctx is not None:
+        from .mamba2 import MambaMixerConfig, mixer_sequence, mixer_step
+
+        mc = MambaMixerConfig(**cfg.mamba_cfg)
+        states = ssm_ctx["states"]
+        row_slot = ssm_ctx["row_slot"]  # [T] i32, == n_slots for padding
+        from_device = ssm_ctx["from_device"]  # [T] bool
+        n_slots = states[0][0].shape[0]
+        new_ssm_states = [None] * len(states)
+        valid_row = row_slot < n_slots
+        is_prefill = valid_row & (~from_device)
+        is_decode = valid_row & from_device
+        any_prefill = jnp.any(is_prefill)
+        d0 = jnp.argmax(is_prefill)  # first prefill row (0 if none)
+        pslot = jnp.where(
+            any_prefill, row_slot[d0], jnp.int32(n_slots)
+        )
+
+        def ssm_fn(i, p, h):
+            m = mamba_of[i]
+            conv, ssm = states[m]
+            # decode rows -> their slots (one closed-form step each)
+            slot_or_drop = jnp.where(is_decode, row_slot, n_slots)
+            x_slots = jnp.zeros(
+                (n_slots, h.shape[-1]), h.dtype
+            ).at[slot_or_drop].set(h, mode="drop")
+            active = jnp.zeros((n_slots,), bool).at[slot_or_drop].set(
+                True, mode="drop"
+            )
+            y_dec, conv1, ssm1 = mixer_step(p, mc, x_slots, active, conv, ssm)
+            # the one prefilling sequence: roll its contiguous rows to
+            # the front so the conv window stitches onto its state
+            h_roll = jnp.roll(h, -d0, axis=0)
+            valid_roll = jnp.roll(is_prefill, -d0, axis=0)
+            init_conv = jnp.where(
+                any_prefill, conv[jnp.minimum(pslot, n_slots - 1)], 0.0
+            )
+            init_ssm = jnp.where(
+                any_prefill, ssm[jnp.minimum(pslot, n_slots - 1)], 0.0
+            )
+            y_seq, conv_p, ssm_p = mixer_sequence(
+                p, mc, h_roll, valid_roll, init_conv, init_ssm
+            )
+            y_seq = jnp.roll(y_seq, d0, axis=0)
+            conv2 = conv1.at[pslot].set(
+                conv_p.astype(conv1.dtype), mode="drop"
+            )
+            ssm2 = ssm1.at[pslot].set(ssm_p, mode="drop")
+            new_ssm_states[m] = (conv2, ssm2)
+            y = jnp.where(
+                is_prefill[:, None],
+                y_seq,
+                jnp.where(is_decode[:, None], y_dec[row_slot], 0.0),
+            )
+            return y.astype(h.dtype)
+
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
-        token_embeds, embeds_mask,
+        token_embeds, embeds_mask, ssm_fn=ssm_fn,
     )
-    return hidden, new_pages
+    return hidden, new_pages, new_ssm_states
 
 
 def compute_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
@@ -354,8 +469,25 @@ def dense_forward(
 
     if positions is None:
         positions = jnp.arange(token_ids.shape[0])
+
+    ssm_fn = None
+    if cfg.mamba_cfg is not None:
+        from .mamba2 import MambaMixerConfig, mixer_sequence
+
+        mc = MambaMixerConfig(**cfg.mamba_cfg)
+
+        def ssm_fn(i, p, h):
+            y, _, _ = mixer_sequence(
+                p, mc, h, None,
+                jnp.zeros((mc.conv_dim, mc.conv_kernel), h.dtype),
+                jnp.zeros(
+                    (mc.num_heads, mc.head_dim, mc.state_size), jnp.float32
+                ),
+            )
+            return y
+
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
-        token_embeds, embeds_mask,
+        token_embeds, embeds_mask, ssm_fn=ssm_fn,
     )
     return _logits(params, cfg, hidden)

@@ -48,6 +48,7 @@ def _strip(name: str) -> str:
         "model.",
         "language_model.model.",
         "language_model.",
+        "backbone.",  # Mamba2
     ):
         if name.startswith(prefix):
             return name[len(prefix):]
@@ -70,9 +71,9 @@ def load_params(
 
     for name, tensor in iter_safetensors(model_path):
         n = _strip(name)
-        if n == "embed_tokens.weight":
+        if n in ("embed_tokens.weight", "embeddings.weight"):
             params["embed_tokens"] = put(tensor)
-        elif n == "norm.weight":
+        elif n in ("norm.weight", "norm_f.weight", "final_layernorm.weight"):
             params["norm"] = put(tensor)
         elif n in ("lm_head.weight",):
             params["lm_head"] = put(tensor)
@@ -81,10 +82,39 @@ def load_params(
             i = int(parts[1])
             rest = ".".join(parts[2:])
             ld = layers[i]
-            if rest == "input_layernorm.weight":
+            if rest in ("input_layernorm.weight", "norm.weight"):
+                # "norm.weight" = pure-Mamba2 block norm
                 ld["input_layernorm"] = put(tensor)
-            elif rest == "post_attention_layernorm.weight":
+            elif rest in (
+                "post_attention_layernorm.weight",
+                "pre_ff_layernorm.weight",  # Bamba
+            ):
                 ld["post_attention_layernorm"] = put(tensor)
+            elif rest.startswith(("mixer.", "mamba.")):
+                # Mamba2 SSD mixer (kept float32: states/decays are
+                # precision-sensitive; matmul weights cast to jdt)
+                sub = rest.split(".", 1)[1]
+                md = ld.setdefault("mamba", {})
+                t = np.asarray(tensor)
+                key = {
+                    "in_proj.weight": "in_w",
+                    "in_proj.bias": "in_b",
+                    "conv1d.bias": "conv_b",
+                    "dt_bias": "dt_bias",
+                    "A_log": "a_log",
+                    "D": "d",
+                    "norm.weight": "norm_w",
+                    "out_proj.weight": "out_w",
+                    "out_proj.bias": "out_b",
+                }.get(sub)
+                if sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
+                    md["conv_w"] = jnp.asarray(
+                        t.reshape(t.shape[0], t.shape[-1])
+                    ).astype(jnp.float32)
+                elif key in ("in_w", "out_w"):
+                    md[key] = put(t)
+                elif key is not None:
+                    md[key] = jnp.asarray(t).astype(jnp.float32)
             elif rest == "pre_feedforward_layernorm.weight":
                 ld["pre_feedforward_layernorm"] = put(tensor)
             elif rest == "post_feedforward_layernorm.weight":
@@ -107,11 +137,15 @@ def load_params(
                 moe_stage.setdefault(i, {}).setdefault(proj, {})[e] = tensor
             elif rest in ("mlp.gate.weight",):
                 ld.setdefault("moe", {})["router"] = put(tensor)
-            elif rest.startswith("mlp.") and rest.endswith(".weight"):
+            elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
+                ".weight"
+            ):
                 proj = rest.split(".")[1]
                 if proj in ("gate_proj", "up_proj", "down_proj"):
                     ld.setdefault("mlp", {})[proj] = put(tensor)
-            elif rest.startswith("mlp.") and rest.endswith(".bias"):
+            elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
+                ".bias"
+            ):
                 proj = rest.split(".")[1]
                 if proj in ("gate_proj", "up_proj", "down_proj"):
                     ld.setdefault("mlp", {})[proj.split("_")[0] + "_bias"] = put(tensor)
@@ -202,3 +236,69 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype: Optional[str] = None) ->
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def load_converted_params(
+    model_path: str, cfg: ModelConfig, dtype: Optional[str] = None
+) -> Params:
+    """Load an artifact produced by ``model_workflow.convert_model``:
+    tensors are stored under their PYTREE paths (``layers.0.q_proj``),
+    optionally pre-quantized as ``<name>`` int codes + ``<name>.scale``
+    — no per-architecture name mapping and no load-time quantization."""
+    from ..ops.quant import QuantizedTensor
+
+    with open(os.path.join(model_path, "config.json")) as f:
+        recipe = json.load(f).get("vllm_mlx_tpu_quantization", {})
+    bits = {"int8": 8, "int4": 4}.get(recipe.get("quantize"))
+    group = int(recipe.get("group_size", 0) or 0)
+    jdt = _DTYPES[dtype or cfg.dtype]
+
+    raw: Dict[str, np.ndarray] = {}
+    for name, t in iter_safetensors(model_path):
+        raw[name] = t
+
+    def build(name: str, arr: np.ndarray):
+        scale = raw.get(name + ".scale")
+        if scale is not None and arr.dtype.kind in "iu":
+            return QuantizedTensor(
+                w_q=jnp.asarray(arr),
+                scale=jnp.asarray(scale),
+                bits=bits or 8,
+                group_size=group if (bits or 8) == 4 else 0,
+            )
+        a = jnp.asarray(arr)
+        return a.astype(jdt) if a.dtype.kind == "f" else a
+
+    params: Params = {}
+    for name in sorted(raw):
+        if name.endswith(".scale"):
+            continue
+        parts = name.split(".")
+        node: Any = params
+        for i, p in enumerate(parts[:-1]):
+            if p == "layers" or p.isdigit():
+                if p == "layers":
+                    node = node.setdefault("layers", [])
+                else:
+                    idx = int(p)
+                    while len(node) <= idx:
+                        node.append({})
+                    node = node[idx]
+            else:
+                node = node.setdefault(p, {})
+        node[parts[-1]] = build(name, raw[name])
+    return params
+
+
+def load_params_auto(
+    model_path: str, cfg: ModelConfig, dtype: Optional[str] = None
+) -> Params:
+    """Dispatch: converted artifacts load directly, HF checkpoints map."""
+    cfg_path = os.path.join(model_path, "config.json")
+    try:
+        with open(cfg_path) as f:
+            if "vllm_mlx_tpu_quantization" in json.load(f):
+                return load_converted_params(model_path, cfg, dtype)
+    except (OSError, json.JSONDecodeError):
+        pass
+    return load_params(model_path, cfg, dtype)
