@@ -213,3 +213,124 @@ class TestSSRFPolicy:
         assert fetch_url(
             "http://good.example/x", FetchPolicy(allow_remote=True)
         ) == b"hello"
+
+
+def test_audio_in_chat_transcription_injection(tmp_path):
+    """Audio content parts in chat messages are transcribed by the
+    attached STT engine and injected as text before templating
+    (reference models/mllm.py:877 audio-in-chat)."""
+    import asyncio
+    import base64
+    import struct
+
+    import torch
+    from tokenizers import Tokenizer, decoders, models as tmodels, \
+        pre_tokenizers, trainers
+    from transformers import (
+        LlamaConfig,
+        LlamaForCausalLM,
+        PreTrainedTokenizerFast,
+        WhisperConfig,
+        WhisperForConditionalGeneration,
+    )
+
+    # tiny LM + tokenizer
+    lm_dir = tmp_path / "lm"
+    tok = Tokenizer(tmodels.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=300, special_tokens=["</s>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(["audio transcript hello world"] * 8, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, eos_token="</s>", pad_token="</s>"
+    )
+    fast.chat_template = (
+        "{% for m in messages %}{{ m['role'] }}: "
+        "{% if m['content'] is string %}{{ m['content'] }}"
+        "{% else %}{% for c in m['content'] %}"
+        "{% if c['type'] == 'text' %}{{ c['text'] }}{% endif %}"
+        "{% endfor %}{% endif %}\n{% endfor %}"
+    )
+    fast.save_pretrained(lm_dir)
+    torch.manual_seed(0)
+    LlamaForCausalLM(LlamaConfig(
+        vocab_size=tok.get_vocab_size(), hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=512,
+        eos_token_id=fast.eos_token_id,
+    )).eval().save_pretrained(lm_dir, safe_serialization=True)
+
+    # tiny whisper STT
+    stt_dir = tmp_path / "stt"
+    m = WhisperForConditionalGeneration(WhisperConfig(
+        vocab_size=200, num_mel_bins=80, d_model=64, encoder_layers=2,
+        encoder_attention_heads=4, decoder_layers=2,
+        decoder_attention_heads=4, encoder_ffn_dim=128,
+        decoder_ffn_dim=128, max_source_positions=1500,
+        max_target_positions=448, decoder_start_token_id=180,
+        eos_token_id=181, pad_token_id=181, bos_token_id=180,
+        suppress_tokens=[], begin_suppress_tokens=[],
+        forced_decoder_ids=None,
+    )).eval()
+    m.generation_config.forced_decoder_ids = None
+    m.generation_config.suppress_tokens = None
+    m.generation_config.begin_suppress_tokens = None
+    m.save_pretrained(stt_dir, safe_serialization=True)
+
+    # 0.5 s of 16 kHz noise as a WAV
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal(8000) * 3000).astype("<i2").tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    b64 = base64.b64encode(wav).decode()
+
+    async def go():
+        from vllm_mlx_tpu.audio.stt import STTEngine
+        from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+        from vllm_mlx_tpu.engine.batched import BatchedEngine
+
+        stt = STTEngine(str(stt_dir)).load()
+        eng = BatchedEngine(
+            str(lm_dir),
+            cache_config=CacheConfig(
+                block_size=8, num_blocks=32, kv_dtype="float32"
+            ),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=2, max_prefill_tokens=64,
+                prefill_chunk_sizes=[16, 64], max_model_len=256,
+            ),
+            stt_engine=stt,
+        )
+        await eng.start()
+        try:
+            messages = [{
+                "role": "user",
+                "content": [
+                    {"type": "text", "text": "what was said?"},
+                    {"type": "input_audio",
+                     "input_audio": {"data": b64, "format": "wav"}},
+                ],
+            }]
+            out = None
+            async for chunk in eng.stream_chat(
+                messages, temperature=0.0, max_tokens=4
+            ):
+                out = chunk
+            assert out is not None and out.finish_reason
+            # transcript injected before templating
+            injected = eng._inject_audio_transcripts(
+                *__import__("vllm_mlx_tpu.multimodal_processor",
+                            fromlist=["x"]).extract_media_from_messages(
+                    messages
+                )
+            )
+            text = injected[0]["content"][1]["text"]
+            assert text.startswith("[Audio transcript:")
+        finally:
+            await eng.stop()
+
+    asyncio.run(go())

@@ -173,6 +173,11 @@ def serve_command(args: argparse.Namespace) -> None:
         moe_top_k=args.moe_top_k,
         decode_steps_per_dispatch=max(1, args.decode_steps),
     )
+    stt_engine = None
+    if args.stt_model:
+        from .audio.stt import STTEngine
+
+        stt_engine = STTEngine(args.stt_model).load()
     engine_cls = SimpleEngine if args.engine == "simple" else BatchedEngine
     if args.dp_size > 1:
         from .engine.dp import DPEngine
@@ -194,6 +199,7 @@ def serve_command(args: argparse.Namespace) -> None:
         specprefill_keep_pct=args.specprefill_keep_pct,
         specprefill_min_tokens=args.specprefill_min_tokens,
         text_only=args.text_only,
+        stt_engine=stt_engine,
     )
     metrics = MetricsCollector(engine) if args.enable_metrics else None
     served = args.served_model_name or args.model
@@ -207,11 +213,6 @@ def serve_command(args: argparse.Namespace) -> None:
         from .rerank import RerankEngine
 
         rerank_engine = RerankEngine(args.rerank_model).load()
-    stt_engine = None
-    if args.stt_model:
-        from .audio.stt import STTEngine
-
-        stt_engine = STTEngine(args.stt_model).load()
     tts_engine = None
     if args.tts_model:
         from .audio.tts import TTSEngine

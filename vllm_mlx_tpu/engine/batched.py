@@ -127,9 +127,11 @@ class BatchedEngine(BaseEngine):
         specprefill_min_tokens: int = 512,
         text_only: bool = False,
         device=None,  # DP replica pinning (jax device)
+        stt_engine=None,  # audio-in-chat transcription
     ) -> None:
         self.text_only = text_only
         self.device = device
+        self.stt_engine = stt_engine
         from ..media_fetch import FetchPolicy
 
         self.media_policy = FetchPolicy(allow_remote=allow_remote_media)
@@ -494,10 +496,21 @@ class BatchedEngine(BaseEngine):
         **kwargs,
     ) -> AsyncIterator[GenerationOutput]:
         media: List[Dict[str, Any]] = []
-        if self.vlm is not None:
+        if self.vlm is not None or self.stt_engine is not None:
             from ..multimodal_processor import extract_media_from_messages
 
             messages, media = extract_media_from_messages(messages)
+        if any(m.get("kind") == "audio" for m in media):
+            # audio-in-chat: transcribe with the attached STT engine and
+            # inject the transcript where the audio part sat (reference
+            # audio-in-chat path for models without sound encoders,
+            # models/mllm.py:877 process_audio_input)
+            loop = asyncio.get_running_loop()
+            messages = await loop.run_in_executor(
+                None,
+                lambda: self._inject_audio_transcripts(messages, media),
+            )
+            media = [m for m in media if m.get("kind") != "audio"]
         prompt = self.apply_chat_template(
             messages, tools=tools, chat_template_kwargs=chat_template_kwargs
         )
@@ -512,6 +525,59 @@ class BatchedEngine(BaseEngine):
             req = self._make_request(prompt, request_id, **kwargs)
         async for chunk in self._stream(req):
             yield chunk
+
+    def _inject_audio_transcripts(
+        self,
+        messages: List[Dict[str, Any]],
+        media: List[Dict[str, Any]],
+    ) -> List[Dict[str, Any]]:
+        """Replace audio placeholders with their transcripts, in order."""
+        import base64
+        import tempfile
+
+        from ..audio.mel import load_wav
+        from ..media_fetch import resolve_media_source
+
+        if self.stt_engine is None:
+            raise ValueError(
+                "audio content requires an STT model (--stt-model)"
+            )
+        audio_iter = iter(
+            m for m in media if m.get("kind") == "audio"
+        )
+        out = []
+        for msg in messages:
+            content = msg.get("content")
+            if not isinstance(content, list):
+                out.append(msg)
+                continue
+            parts = []
+            for c in content:
+                if isinstance(c, dict) and c.get("type") == "audio":
+                    m = next(audio_iter)
+                    src = resolve_media_source(
+                        m.get("src"), self.media_policy
+                    )
+                    if isinstance(src, str):
+                        src = base64.b64decode(src)
+                    with tempfile.NamedTemporaryFile(
+                        suffix=f".{m.get('format', 'wav')}"
+                    ) as f:
+                        f.write(src)
+                        f.flush()
+                        audio = load_wav(f.name)
+                    result = self.stt_engine.transcribe(audio)
+                    parts.append(
+                        {
+                            "type": "text",
+                            "text": "[Audio transcript: "
+                            f"{result['text'].strip()}]",
+                        }
+                    )
+                else:
+                    parts.append(c)
+            out.append({**msg, "content": parts})
+        return out
 
     def _make_multimodal_request(
         self,

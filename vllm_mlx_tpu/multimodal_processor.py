@@ -447,6 +447,22 @@ def extract_media_from_messages(
                 if "video" in c:
                     media.append({"kind": "video", "src": c["video"]})
                 parts.append({"type": "video"})
+            elif ctype == "input_audio":
+                ia = c.get("input_audio") or {}
+                media.append(
+                    {
+                        "kind": "audio",
+                        "src": ia.get("data", ""),
+                        "format": ia.get("format", "wav"),
+                    }
+                )
+                parts.append({"type": "audio"})
+            elif ctype == "audio_url":
+                url = c.get("audio_url")
+                if isinstance(url, dict):
+                    url = url.get("url", "")
+                media.append({"kind": "audio", "src": url, "format": "wav"})
+                parts.append({"type": "audio"})
             else:
                 parts.append(c)
         cleaned.append({**m, "content": parts})
