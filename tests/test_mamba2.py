@@ -280,3 +280,19 @@ class TestStatefulStep:
         np.testing.assert_allclose(
             np.asarray(ssm_pad), np.asarray(ssm_ref), rtol=1e-5, atol=1e-5
         )
+
+
+def test_max_kv_size_rejected_for_hybrids(tiny_bamba):
+    from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_mlx_tpu.engine.batched import BatchedEngine
+
+    _, path = tiny_bamba
+    eng = BatchedEngine(
+        path,
+        cache_config=CacheConfig(block_size=8, num_blocks=16,
+                                 kv_dtype="float32"),
+        scheduler_config=SchedulerConfig(max_num_seqs=1, max_kv_size=64,
+                                         max_model_len=128),
+    )
+    with pytest.raises(ValueError, match="max-kv-size"):
+        eng._load()

@@ -130,8 +130,8 @@ class TestSSRFPolicy:
         """First hop is public; its redirect target resolves private —
         the per-hop re-validation must reject it."""
         import socket as sock
-        import urllib.error
-        import urllib.request as ur
+
+        from vllm_mlx_tpu import media_fetch
 
         resolutions = {"good.example": "93.184.216.34",
                        "internal.example": "10.0.0.9"}
@@ -140,22 +140,70 @@ class TestSSRFPolicy:
             lambda host, *a, **k: [(2, 1, 6, "", (resolutions[host], 80))],
         )
 
-        class Opener:
-            def open(self, req, timeout=None):
-                raise urllib.error.HTTPError(
-                    req.full_url, 302, "Found",
-                    {"Location": "http://internal.example/loot"}, io.BytesIO(),
-                )
+        class Resp:
+            status = 302
 
-        monkeypatch.setattr(ur, "build_opener", lambda *h: Opener())
+            def getheader(self, k):
+                return ("http://internal.example/loot"
+                        if k == "Location" else None)
+
+            def close(self):
+                pass
+
+        monkeypatch.setattr(
+            media_fetch, "_fetch_once", lambda url, ip, policy: Resp()
+        )
         with pytest.raises(UnsafeRemoteURLError, match="non-public"):
             fetch_url(
                 "http://good.example/x", FetchPolicy(allow_remote=True)
             )
 
+    def test_connection_pins_validated_ip(self, monkeypatch):
+        """The connect target is the IP returned by validation — a
+        rebinding DNS name cannot swap in a private address between
+        validation and connect."""
+        import socket as sock
+
+        from vllm_mlx_tpu import media_fetch
+
+        seen = {}
+        monkeypatch.setattr(
+            sock, "getaddrinfo",
+            lambda *a, **k: [(2, 1, 6, "", ("93.184.216.34", 80))],
+        )
+
+        class Resp:
+            status = 200
+
+            def __init__(self):
+                self._data = io.BytesIO(b"ok")
+
+            def getheader(self, k):
+                return "2" if k == "Content-Length" else None
+
+            def read(self, n):
+                return self._data.read(n)
+
+            def close(self):
+                pass
+
+        real = media_fetch._fetch_once
+
+        def spy(url, ip, policy):
+            seen["ip"] = ip
+            return Resp()
+
+        monkeypatch.setattr(media_fetch, "_fetch_once", spy)
+        assert fetch_url(
+            "http://rebinder.example/x", FetchPolicy(allow_remote=True)
+        ) == b"ok"
+        assert seen["ip"] == "93.184.216.34"
+        assert real is not spy
+
     def test_size_cap_enforced(self, monkeypatch):
         import socket as sock
-        import urllib.request as ur
+
+        from vllm_mlx_tpu import media_fetch
 
         monkeypatch.setattr(
             sock, "getaddrinfo",
@@ -164,7 +212,9 @@ class TestSSRFPolicy:
 
         class Resp:
             status = 200
-            headers = {}
+
+            def getheader(self, k):
+                return None
 
             def read(self, n):
                 return b"x" * n  # endless stream
@@ -172,11 +222,9 @@ class TestSSRFPolicy:
             def close(self):
                 pass
 
-        class Opener:
-            def open(self, req, timeout=None):
-                return Resp()
-
-        monkeypatch.setattr(ur, "build_opener", lambda *h: Opener())
+        monkeypatch.setattr(
+            media_fetch, "_fetch_once", lambda url, ip, policy: Resp()
+        )
         with pytest.raises(ValueError, match="exceeds"):
             fetch_url(
                 "http://good.example/big",
@@ -185,7 +233,8 @@ class TestSSRFPolicy:
 
     def test_successful_fetch(self, monkeypatch):
         import socket as sock
-        import urllib.request as ur
+
+        from vllm_mlx_tpu import media_fetch
 
         monkeypatch.setattr(
             sock, "getaddrinfo",
@@ -194,10 +243,12 @@ class TestSSRFPolicy:
 
         class Resp:
             status = 200
-            headers = {"Content-Length": "5"}
 
             def __init__(self):
                 self._data = io.BytesIO(b"hello")
+
+            def getheader(self, k):
+                return "5" if k == "Content-Length" else None
 
             def read(self, n):
                 return self._data.read(n)
@@ -205,11 +256,9 @@ class TestSSRFPolicy:
             def close(self):
                 pass
 
-        class Opener:
-            def open(self, req, timeout=None):
-                return Resp()
-
-        monkeypatch.setattr(ur, "build_opener", lambda *h: Opener())
+        monkeypatch.setattr(
+            media_fetch, "_fetch_once", lambda url, ip, policy: Resp()
+        )
         assert fetch_url(
             "http://good.example/x", FetchPolicy(allow_remote=True)
         ) == b"hello"

@@ -155,3 +155,51 @@ class TestPrefixCacheEndToEnd:
         assert outs1["a"].output_token_ids == outs2["b"].output_token_ids
         # the last block is dropped so the final token re-forwards
         assert outs2["b"].cached_tokens <= len(prompt) - 1
+
+
+def test_abort_mid_prefill_never_publishes_uncomputed_blocks(rng):
+    """A request aborted during chunked prefill must not publish blocks
+    whose KV was never written — a same-prefix follow-up would attend
+    garbage (r2 review finding #1)."""
+    from vllm_mlx_tpu.cache.prefix_cache import PrefixCache
+    from vllm_mlx_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+    from vllm_mlx_tpu.core.model_runner import ModelRunner
+    from vllm_mlx_tpu.core.request import Request, SamplingParams
+    from vllm_mlx_tpu.core.scheduler import Scheduler
+    from vllm_mlx_tpu.models import loader
+
+    cfg = ModelConfig(
+        model_type="llama", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, dtype="float32",
+    )
+    params = loader.init_params(cfg, seed=2, dtype="float32")
+    runner = ModelRunner(
+        cfg, params,
+        CacheConfig(block_size=8, num_blocks=64, kv_dtype="float32"),
+        SchedulerConfig(max_num_seqs=2, max_prefill_tokens=16,
+                        prefill_chunk_sizes=[16], max_model_len=256),
+    )
+    pc = PrefixCache(8)
+    sched = Scheduler(runner, tokenizer=None, stop_tokens=set(),
+                      prefix_cache=pc)
+    prompt = rng.integers(2, 128, size=100).tolist()
+    req = Request(request_id="a", prompt=list(prompt),
+                  sampling_params=SamplingParams(temperature=0.0,
+                                                 max_tokens=4))
+    sched.add_request(req)
+    sched.step()  # one 16-token chunk of the 100-token prompt
+    assert req.num_computed_tokens < 100
+    sched.abort_request("a")
+    while sched.has_unfinished():
+        sched.step()
+    # nothing beyond the computed blocks may be cached for reuse
+    assert sched.block_mgr.num_cached_blocks <= req.num_computed_tokens // 8
+    # a fresh identical request must not hit past the computed region
+    req2 = Request(request_id="b", prompt=list(prompt),
+                   sampling_params=SamplingParams(temperature=0.0,
+                                                  max_tokens=2))
+    sched.add_request(req2)
+    while sched.has_unfinished():
+        sched.step()
+    assert req2.cached_tokens <= 16

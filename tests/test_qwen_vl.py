@@ -500,3 +500,23 @@ class TestMLLMPrefixCache:
         out_c = run(make("c", feats2, "img2"))
         # only the text prefix blocks may hit — never the media rows
         assert out_c.cached_tokens <= len(sysprefix)
+
+
+def test_extra_placeholders_position_as_text():
+    """A literal placeholder token beyond the supplied media must not
+    crash M-RoPE position computation (r2 review finding #3)."""
+    from vllm_mlx_tpu.models.qwen_vl import compute_mrope_positions
+
+    ids = [1, IMG_TOK, 2, 3]  # no media supplied at all
+    pos, delta = compute_mrope_positions(
+        ids, [], IMG_TOK, VID_TOK, merge=2, tokens_per_second=2
+    )
+    np.testing.assert_array_equal(pos, np.tile(np.arange(4), (3, 1)))
+    assert delta == 0
+    # one media, two placeholder runs: second run is text
+    ids = [VSTART] + [IMG_TOK] * 4 + [5, IMG_TOK, 6]
+    pos, delta = compute_mrope_positions(
+        ids, [{"grid": (1, 4, 4)}], IMG_TOK, VID_TOK, merge=2,
+        tokens_per_second=2,
+    )
+    assert pos.shape == (3, len(ids))

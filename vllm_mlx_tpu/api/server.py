@@ -381,6 +381,8 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
                 outs = list(await asyncio.gather(*tasks))
         except EngineBusy:
             return _error(429, "engine busy", "rate_limit_error")
+        except ValueError as e:
+            return _error(400, str(e))
         choices = []
         usage = {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0}
         cached_total = 0
@@ -764,6 +766,8 @@ async def handle_responses(request: web.Request) -> web.Response:
             )
         except EngineBusy:
             return _error(429, "engine busy", "rate_limit_error")
+        except ValueError as e:
+            return _error(400, str(e))
         text = out.text
         reasoning_text = None
         if reasoning_parser is not None:
@@ -1114,9 +1118,12 @@ async def handle_speech(request: web.Request) -> web.Response:
         return _error(400, f"invalid JSON: {e}")
     text = body.get("input", "")
     voice = body.get("voice")
-    speed = float(body.get("speed", 1.0) or 1.0)
+    try:
+        speed = float(body.get("speed", 1.0) or 1.0)
+        seed = int(body.get("seed", 0) or 0)
+    except (TypeError, ValueError):
+        return _error(400, "'speed'/'seed' must be numeric")
     response_format = body.get("response_format", "wav") or "wav"
-    seed = int(body.get("seed", 0) or 0)
     if not text:
         return _error(400, "missing 'input'")
     loop = asyncio.get_running_loop()

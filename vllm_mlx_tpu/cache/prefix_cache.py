@@ -56,6 +56,21 @@ class PrefixCacheStats:
         }
 
 
+def salt_tokens(tokens_slice, offset, media_spans):
+    """Apply media-hash salting to a token slice whose first element
+    sits at absolute row ``offset`` — produces strings identical to
+    salting the full sequence, so incremental (chunk-at-a-time) hash
+    chains match full-sequence ones."""
+    if not media_spans:
+        return tokens_slice
+    out = list(tokens_slice)
+    hi = offset + len(out)
+    for start, end, mh in media_spans:
+        for i in range(max(start, offset), min(end, hi)):
+            out[i - offset] = f"{out[i - offset]}@{mh}:{i - start}"
+    return out
+
+
 class PrefixCache:
     """Host-side index; the KV bytes live in the pool itself.
 
@@ -106,13 +121,7 @@ class PrefixCache:
         before the first media span keep their plain hashes, so shared
         system prompts still hit across requests with different media."""
         bs = self.block_size
-        toks: Sequence = tokens
-        if media_spans:
-            aug = list(tokens)
-            for start, end, mh in media_spans:
-                for i in range(start, min(end, len(aug))):
-                    aug[i] = f"{aug[i]}@{mh}:{i - start}"
-            toks = aug
+        toks = salt_tokens(list(tokens), 0, media_spans)
         out: List[str] = []
         parent: Optional[str] = None
         for i in range(len(toks) // bs):
@@ -167,18 +176,24 @@ class PrefixCache:
         tokens: Sequence[int],
         blocks: Sequence[int],
         media_spans: Optional[Sequence[Tuple[int, int, str]]] = None,
+        valid_tokens: Optional[int] = None,
     ) -> bool:
         """Publish a finished request's full blocks for future reuse.
 
         Only blocks fully covered by *KV-written* positions are hashed:
         the final sampled token's KV may never have been written, so the
-        valid span is ``len(tokens) - 1``. Returns True when the caller
-        should retain the blocks as evictable cache entries.
+        valid span defaults to ``len(tokens) - 1``. ``valid_tokens``
+        caps it lower for requests that ended before computing their
+        whole prompt (abort/error mid-prefill) — blocks past it hold
+        uninitialized KV and must never be published. Returns True when
+        the caller should retain the blocks as evictable cache entries.
         """
         if not self.enabled or not blocks:
             return False
         bs = self.block_size
         valid = max(len(tokens) - 1, 0)
+        if valid_tokens is not None:
+            valid = min(valid, max(valid_tokens, 0))
         n_full = min(valid // bs, len(blocks))
         if n_full == 0:
             return False

@@ -102,8 +102,10 @@ class Request:
     # (max_kv_size); their table entries are stale but never read
     num_retired_blocks: int = 0
     # prompt blocks already published to the prefix cache mid-prefill
-    # (reference mid-prefill cache saves, scheduler.py:1470-1538)
+    # (reference mid-prefill cache saves, scheduler.py:1470-1538);
+    # publish_parent carries the incremental hash chain between steps
     published_blocks: int = 0
+    publish_parent: Optional[str] = None
 
     # Prefix cache
     cached_tokens: int = 0

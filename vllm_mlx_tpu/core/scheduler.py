@@ -459,12 +459,22 @@ class Scheduler:
         n_full = min(n_full, len(req.blocks))
         if n_full <= req.published_blocks:
             return
-        tokens = _all_tokens(req)[: n_full * ps]
-        hashes = self.prefix_cache.block_hashes(
-            list(tokens), req.media_spans
-        )
+        # incremental: hash only the newly completed blocks, chaining
+        # from the cached parent (full-chain rehash per step would be
+        # quadratic on long prefills)
+        from ..cache.prefix_cache import salt_tokens
+        from .block_manager import hash_block_tokens
+
+        toks = _all_tokens(req)
+        parent = req.publish_parent
         for i in range(req.published_blocks, n_full):
-            self.block_mgr.register_block_hash(req.blocks[i], hashes[i])
+            seg = salt_tokens(
+                toks[i * ps : (i + 1) * ps], i * ps, req.media_spans
+            )
+            h = hash_block_tokens(parent, seg)
+            self.block_mgr.register_block_hash(req.blocks[i], h)
+            parent = h
+        req.publish_parent = parent
         req.published_blocks = n_full
 
     def _retire_window_blocks(self) -> None:
@@ -966,11 +976,23 @@ class Scheduler:
                     _all_tokens(req),
                     req.blocks,
                     media_spans=req.media_spans,
+                    # abort/error mid-prefill: only computed rows have
+                    # KV; blocks past them must not be published. While
+                    # a (re)prefill is pending, num_computed_tokens
+                    # already counts every KV-written row of the
+                    # prompt+output stream.
+                    valid_tokens=(
+                        req.num_computed_tokens
+                        if req.request_id in self._pending_prompt
+                        else req.num_computed_tokens
+                        + max(0, len(req.output_token_ids) - 1)
+                    ),
                 )
             self.block_mgr.free(live, cache=cache)
             req.blocks = []
             req.num_retired_blocks = 0
             req.published_blocks = 0
+            req.publish_parent = None
         rid = req.request_id
         self._pending_prompt.pop(rid, None)
         self._dispatched.pop(rid, None)

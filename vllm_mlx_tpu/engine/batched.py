@@ -236,6 +236,12 @@ class BatchedEngine(BaseEngine):
         if cfg is None:
             cfg = ModelConfig.from_pretrained(self.model_path)
         if self.scheduler_config.max_kv_size:
+            if cfg.mamba_cfg is not None:
+                raise ValueError(
+                    "--max-kv-size is not supported for hybrid SSM "
+                    "models (their memory is already bounded by the "
+                    "recurrent state; attention layers keep full KV)"
+                )
             # rotating window: every layer attends only the last
             # max_kv_size tokens (reference max_kv_size semantics —
             # lossy beyond the window); the scheduler reclaims KV blocks
@@ -483,7 +489,14 @@ class BatchedEngine(BaseEngine):
     async def stream_generate(
         self, prompt: Any, request_id: Optional[str] = None, **kwargs
     ) -> AsyncIterator[GenerationOutput]:
-        req = self._make_request(prompt, request_id, **kwargs)
+        if self._specprefill is not None:
+            # draft scoring is blocking jax work — keep it off the loop
+            loop = asyncio.get_running_loop()
+            req = await loop.run_in_executor(
+                None, lambda: self._make_request(prompt, request_id, **kwargs)
+            )
+        else:
+            req = self._make_request(prompt, request_id, **kwargs)
         async for chunk in self._stream(req):
             yield chunk
 
@@ -515,11 +528,21 @@ class BatchedEngine(BaseEngine):
             messages, tools=tools, chat_template_kwargs=chat_template_kwargs
         )
         if media:
+            if self.vlm is None:
+                raise ValueError(
+                    "this model does not support image/video input"
+                )
             req = await asyncio.get_running_loop().run_in_executor(
                 None,
                 lambda: self._make_multimodal_request(
                     prompt, media, request_id, **kwargs
                 ),
+            )
+        elif self._specprefill is not None:
+            # draft scoring is blocking jax work — keep it off the loop
+            loop = asyncio.get_running_loop()
+            req = await loop.run_in_executor(
+                None, lambda: self._make_request(prompt, request_id, **kwargs)
             )
         else:
             req = self._make_request(prompt, request_id, **kwargs)

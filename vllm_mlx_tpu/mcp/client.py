@@ -260,14 +260,16 @@ class MCPSSEClient:
         self._next_id += 1
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         self._pending[req_id] = fut
-        await self._post(
-            {"jsonrpc": "2.0", "id": req_id, "method": method,
-             "params": params}
-        )
         try:
+            await self._post(
+                {"jsonrpc": "2.0", "id": req_id, "method": method,
+                 "params": params}
+            )
             msg = await asyncio.wait_for(fut, timeout=self.timeout)
         finally:
             self._pending.pop(req_id, None)
+            if not fut.done():
+                fut.cancel()
         if "error" in msg:
             raise MCPError(str(msg["error"]))
         return msg.get("result", {})

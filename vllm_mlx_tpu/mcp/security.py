@@ -46,6 +46,11 @@ BLOCKED_COMMANDS = {
 }
 
 _SHELL_META = re.compile(r"[;&|`$><\n\r]")
+# interpreter escape hatches: inline-eval/exec flags turn an allowlisted
+# launcher into arbitrary code execution (node --eval, python -c, ...)
+_DANGEROUS_OPTION = re.compile(
+    r"^-{1,2}(rm|exec|eval|e|c|p)$|^--?(rm|exec|eval)\b", re.IGNORECASE
+)
 _CONTROL_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 _TRAVERSAL = re.compile(r"(\.\./|\.\.\\|%2e%2e)", re.IGNORECASE)
 
@@ -150,6 +155,10 @@ class MCPSecurity:
             if _SHELL_META.search(a):
                 raise MCPSecurityError(
                     f"argument {a!r} contains shell metacharacters"
+                )
+            if _DANGEROUS_OPTION.match(a):
+                raise MCPSecurityError(
+                    f"argument {a!r} is a blocked interpreter option"
                 )
 
     def validate_env(self, env: Optional[Dict[str, str]]) -> None:

@@ -58,9 +58,16 @@ def _addr_is_public(ip: str) -> bool:
     )
 
 
-def validate_url_safety(url: str, policy: Optional[FetchPolicy] = None) -> None:
+def validate_url_safety(
+    url: str, policy: Optional[FetchPolicy] = None
+) -> Optional[str]:
     """Reject URLs whose scheme or resolved address could reach internal
-    services (reference models/mllm.py:483 ``_validate_url_safety``)."""
+    services (reference models/mllm.py:483 ``_validate_url_safety``).
+
+    Returns the validated public IP so the caller can PIN the connection
+    to it — re-resolving at connect time would reopen the classic DNS
+    rebinding hole (validate public, connect private). None when the
+    policy allows private hosts (no pinning needed)."""
     policy = policy or FetchPolicy()
     parsed = urllib.parse.urlparse(url)
     if parsed.scheme not in ("http", "https"):
@@ -71,17 +78,20 @@ def validate_url_safety(url: str, policy: Optional[FetchPolicy] = None) -> None:
     if host.lower() in _BLOCKED_HOSTNAMES:
         raise UnsafeRemoteURLError(f"host {host!r} is blocked")
     if policy.allow_private:
-        return
+        return None
     try:
         infos = socket.getaddrinfo(host, parsed.port or 0, proto=socket.IPPROTO_TCP)
     except socket.gaierror as e:
         raise UnsafeRemoteURLError(f"cannot resolve {host!r}: {e}") from e
+    ips = []
     for info in infos:
         ip = info[4][0]
         if not _addr_is_public(ip):
             raise UnsafeRemoteURLError(
                 f"host {host!r} resolves to non-public address {ip}"
             )
+        ips.append(ip)
+    return ips[0] if ips else None
 
 
 def fetch_url(url: str, policy: Optional[FetchPolicy] = None) -> bytes:
@@ -95,26 +105,18 @@ def fetch_url(url: str, policy: Optional[FetchPolicy] = None) -> bytes:
         )
     current = url
     for _ in range(MAX_REDIRECTS + 1):
-        validate_url_safety(current, policy)
-        req = urllib.request.Request(
-            current, headers={"User-Agent": "vllm-mlx-tpu/1.0"}
-        )
-        opener = urllib.request.build_opener(_NoRedirect())
+        ip = validate_url_safety(current, policy)
+        resp = _fetch_once(current, ip, policy)
         try:
-            resp = opener.open(req, timeout=policy.timeout)
-        except urllib.error.HTTPError as e:
-            if e.code in (301, 302, 303, 307, 308):
-                loc = e.headers.get("Location")
-                e.close()
+            if resp.status in (301, 302, 303, 307, 308):
+                loc = resp.getheader("Location")
                 if not loc:
                     raise UnsafeRemoteURLError("redirect without Location")
                 current = urllib.parse.urljoin(current, loc)
                 continue
-            raise ValueError(f"fetch failed: HTTP {e.code}") from e
-        try:
             if resp.status != 200:
                 raise ValueError(f"fetch failed: HTTP {resp.status}")
-            clen = resp.headers.get("Content-Length")
+            clen = resp.getheader("Content-Length")
             if clen and int(clen) > policy.max_bytes:
                 raise ValueError(
                     f"remote media exceeds {policy.max_bytes} bytes"
@@ -137,11 +139,50 @@ def fetch_url(url: str, policy: Optional[FetchPolicy] = None) -> bytes:
     raise UnsafeRemoteURLError(f"too many redirects (> {MAX_REDIRECTS})")
 
 
-class _NoRedirect(urllib.request.HTTPRedirectHandler):
-    """Surface redirects to the caller so every hop is re-validated."""
+def _fetch_once(url: str, ip: Optional[str], policy: FetchPolicy):
+    """One GET, CONNECTED TO THE VALIDATED IP (TLS SNI/verification
+    still against the original hostname) so a rebinding DNS name cannot
+    swap in a private address between validation and connect. Returns an
+    http.client response (not auto-redirecting)."""
+    import http.client
+    import ssl
 
-    def redirect_request(self, req, fp, code, msg, headers, newurl):
-        return None
+    parsed = urllib.parse.urlparse(url)
+    host = parsed.hostname
+    port = parsed.port or (443 if parsed.scheme == "https" else 80)
+    connect_host = ip or host
+
+    if parsed.scheme == "https":
+        ctx = ssl.create_default_context()
+
+        class _Pinned(http.client.HTTPSConnection):
+            def connect(self) -> None:  # pragma: no cover - network
+                raw = socket.create_connection(
+                    (connect_host, port), timeout=policy.timeout
+                )
+                self.sock = ctx.wrap_socket(raw, server_hostname=host)
+
+        conn: http.client.HTTPConnection = _Pinned(
+            host, port, timeout=policy.timeout, context=ctx
+        )
+    else:
+
+        class _PinnedHTTP(http.client.HTTPConnection):
+            def connect(self) -> None:  # pragma: no cover - network
+                self.sock = socket.create_connection(
+                    (connect_host, port), timeout=policy.timeout
+                )
+
+        conn = _PinnedHTTP(host, port, timeout=policy.timeout)
+
+    path = parsed.path or "/"
+    if parsed.query:
+        path += "?" + parsed.query
+    conn.request(
+        "GET", path,
+        headers={"Host": host, "User-Agent": "vllm-mlx-tpu/1.0"},
+    )
+    return conn.getresponse()
 
 
 def resolve_media_source(

@@ -392,10 +392,12 @@ def compute_mrope_positions(
     mi = 0
     is_media = (ids == image_token_id) | (ids == video_token_id)
     while st < n:
-        if not is_media[st]:
-            # text run
+        if not is_media[st] or mi >= len(media):
+            # text run (placeholder tokens beyond the supplied media —
+            # e.g. a literal "<|image_pad|>" typed in the prompt — were
+            # never expanded and position like ordinary text)
             ed = st
-            while ed < n and not is_media[ed]:
+            while ed < n and (not is_media[ed] or mi >= len(media)):
                 ed += 1
             out[:, st:ed] = np.arange(st_idx, st_idx + (ed - st))
             st_idx += ed - st
