@@ -34,6 +34,13 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
         help="data-parallel engine replicas behind a least-loaded "
              "router (each pins its own device; no cross-device comms)",
     )
+    p.add_argument(
+        "--tp-size", type=int, default=1,
+        help="tensor-parallel degree: shard attention heads / FFN / "
+             "vocab / KV pool over a device mesh (Megatron layout; "
+             "collectives ride ICI via XLA GSPMD). Must divide the "
+             "model's attention and KV head counts",
+    )
     # scheduler
     p.add_argument("--max-num-seqs", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=8192)
@@ -180,12 +187,18 @@ def serve_command(args: argparse.Namespace) -> None:
         stt_engine = STTEngine(args.stt_model).load()
     engine_cls = SimpleEngine if args.engine == "simple" else BatchedEngine
     if args.dp_size > 1:
+        if args.tp_size > 1:
+            raise SystemExit(
+                "--dp-size and --tp-size cannot be combined yet: DP "
+                "replicas pin single devices while TP owns a mesh"
+            )
         from .engine.dp import DPEngine
         import functools
 
         engine_cls = functools.partial(DPEngine, dp_size=args.dp_size)
     engine = engine_cls(
         args.model,
+        tp_size=args.tp_size,
         cache_config=cache_cfg,
         scheduler_config=sched_cfg,
         enable_prefix_cache=not args.no_prefix_cache,

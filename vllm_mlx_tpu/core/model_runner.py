@@ -490,20 +490,32 @@ class ModelRunner:
                 "speculative decoding is not supported for hybrid SSM "
                 "models (recurrent state cannot roll back)"
             )
+        draft_pages = make_kv_pages(
+            draft_cfg.num_hidden_layers,
+            self.num_pages,
+            self.page_size,
+            draft_cfg.num_key_value_heads,
+            draft_cfg.head_dim,
+            dtype=self.kv_dtype,
+        )
+        if self.mesh is not None:
+            # TP: the draft shards like the target — Megatron param
+            # rules + kv heads over the tp axis (parallel/mesh.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import shard_params, validate_tp
+
+            validate_tp(draft_cfg, self.mesh.shape.get("tp", 1))
+            draft_params = shard_params(self.mesh, draft_params)
+            kv_sh = NamedSharding(self.mesh, P(None, None, "tp", None))
+            draft_pages = [jax.device_put(p, kv_sh) for p in draft_pages]
+        elif self.device is not None:
+            draft_params = jax.device_put(draft_params, self.device)
+            draft_pages = jax.device_put(draft_pages, self.device)
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.spec_k = int(k)
-        self.state = replace(
-            self.state,
-            draft_pages=make_kv_pages(
-                draft_cfg.num_hidden_layers,
-                self.num_pages,
-                self.page_size,
-                draft_cfg.num_key_value_heads,
-                draft_cfg.head_dim,
-                dtype=self.kv_dtype,
-            ),
-        )
+        self.state = replace(self.state, draft_pages=draft_pages)
         self._spec_jit = jax.jit(
             functools.partial(self._spec_round, k=self.spec_k),
             donate_argnums=(2,),

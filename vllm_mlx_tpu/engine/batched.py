@@ -128,9 +128,17 @@ class BatchedEngine(BaseEngine):
         text_only: bool = False,
         device=None,  # DP replica pinning (jax device)
         stt_engine=None,  # audio-in-chat transcription
+        tp_size: int = 1,  # tensor-parallel mesh over local devices
     ) -> None:
         self.text_only = text_only
         self.device = device
+        self.tp_size = int(tp_size)
+        self.mesh = None
+        if self.tp_size > 1 and device is not None:
+            raise ValueError(
+                "tp_size and DP replica pinning are mutually exclusive "
+                "(a TP engine owns its own device mesh)"
+            )
         self.stt_engine = stt_engine
         from ..media_fetch import FetchPolicy
 
@@ -279,6 +287,21 @@ class BatchedEngine(BaseEngine):
             self.cache_config.num_blocks = _auto_num_blocks(
                 cfg, self.cache_config, params
             )
+        if self.tp_size > 1:
+            # tensor-parallel serving: Megatron-style param shardings
+            # over an ICI mesh; the runner's compiled step runs under
+            # GSPMD with the ragged-attention kernel shard_map'd over
+            # the tp axis (parallel/mesh.py; SURVEY §2.8 — the
+            # reference has no TP at all, vllm_platform.py:324-325)
+            from ..parallel.mesh import make_mesh, validate_tp
+
+            validate_tp(cfg, self.tp_size)
+            self.mesh = make_mesh(dp=1, tp=self.tp_size)
+            logger.info(
+                "tensor parallel: tp=%d over %s",
+                self.tp_size,
+                [str(d) for d in self.mesh.devices.flat],
+            )
         runner = ModelRunner(
             cfg,
             params,
@@ -286,6 +309,7 @@ class BatchedEngine(BaseEngine):
             self.scheduler_config,
             rng_seed=self._seed,
             device=self.device,
+            mesh=self.mesh,
         )
         if self.speculative_model:
             # draft model for greedy speculative decoding (the

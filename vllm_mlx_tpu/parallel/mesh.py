@@ -61,8 +61,13 @@ _LEAF_RULES: Dict[str, P] = {
 }
 
 
-def param_pspecs(params: Any) -> Any:
-    """PartitionSpec pytree matching ``params`` by leaf key name."""
+def param_pspecs(params: Any, tp: int = 1) -> Any:
+    """PartitionSpec pytree matching ``params`` by leaf key name.
+
+    With ``tp`` given, any rule whose sharded dimension does not divide
+    evenly falls back to replication for that leaf (e.g. odd vocab
+    sizes on tiny test tokenizers — GSPMD requires exact divisibility).
+    """
 
     def rule(path, leaf):
         name = None
@@ -70,20 +75,41 @@ def param_pspecs(params: Any) -> Any:
             if isinstance(entry, jax.tree_util.DictKey):
                 name = entry.key
                 break
-        return _LEAF_RULES.get(name, P())
+        spec = _LEAF_RULES.get(name, P())
+        if tp > 1 and hasattr(leaf, "shape"):
+            for dim, axis in enumerate(spec):
+                if axis == "tp" and (
+                    dim >= len(leaf.shape) or leaf.shape[dim] % tp
+                ):
+                    return P()
+        return spec
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def state_pspecs(state: Any) -> Any:
     """PartitionSpecs for the RunnerState: KV combined-heads over tp;
-    sampling/scalar state replicated (tiny)."""
+    sampling/scalar state replicated (tiny).
+
+    The draft model's KV pool (speculative decoding) shards exactly like
+    the target pool — same page geometry, kv heads over ``tp``. Hybrid
+    SSM recurrent state replicates: the mamba mixer's params carry no
+    TP rule (each chip runs the full mixer redundantly; it is a small
+    fraction of hybrid-model FLOPs), so its state must replicate too.
+    """
     from ..core.model_runner import RunnerState
 
     # built via tree_map so new SamplingState fields can't drift out of sync
     sampling = jax.tree.map(lambda _: P(), state.sampling)
+    kv_spec = P(None, None, "tp", None)
+    draft = None
+    if state.draft_pages is not None:
+        draft = [kv_spec for _ in state.draft_pages]
+    ssm = None
+    if state.ssm_states is not None:
+        ssm = [(P(), P()) for _ in state.ssm_states]
     return RunnerState(
-        kv_pages=[P(None, None, "tp", None) for _ in state.kv_pages],
+        kv_pages=[kv_spec for _ in state.kv_pages],
         device_tokens=P(),
         sampling=sampling,
         step_count=P(),
@@ -91,6 +117,8 @@ def state_pspecs(state: Any) -> Any:
         kv_lens=P(),
         n_active=P(),
         rope_deltas=P(),
+        draft_pages=draft,
+        ssm_states=ssm,
     )
 
 
@@ -103,7 +131,8 @@ def _named(mesh: Mesh, specs: Any) -> Any:
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:
-    return jax.device_put(params, _named(mesh, param_pspecs(params)))
+    tp = int(mesh.shape.get("tp", 1))
+    return jax.device_put(params, _named(mesh, param_pspecs(params, tp)))
 
 
 def shard_runner_state(mesh: Mesh, state: Any) -> Any:
