@@ -1,0 +1,340 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Model-family breadth (VERDICT r2 #2): GPT-OSS, Mixtral, DeepSeek
+V2/V3 (MLA) — HF logits parity plus served-greedy identity through the
+continuous-batching engine.
+
+The reference serves these via mlx-lm (reference models/llm.py:40);
+here each family is first-class in the config-driven decoder:
+  * GPT-OSS: attention sinks, alternating sliding layers, fused
+    clamped-GLU MoE with topk-then-softmax router, yarn rope
+  * Mixtral: every-layer MoE, softmax-then-topk router with renorm
+  * DeepSeek V2/V3: multi-head latent attention (decompressed-KV
+    serving), shared experts, group-limited (sigmoid+bias | softmax)
+    routing, yarn with mscale
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vllm_mlx_tpu.config import CacheConfig, ModelConfig, SchedulerConfig
+from vllm_mlx_tpu.models import decoder, loader
+
+torch = pytest.importorskip("torch")
+
+
+def _save_hf(model, tmp_path):
+    d = tmp_path / "ckpt"
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d)
+
+
+def _hf_logits(model, token_ids):
+    with torch.no_grad():
+        out = model(torch.tensor([token_ids], dtype=torch.long))
+    return out.logits[0].float().numpy()
+
+
+def _assert_parity(model, tmp_path, token_ids, atol=2e-2):
+    path = _save_hf(model, tmp_path)
+    cfg = ModelConfig.from_pretrained(path)
+    params = loader.load_params(path, cfg, dtype="float32")
+    ours = np.asarray(
+        decoder.dense_forward(params, cfg, jnp.asarray(token_ids))
+    )
+    theirs = _hf_logits(model, token_ids)
+    np.testing.assert_allclose(ours, theirs, atol=atol)
+    np.testing.assert_array_equal(
+        np.argmax(ours, axis=-1), np.argmax(theirs, axis=-1)
+    )
+    return path, cfg, params
+
+
+def _assert_served_greedy(model, path, cfg, params, prompts, max_new=10):
+    """Token-identical greedy generation through the real scheduler."""
+    from vllm_mlx_tpu.core.model_runner import ModelRunner
+    from vllm_mlx_tpu.core.request import Request, SamplingParams
+    from vllm_mlx_tpu.core.scheduler import Scheduler
+
+    refs = {}
+    with torch.no_grad():
+        for rid, pr in prompts.items():
+            refs[rid] = model.generate(
+                torch.tensor([pr]), max_new_tokens=max_new, do_sample=False
+            )[0, len(pr):].tolist()
+    runner = ModelRunner(
+        cfg,
+        params,
+        CacheConfig(block_size=8, num_blocks=64, kv_dtype="float32"),
+        SchedulerConfig(
+            max_num_seqs=2,
+            max_prefill_tokens=64,
+            prefill_chunk_sizes=[16, 64],
+            max_model_len=256,
+        ),
+    )
+    sched = Scheduler(runner, tokenizer=None, stop_tokens=set())
+    for rid, pr in prompts.items():
+        sched.add_request(
+            Request(
+                request_id=rid,
+                prompt=list(pr),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=max_new
+                ),
+            )
+        )
+    outs = {}
+    steps = 0
+    while sched.has_unfinished():
+        for o in sched.step():
+            if o.finished:
+                outs[o.request_id] = o
+        steps += 1
+        assert steps < 300
+    for rid in prompts:
+        assert outs[rid].output_token_ids == refs[rid], rid
+
+
+@pytest.fixture
+def token_ids(rng):
+    return rng.integers(2, 250, size=24).tolist()
+
+
+class TestMixtral:
+    def _model(self):
+        from transformers import MixtralConfig, MixtralForCausalLM
+
+        torch.manual_seed(10)
+        cfg = MixtralConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            num_local_experts=8,
+            num_experts_per_tok=2,
+            max_position_embeddings=512,
+            sliding_window=None,
+            tie_word_embeddings=False,
+        )
+        return MixtralForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        _assert_parity(self._model(), tmp_path, token_ids)
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )
+
+
+class TestGptOss:
+    def _model(self, sliding=True):
+        from transformers import GptOssConfig, GptOssForCausalLM
+
+        torch.manual_seed(11)
+        cfg = GptOssConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            sliding_window=8 if sliding else 256,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            rope_scaling={
+                "rope_type": "yarn",
+                "factor": 32.0,
+                "beta_fast": 32.0,
+                "beta_slow": 1.0,
+                "original_max_position_embeddings": 64,
+                "truncate": False,
+            },
+            attn_implementation="eager",
+        )
+        return GptOssForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # sinks + alternating sliding/full layers + clamped-GLU MoE
+        _assert_parity(self._model(), tmp_path, token_ids)
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        assert cfg.has_sinks and cfg.moe_style == "gpt_oss"
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=23).tolist(),
+                "b": rng.integers(2, 250, size=11).tolist(),
+            },
+        )
+
+
+class TestDeepseekV3:
+    def _model(self):
+        from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+        torch.manual_seed(12)
+        cfg = DeepseekV3Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            moe_intermediate_size=48,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            n_routed_experts=8,
+            n_shared_experts=1,
+            num_experts_per_tok=2,
+            n_group=2,
+            topk_group=1,
+            routed_scaling_factor=1.5,
+            norm_topk_prob=True,
+            first_k_dense_replace=1,
+            q_lora_rank=32,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            rope_interleave=True,
+            attn_implementation="eager",
+        )
+        return DeepseekV3ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # MLA + sigmoid group-limited routing + shared experts
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.mla is not None and cfg.moe_topk_method == "noaux_tc"
+        assert cfg.head_dim == 24  # qk nope+rope; pool stores padded V
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=19).tolist(),
+                "b": rng.integers(2, 250, size=7).tolist(),
+            },
+        )
+
+    def test_yarn_mscale_parity(self, tmp_path, token_ids):
+        from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+        torch.manual_seed(13)
+        cfg = DeepseekV3Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            moe_intermediate_size=48,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            n_routed_experts=4,
+            n_shared_experts=1,
+            num_experts_per_tok=2,
+            n_group=1,
+            topk_group=1,
+            first_k_dense_replace=0,
+            q_lora_rank=None,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            rope_interleave=True,
+            rope_scaling={
+                "rope_type": "yarn",
+                "factor": 4.0,
+                "beta_fast": 32,
+                "beta_slow": 1,
+                "mscale": 1.0,
+                "mscale_all_dim": 1.0,
+                "original_max_position_embeddings": 64,
+            },
+            attn_implementation="eager",
+        )
+        model = DeepseekV3ForCausalLM(cfg).eval()
+        _assert_parity(model, tmp_path, token_ids)
+
+
+class TestDeepseekV2:
+    def _model(self):
+        from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+        torch.manual_seed(14)
+        cfg = DeepseekV2Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            moe_intermediate_size=48,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            n_routed_experts=8,
+            n_shared_experts=1,
+            num_experts_per_tok=2,
+            topk_method="greedy",
+            first_k_dense_replace=1,
+            q_lora_rank=None,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            head_dim=24,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return DeepseekV2ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # MLA (no q-lora) + softmax greedy routing + complex
+        # interleaved rope
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.moe_style == "deepseek_v2"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {"a": rng.integers(2, 250, size=13).tolist()},
+        )

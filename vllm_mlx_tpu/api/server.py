@@ -328,6 +328,14 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
         # (reference lm-format-enforcer allow-masks); the prompt guidance
         # below additionally steers content quality.
         kwargs["json_schema_enforce"] = json_schema
+        if state.get("reasoning_parser_name"):
+            # reasoning model: give it an unconstrained think phase
+            # before the FSM engages, else JSON mode masks from token 0
+            # and the model can never think (reference
+            # constrained/thinking_processor.py:60-283)
+            kwargs["thinking_budget"] = int(
+                state.get("thinking_budget", 4096)
+            )
         guidance = build_json_system_prompt(json_schema)
         if messages and messages[0].get("role") == "system":
             messages[0] = {

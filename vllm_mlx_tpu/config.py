@@ -51,6 +51,31 @@ class ModelConfig:
     decoder_sparse_step: int = 1
     mlp_only_layers: List[int] = field(default_factory=list)
     norm_topk_prob: bool = True
+    # MoE router/expert style:
+    #   "qwen"     — softmax over all experts -> top-k (-> renorm);
+    #                separate gate/up/down expert weights (also Mixtral)
+    #   "gpt_oss"  — top-k on raw logits -> softmax over selected;
+    #                fused gate_up experts with biases + clamped GLU
+    #   "deepseek_v2"/"deepseek_v3" — (softmax | sigmoid+bias) scores,
+    #                group-limited top-k, shared experts, scaling factor
+    moe_style: str = "qwen"
+    swiglu_limit: float = 7.0  # gpt_oss activation clamp
+    first_k_dense: int = 0  # deepseek: dense MLP on the first k layers
+    n_group: int = 1  # deepseek group-limited routing
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    # deepseek shared experts: dense MLP of this intermediate size added
+    # to every MoE layer's routed output (n_shared * moe_intermediate)
+    moe_shared_intermediate: int = 0
+    moe_topk_method: str = "greedy"  # | "group_limited_greedy" | "noaux_tc"
+    # GPT-OSS: learned per-q-head attention sink logits join the softmax
+    has_sinks: bool = False
+    # DeepSeek multi-head latent attention geometry (None = MHA/GQA).
+    # Serving stores the DECOMPRESSED per-head K (nope|rope) and V
+    # (zero-padded to qk head_dim) in the paged pool — correct and
+    # kernel-compatible; latent-space absorbed attention is a future
+    # memory optimization.
+    mla: Optional[Dict[str, Any]] = None
     # Gemma-family deltas
     embed_scale: Optional[float] = None  # sqrt(hidden) input scaling
     hidden_act: str = "silu"
@@ -86,12 +111,13 @@ class ModelConfig:
         return self.num_experts > 0
 
     def moe_layer_indices(self) -> List[int]:
-        """Layers that use the sparse MoE block (Qwen3-MoE semantics)."""
+        """Layers that use the sparse MoE block (Qwen3-MoE
+        decoder_sparse_step / DeepSeek first_k_dense_replace semantics)."""
         if not self.is_moe:
             return []
         out = []
         for i in range(self.num_hidden_layers):
-            if i in self.mlp_only_layers:
+            if i in self.mlp_only_layers or i < self.first_k_dense:
                 continue
             if self.num_experts > 0 and (i + 1) % self.decoder_sparse_step == 0:
                 out.append(i)
@@ -237,6 +263,105 @@ class ModelConfig:
                 mlp_only_layers=cfg.get("mlp_only_layers", []) or [],
                 norm_topk_prob=cfg.get("norm_topk_prob", True),
             )
+        if model_type == "mixtral":
+            # Mixtral-8x7B/8x22B (HF MixtralForCausalLM): llama attention
+            # + every-layer MoE, softmax-then-topk router with renorm —
+            # the "qwen" style with norm_topk_prob=True
+            kw.update(
+                num_experts=cfg.get("num_local_experts", 8),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+                moe_intermediate_size=cfg.get("intermediate_size", 14336),
+                norm_topk_prob=True,
+            )
+        if model_type == "gpt_oss":
+            # GPT-OSS 20B/120B (HF GptOssForCausalLM): alternating
+            # sliding/full layers, per-head attention sinks, fused
+            # clamped-GLU MoE experts, topk-then-softmax router w/ bias,
+            # yarn rope (reference serves it via mlx-lm models/llm.py:40
+            # + harmony parsers)
+            n_layers = cfg.get("num_hidden_layers", 24)
+            kw.update(
+                num_experts=cfg.get("num_local_experts", 32),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 4),
+                moe_intermediate_size=cfg.get("intermediate_size", 2880),
+                moe_style="gpt_oss",
+                swiglu_limit=float(cfg.get("swiglu_limit", 7.0)),
+                has_sinks=True,
+                attention_bias=True,
+                norm_topk_prob=False,
+                layer_types=cfg.get("layer_types")
+                or [
+                    "sliding_attention" if (i + 1) % 2 else "full_attention"
+                    for i in range(n_layers)
+                ],
+            )
+        if model_type in ("deepseek_v2", "deepseek_v3"):
+            # DeepSeek V2/V3 (HF DeepseekV2/V3ForCausalLM): multi-head
+            # latent attention + shared-expert MoE with group-limited
+            # routing (V3: sigmoid scores + e_score_correction_bias;
+            # V2: softmax scores, greedy or group-max)
+            nope = cfg.get("qk_nope_head_dim", 128)
+            rope_d = cfg.get("qk_rope_head_dim", 64)
+            kw.update(
+                head_dim=nope + rope_d,
+                num_key_value_heads=cfg.get("num_attention_heads", 32),
+                attention_bias=cfg.get("attention_bias", False),
+                num_experts=cfg.get("n_routed_experts") or 0,
+                num_experts_per_tok=cfg.get("num_experts_per_tok") or 0,
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                first_k_dense=cfg.get("first_k_dense_replace", 0),
+                n_group=cfg.get("n_group") or 1,
+                topk_group=cfg.get("topk_group") or 1,
+                routed_scaling_factor=float(
+                    cfg.get("routed_scaling_factor", 1.0)
+                ),
+                norm_topk_prob=cfg.get("norm_topk_prob", False),
+                moe_shared_intermediate=(cfg.get("n_shared_experts") or 0)
+                * (cfg.get("moe_intermediate_size") or 0),
+                moe_style=model_type,
+                moe_topk_method=(
+                    "noaux_tc"
+                    if model_type == "deepseek_v3"
+                    else cfg.get("topk_method", "greedy")
+                ),
+                mla=dict(
+                    q_lora_rank=cfg.get("q_lora_rank"),
+                    kv_lora_rank=cfg.get("kv_lora_rank", 512),
+                    qk_nope_head_dim=nope,
+                    qk_rope_head_dim=rope_d,
+                    v_head_dim=cfg.get("v_head_dim", 128),
+                    rope_interleave=cfg.get("rope_interleave", True),
+                ),
+            )
+            # softmax scale: qk_head_dim^-0.5, V3 additionally folds the
+            # yarn mscale^2 in (HF modeling_deepseek_v3.py scaling)
+            scale = float(nope + rope_d) ** -0.5
+            rs = cfg.get("rope_scaling") or {}
+            if model_type == "deepseek_v3" and rs.get("mscale_all_dim"):
+                import math as _math
+
+                f = rs["factor"]
+                m = (
+                    1.0
+                    if f <= 1
+                    else 0.1 * rs["mscale_all_dim"] * _math.log(f) + 1.0
+                )
+                scale = scale * m * m
+            kw["attn_scale"] = scale
+        rs2 = kw.get("rope_scaling")
+        if (
+            rs2
+            and rs2.get("rope_type", rs2.get("type")) == "yarn"
+            and not rs2.get("original_max_position_embeddings")
+        ):
+            # HF yarn falls back to max_position_embeddings (rope layer
+            # has no separate view of it at cos/sin build time here)
+            kw["rope_scaling"] = {
+                **rs2,
+                "original_max_position_embeddings": kw.get(
+                    "max_position_embeddings", 131072
+                ),
+            }
         return cls(**kw)
 
     @classmethod

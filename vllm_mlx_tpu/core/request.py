@@ -120,6 +120,16 @@ class Request:
     # run synchronously on the ragged path with per-step allow-masks.
     enforcer: Any = None
     fsm_state: Any = None
+    # Thinking-aware constrained decoding (reference
+    # constrained/thinking_processor.py:60-283): reasoning models get an
+    # unconstrained think phase before the FSM engages. Phases:
+    # None = FSM active from token 0; "think" = unconstrained until
+    # think_end_ids appear or think_budget tokens elapse; "force" =
+    # masking to exactly think_end_ids[think_force_idx] each step.
+    think_phase: Optional[str] = None
+    think_budget: int = 0
+    think_end_ids: Optional[List[int]] = None
+    think_force_idx: int = 0
 
     finish_reason: Optional[str] = None
     first_token_time: Optional[float] = None

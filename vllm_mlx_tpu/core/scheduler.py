@@ -836,7 +836,20 @@ class Scheduler:
             i_seq = idx_of.get(req.request_id)
             if i_seq is None or not advance_mask[i_seq]:
                 continue
-            mask = req.enforcer.allowed_mask(req.fsm_state)
+            if req.think_phase == "think":
+                # unconstrained reasoning phase: no mask until the
+                # think block closes or the budget forces it (reference
+                # thinking_processor.py:60-283)
+                continue
+            if req.think_phase == "force":
+                # budget exhausted: force the </think> sequence one
+                # token per step via a single-token allow-mask
+                mask = np.zeros(
+                    self.runner.cfg.vocab_size, dtype=bool
+                )
+                mask[req.think_end_ids[req.think_force_idx]] = True
+            else:
+                mask = req.enforcer.allowed_mask(req.fsm_state)
             words = np.packbits(
                 mask, bitorder="little"
             ).view(np.uint8)
@@ -1060,7 +1073,23 @@ class Scheduler:
         req.output_token_ids.append(token)
         req.output_logprobs.append(logprob)
         if req.enforcer is not None:
-            req.fsm_state = req.enforcer.advance(req.fsm_state, token)
+            if req.think_phase == "think":
+                end = req.think_end_ids
+                n = len(end)
+                if req.output_token_ids[-n:] == end:
+                    req.think_phase = None  # FSM engages from here
+                elif len(req.output_token_ids) >= req.think_budget:
+                    # force the close sequence starting next step; if
+                    # this token already opened it, skip the matched
+                    # prefix
+                    req.think_phase = "force"
+                    req.think_force_idx = 0
+            elif req.think_phase == "force":
+                req.think_force_idx += 1
+                if req.think_force_idx >= len(req.think_end_ids):
+                    req.think_phase = None
+            else:
+                req.fsm_state = req.enforcer.advance(req.fsm_state, token)
         if req.first_token_time is None:
             req.first_token_time = time.time()
         self.stats.num_generated_tokens += 1

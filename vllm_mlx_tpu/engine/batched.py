@@ -427,8 +427,42 @@ class BatchedEngine(BaseEngine):
         if schema is not _UNSET:
             req.enforcer = self._get_enforcer(schema)
             req.fsm_state = req.enforcer.initial_state()
+            budget = kwargs.get("thinking_budget") or 0
+            if budget > 0:
+                # thinking-aware enforcement (reference
+                # constrained/thinking_processor.py:60-283): reasoning
+                # models think unconstrained, then the FSM engages after
+                # </think> (forced once the budget is exhausted)
+                end_ids = self._think_end_token_ids()
+                if end_ids:
+                    req.think_phase = "think"
+                    req.think_budget = budget
+                    req.think_end_ids = end_ids
         self._maybe_specprefill(req)
         return req
+
+    def _think_end_token_ids(self) -> List[int]:
+        """Token ids of the reasoning close tag (cached). Empty when the
+        tokenizer has no such tag (non-reasoning models -> FSM from
+        token 0, matching the reference's non-thinking path)."""
+        if not hasattr(self, "_think_end_cache"):
+            ids: List[int] = []
+            try:
+                ids = list(
+                    self._tokenizer.encode(
+                        "</think>", add_special_tokens=False
+                    )
+                )
+                # the force path emits one token per step, so cap the
+                # sequence at a sane length (a single special token on
+                # real reasoning models; a few byte-level tokens on
+                # test tokenizers)
+                if len(ids) > 8:
+                    ids = []
+            except Exception:
+                ids = []
+            self._think_end_cache = ids
+        return self._think_end_cache
 
     def _maybe_specprefill(self, req: Request) -> None:
         """Attention-guided sparse prefill for long prompts (reference

@@ -50,9 +50,72 @@ def _layer_window(cfg: ModelConfig, layer_idx: int) -> Optional[int]:
     return cfg.sliding_window
 
 
+def _deinterleave(x: jax.Array) -> jax.Array:
+    """Interleaved rope channel pairs (x0,x1),(x2,x3).. -> half layout
+    [x0,x2,..,x1,x3,..] (HF apply_rotary_pos_emb_interleave's view/
+    transpose; DeepSeek checkpoints store rope channels interleaved).
+    Applying the SAME permutation to q and k preserves q.k exactly, so
+    the cache keeps the half layout."""
+    d = x.shape[-1]
+    return (
+        x.reshape(*x.shape[:-1], d // 2, 2)
+        .swapaxes(-1, -2)
+        .reshape(*x.shape[:-1], d)
+    )
+
+
+def _mla_qkv(
+    cfg: ModelConfig, p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """DeepSeek multi-head latent attention (HF modeling_deepseek_v3.py
+    DeepseekV3Attention): LoRA-compressed q (optional), MQA-style shared
+    rope key, per-head K/V decompressed from the kv latent. V is
+    zero-padded to the qk head_dim so the paged pool stores uniform
+    heads; the pad channels contribute zeros to the attention output and
+    are sliced off before o_proj."""
+    m = cfg.mla
+    t = x.shape[0]
+    nh = cfg.num_attention_heads
+    nope, rope_d = m["qk_nope_head_dim"], m["qk_rope_head_dim"]
+    v_d = m["v_head_dim"]
+    qk_hd = nope + rope_d
+    if "q_proj" in p:
+        q = linear(x, p["q_proj"])
+    else:
+        qa = rms_norm(
+            linear(x, p["q_a_proj"], p.get("q_a_bias")),
+            p["q_a_layernorm"],
+            cfg.rms_norm_eps,
+        )
+        q = linear(qa, p["q_b_proj"])
+    q = q.reshape(t, nh, qk_hd)
+    q_nope, q_pe = q[..., :nope], q[..., nope:]
+    ckv = linear(x, p["kv_a_proj"], p.get("kv_a_bias"))  # [t, rank+rope_d]
+    rank = m["kv_lora_rank"]
+    k_lat, k_pe = ckv[:, :rank], ckv[:, None, rank:]
+    kv = linear(
+        rms_norm(k_lat, p["kv_a_layernorm"], cfg.rms_norm_eps),
+        p["kv_b_proj"],
+    ).reshape(t, nh, nope + v_d)
+    k_nope, v = kv[..., :nope], kv[..., nope:]
+    if m.get("rope_interleave", True):
+        q_pe = _deinterleave(q_pe)
+        k_pe = _deinterleave(k_pe)
+    q_pe = apply_rope(q_pe, cos, sin)
+    k_pe = apply_rope(k_pe, cos, sin)
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (t, nh, rope_d))], axis=-1
+    )
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, qk_hd - v_d)))
+    return q, k, v
+
+
 def _qkv(
     cfg: ModelConfig, p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    if cfg.mla is not None:
+        return _mla_qkv(cfg, p, x, cos, sin)
     t = x.shape[0]
     hd = cfg.head_dim
     q = linear(x, p["q_proj"], p.get("q_bias")).reshape(t, cfg.num_attention_heads, hd)
@@ -98,25 +161,137 @@ def moe_mlp(
     topk_p, topk_i = jax.lax.top_k(probs, k)  # [T, k]
     if cfg.norm_topk_prob:
         topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+    return _routed_swiglu(p, x, topk_p, topk_i, e)
 
+
+def _sort_by_expert(topk_i: jax.Array, t: int, k: int, e: int):
+    """Expert-sorted dispatch order for ragged grouped matmuls."""
     flat_expert = topk_i.reshape(-1)  # [T*k]
     flat_token = jnp.repeat(jnp.arange(t), k)
     order = jnp.argsort(flat_expert)
     sorted_expert = flat_expert[order]
     sorted_token = flat_token[order]
     group_sizes = jnp.bincount(sorted_expert, length=e)
+    return order, sorted_expert, sorted_token, group_sizes
 
-    xs = x[sorted_token]  # [T*k, H]
+
+def _routed_swiglu(
+    p: Params,
+    x: jax.Array,
+    topk_p: jax.Array,  # [T, k] f32 routing weights
+    topk_i: jax.Array,  # [T, k] expert ids
+    e: int,
+) -> jax.Array:
+    """Expert-sorted grouped-matmul SwiGLU over separate gate/up/down
+    expert stacks (Qwen3-MoE / Mixtral / DeepSeek routed experts)."""
+    t = x.shape[0]
+    k = topk_i.shape[1]
+    order, _, sorted_token, group_sizes = _sort_by_expert(topk_i, t, k, e)
+    xs = x[sorted_token]
     g = jax.lax.ragged_dot(xs, p["gate_w"], group_sizes)
     u = jax.lax.ragged_dot(xs, p["up_w"], group_sizes)
-    hidden = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(
-        x.dtype
-    )
-    y = jax.lax.ragged_dot(hidden, p["down_w"], group_sizes)  # [T*k, H]
+    hidden = (
+        jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+    ).astype(x.dtype)
+    y = jax.lax.ragged_dot(hidden, p["down_w"], group_sizes)
     weights = topk_p.reshape(-1)[order].astype(jnp.float32)
     y = y.astype(jnp.float32) * weights[:, None]
     out = jax.ops.segment_sum(y, sorted_token, num_segments=t)
     return out.astype(x.dtype)
+
+
+def moe_mlp_gpt_oss(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """GPT-OSS MoE (HF modeling_gpt_oss.py GptOssMLP): biased router,
+    top-k on RAW logits then softmax over the selected k; experts use a
+    fused gate_up projection with per-expert biases and the clamped GLU
+    activation (up+1) * gate * sigmoid(1.702 * gate)."""
+    t, h = x.shape
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    if moe_top_k is not None:
+        k = max(1, min(k, moe_top_k))
+    logits = linear(x, p["router"], p.get("router_bias")).astype(jnp.float32)
+    topk_v, topk_i = jax.lax.top_k(logits, k)  # [T, k]
+    topk_p = jax.nn.softmax(topk_v, axis=-1)
+    order, sorted_expert, sorted_token, group_sizes = _sort_by_expert(
+        topk_i, t, k, e
+    )
+    xs = x[sorted_token]
+    gu = jax.lax.ragged_dot(xs, p["gate_up_w"], group_sizes)  # [T*k, 2I]
+    gu = gu.astype(jnp.float32) + p["gate_up_b"][sorted_expert].astype(
+        jnp.float32
+    )
+    gate, up = gu[..., 0::2], gu[..., 1::2]
+    limit = cfg.swiglu_limit
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    glu = gate * jax.nn.sigmoid(gate * 1.702)
+    hidden = ((up + 1.0) * glu).astype(x.dtype)
+    y = jax.lax.ragged_dot(hidden, p["down_w"], group_sizes)
+    y = y.astype(jnp.float32) + p["down_b"][sorted_expert].astype(jnp.float32)
+    weights = topk_p.reshape(-1)[order].astype(jnp.float32)
+    out = jax.ops.segment_sum(
+        y * weights[:, None], sorted_token, num_segments=t
+    )
+    return out.astype(x.dtype)
+
+
+def moe_mlp_deepseek(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """DeepSeek V2/V3 routed experts (HF DeepseekV2MoEGate /
+    DeepseekV3TopkRouter): V3 scores = sigmoid(logits) with the
+    e_score_correction_bias added for SELECTION only (weights gather the
+    un-biased scores); V2 scores = softmax(logits). Group-limited
+    routing keeps topk_group groups (group score: V3 = sum of top-2
+    biased scores, V2 = max). Weights optionally renormalized, then
+    scaled by routed_scaling_factor."""
+    t, h = x.shape
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    if moe_top_k is not None:
+        k = max(1, min(k, moe_top_k))
+    logits = linear(x, p["router"]).astype(jnp.float32)
+    v3 = cfg.moe_topk_method == "noaux_tc"
+    if v3:
+        scores = jax.nn.sigmoid(logits)
+        choice = scores + p["e_score_bias"].astype(jnp.float32)[None, :]
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+        choice = scores
+    if cfg.n_group > 1 and cfg.moe_topk_method in (
+        "noaux_tc",
+        "group_limited_greedy",
+    ):
+        g = cfg.n_group
+        per_group = choice.reshape(t, g, e // g)
+        if v3:  # group score = sum of the group's top-2
+            top2, _ = jax.lax.top_k(per_group, 2)
+            group_scores = jnp.sum(top2, axis=-1)
+        else:  # V2: group max
+            group_scores = jnp.max(per_group, axis=-1)
+        _, group_idx = jax.lax.top_k(group_scores, cfg.topk_group)
+        group_mask = jnp.zeros((t, g), bool).at[
+            jnp.arange(t)[:, None], group_idx
+        ].set(True)
+        choice = jnp.where(
+            jnp.repeat(group_mask, e // g, axis=1), choice, 0.0
+        )
+    _, topk_i = jax.lax.top_k(choice, k)
+    gather_from = scores if v3 else choice
+    topk_p = jnp.take_along_axis(gather_from, topk_i, axis=1)
+    if cfg.norm_topk_prob:
+        topk_p = topk_p / (jnp.sum(topk_p, axis=-1, keepdims=True) + 1e-20)
+    topk_p = topk_p * cfg.routed_scaling_factor
+    return _routed_swiglu(p, x, topk_p, topk_i, e)
 
 
 def _mlp_block(
@@ -127,11 +302,21 @@ def _mlp_block(
     moe_top_k: Optional[int],
 ) -> jax.Array:
     if "moe" in p:
-        return moe_mlp(cfg, p["moe"], x, moe_top_k)
+        if cfg.moe_style == "gpt_oss":
+            out = moe_mlp_gpt_oss(cfg, p["moe"], x, moe_top_k)
+        elif cfg.moe_style.startswith("deepseek"):
+            out = moe_mlp_deepseek(cfg, p["moe"], x, moe_top_k)
+        else:
+            out = moe_mlp(cfg, p["moe"], x, moe_top_k)
+        if "shared_mlp" in p:
+            # DeepSeek shared experts: dense MLP added to routed output
+            out = out + swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
+        return out
     return swiglu_mlp(x, p["mlp"], cfg.hidden_act)
 
 
-AttendFn = Callable[[jax.Array, int, jax.Array, jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
+# attend(kv_pool, layer, q, k, v, sinks) -> (attn_out, kv_pool)
+AttendFn = Callable[..., Tuple[jax.Array, jax.Array]]
 
 
 def _stack(
@@ -166,9 +351,14 @@ def _stack(
             else jnp.ones((x.shape[0], 1), bool)
         )
         x = jnp.where(mask, token_embeds.astype(x.dtype), x)
+    rope_dim = (
+        cfg.mla["qk_rope_head_dim"]
+        if cfg.mla is not None
+        else int(cfg.head_dim * cfg.partial_rotary_factor)
+    )
     cos, sin = rope_cos_sin(
         positions,
-        int(cfg.head_dim * cfg.partial_rotary_factor),
+        rope_dim,
         cfg.rope_theta,
         cfg.rope_scaling,
         tuple(cfg.mrope_section) if cfg.mrope_section else None,
@@ -191,8 +381,12 @@ def _stack(
                 x = x + mix_out
             continue
         q, k, v = _qkv(cfg, p, h, cos, sin)
-        attn_out, kv_pool = attend(kv_pool, i, q, k, v)
+        attn_out, kv_pool = attend(kv_pool, i, q, k, v, p.get("sinks"))
         t = attn_out.shape[0]
+        if cfg.mla is not None:
+            # V was zero-padded to qk head_dim in the pool; the real
+            # value channels are the leading v_head_dim
+            attn_out = attn_out[..., : cfg.mla["v_head_dim"]]
         attn_out = linear(
             attn_out.reshape(t, -1), p["o_proj"], p.get("o_bias")
         )
@@ -282,7 +476,7 @@ def unified_forward(
         pool_of = None
         mamba_of = {}
 
-    def attend(_, i, q, k, v):
+    def attend(_, i, q, k, v, sinks=None):
         pi = pool_of[i] if pool_of is not None else i
         pages_i = write_kv_pages(
             kv_pages[pi], interleave_kv(k, v), kv_dest, kv_scale
@@ -301,6 +495,7 @@ def unified_forward(
             k_scale=kv_scale,
             v_scale=kv_scale,
             mesh=mesh,
+            sinks=sinks,
         )
         return out, None
 
@@ -394,7 +589,7 @@ def prefill(
     """Process one sequence's prompt chunk. Returns (hidden [C,H], kv_pool)."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
 
-    def attend(pool, i, q, k, v):
+    def attend(pool, i, q, k, v, sinks=None):
         pool = att.write_kv(pool, i, k, v, block_table, positions)
         out = att.paged_attention_prefill(
             q, pool, i, block_table, positions, scale, _layer_window(cfg, i),
@@ -436,7 +631,7 @@ def decode(
     """One decode step for the whole batch. Returns (logits [S,V], kv_pool)."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
 
-    def attend(pool, i, q, k, v):
+    def attend(pool, i, q, k, v, sinks=None):
         pool = att.write_kv_batch(pool, i, k, v, block_tables, positions)
         out = att.paged_attention_decode(
             q, pool, i, block_tables, positions, scale, _layer_window(cfg, i)
@@ -461,9 +656,10 @@ def dense_forward(
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
 
-    def attend(pool, i, q, k, v):
+    def attend(pool, i, q, k, v, sinks=None):
         out = att.dense_causal_attention(
-            q, k, v, scale, _layer_window(cfg, i), cfg.attn_softcap
+            q, k, v, scale, _layer_window(cfg, i), cfg.attn_softcap,
+            sinks=sinks,
         )
         return out, pool
 

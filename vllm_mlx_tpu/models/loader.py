@@ -119,6 +119,10 @@ def load_params(
                 ld["pre_feedforward_layernorm"] = put(tensor)
             elif rest == "post_feedforward_layernorm.weight":
                 ld["post_feedforward_layernorm"] = put(tensor)
+            elif rest == "self_attn.sinks":
+                # GPT-OSS learned per-head attention sink logits (f32:
+                # they enter the softmax max/denominator directly)
+                ld["sinks"] = jnp.asarray(tensor).astype(jnp.float32)
             elif rest.startswith("self_attn."):
                 sub = rest[len("self_attn."):]
                 proj, kind = sub.rsplit(".", 1)
@@ -129,14 +133,65 @@ def load_params(
                     ld[key] = put(tensor)
                 elif proj in ("q_norm", "k_norm") and kind == "weight":
                     ld[proj] = put(tensor)
-            elif rest.startswith("mlp.experts."):
-                # mlp.experts.{e}.{gate,up,down}_proj.weight
+                elif proj in (
+                    # DeepSeek MLA projections (HF modeling_deepseek_v3)
+                    "q_a_proj",
+                    "q_b_proj",
+                    "q_a_layernorm",
+                    "kv_a_layernorm",
+                    "kv_b_proj",
+                ):
+                    key = proj if kind == "weight" else proj[:-5] + "_bias"
+                    ld[key] = put(tensor)
+                elif proj == "kv_a_proj_with_mqa":
+                    ld["kv_a_proj" if kind == "weight" else "kv_a_bias"] = (
+                        put(tensor)
+                    )
+            elif rest.startswith("mlp.experts.") and rest.split(".")[2] in (
+                "gate_up_proj",
+                "gate_up_proj_bias",
+                "down_proj",
+                "down_proj_bias",
+            ):
+                # GPT-OSS experts ship pre-stacked: gate_up_proj
+                # [E, H, 2I] / down_proj [E, I, H] already in
+                # ragged_dot's [E, contract, out] layout; biases [E, .]
+                sub = rest.split(".")[2]
+                key = {
+                    "gate_up_proj": "gate_up_w",
+                    "gate_up_proj_bias": "gate_up_b",
+                    "down_proj": "down_w",
+                    "down_proj_bias": "down_b",
+                }[sub]
+                ld.setdefault("moe", {})[key] = put(tensor)
+            elif rest.startswith(("mlp.experts.", "block_sparse_moe.experts.")):
+                # mlp.experts.{e}.{gate,up,down}_proj.weight and the
+                # Mixtral naming block_sparse_moe.experts.{e}.w1/w2/w3
                 parts2 = rest.split(".")
                 e = int(parts2[2])
-                proj = parts2[3]
+                proj = {
+                    "w1": "gate_proj",
+                    "w2": "down_proj",
+                    "w3": "up_proj",
+                }.get(parts2[3], parts2[3])
                 moe_stage.setdefault(i, {}).setdefault(proj, {})[e] = tensor
-            elif rest in ("mlp.gate.weight",):
+            elif rest in ("mlp.gate.weight", "block_sparse_moe.gate.weight"):
                 ld.setdefault("moe", {})["router"] = put(tensor)
+            elif rest == "mlp.gate.e_score_correction_bias":
+                # DeepSeek V3 selection bias (f32 like HF's buffer)
+                ld.setdefault("moe", {})["e_score_bias"] = jnp.asarray(
+                    tensor
+                ).astype(jnp.float32)
+            elif rest == "mlp.router.weight":
+                ld.setdefault("moe", {})["router"] = put(tensor)
+            elif rest == "mlp.router.bias":
+                ld.setdefault("moe", {})["router_bias"] = put(tensor)
+            elif rest.startswith("mlp.shared_experts."):
+                # DeepSeek shared experts: a dense MLP beside the
+                # routed experts
+                proj = rest.split(".")[2]
+                if proj in ("gate_proj", "up_proj", "down_proj"):
+                    ld.setdefault("shared_mlp", {})[proj] = put(tensor)
             elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
                 ".weight"
             ):
@@ -201,21 +256,64 @@ def init_params(cfg: ModelConfig, seed: int = 0, dtype: Optional[str] = None) ->
             "v_proj": w(nkv * hd, h),
             "o_proj": w(h, nh * hd),
         }
-        if cfg.attention_bias:
+        if cfg.mla is not None:
+            # DeepSeek MLA projections replace q/k/v_proj
+            m = cfg.mla
+            qk_hd = m["qk_nope_head_dim"] + m["qk_rope_head_dim"]
+            ld.pop("q_proj"), ld.pop("k_proj"), ld.pop("v_proj")
+            if m.get("q_lora_rank"):
+                ld["q_a_proj"] = w(m["q_lora_rank"], h)
+                ld["q_a_layernorm"] = ones(m["q_lora_rank"])
+                ld["q_b_proj"] = w(nh * qk_hd, m["q_lora_rank"])
+            else:
+                ld["q_proj"] = w(nh * qk_hd, h)
+            ld["kv_a_proj"] = w(
+                m["kv_lora_rank"] + m["qk_rope_head_dim"], h
+            )
+            ld["kv_a_layernorm"] = ones(m["kv_lora_rank"])
+            ld["kv_b_proj"] = w(
+                nh * (m["qk_nope_head_dim"] + m["v_head_dim"]),
+                m["kv_lora_rank"],
+            )
+            ld["o_proj"] = w(h, nh * m["v_head_dim"])
+        elif cfg.attention_bias:
             ld["q_bias"] = jnp.zeros(nh * hd, dtype=jdt)
             ld["k_bias"] = jnp.zeros(nkv * hd, dtype=jdt)
             ld["v_bias"] = jnp.zeros(nkv * hd, dtype=jdt)
+        if cfg.has_sinks:
+            ld["sinks"] = jnp.asarray(
+                rng.standard_normal(nh, dtype=np.float32) * 0.5
+            )
         if cfg.use_qk_norm:
             ld["q_norm"] = ones(hd)
             ld["k_norm"] = ones(hd)
         if i in moe_layers:
             e, mi = cfg.num_experts, cfg.moe_intermediate_size
-            ld["moe"] = {
-                "router": w(e, h),
-                "gate_w": w(e, h, mi),
-                "up_w": w(e, h, mi),
-                "down_w": w(e, mi, h),
-            }
+            if cfg.moe_style == "gpt_oss":
+                ld["moe"] = {
+                    "router": w(e, h),
+                    "router_bias": jnp.zeros(e, dtype=jdt),
+                    "gate_up_w": w(e, h, 2 * mi),
+                    "gate_up_b": jnp.zeros((e, 2 * mi), dtype=jdt),
+                    "down_w": w(e, mi, h),
+                    "down_b": jnp.zeros((e, h), dtype=jdt),
+                }
+            else:
+                ld["moe"] = {
+                    "router": w(e, h),
+                    "gate_w": w(e, h, mi),
+                    "up_w": w(e, h, mi),
+                    "down_w": w(e, mi, h),
+                }
+                if cfg.moe_topk_method == "noaux_tc":
+                    ld["moe"]["e_score_bias"] = jnp.zeros(e, jnp.float32)
+            if cfg.moe_shared_intermediate:
+                si = cfg.moe_shared_intermediate
+                ld["shared_mlp"] = {
+                    "gate_proj": w(si, h),
+                    "up_proj": w(si, h),
+                    "down_proj": w(h, si),
+                }
         else:
             ld["mlp"] = {
                 "gate_proj": w(cfg.intermediate_size, h),

@@ -109,6 +109,7 @@ def _grouped_attention(
     mask: jax.Array,  # [T, M] bool, True = attend
     scale: float,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,  # [num_heads] learned sink logits
 ) -> jax.Array:
     t, num_heads, head_dim = q.shape
     m, num_kv_heads, _ = k.shape
@@ -120,10 +121,23 @@ def _grouped_attention(
     if softcap is not None:
         scores = softcap * jnp.tanh(scores / softcap)
     scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    # Rows with no valid key (inactive slots) produce NaN from softmax(-inf);
-    # zero them so they never propagate.
-    probs = jnp.where(jnp.any(mask, axis=-1)[:, None, None, None], probs, 0.0)
+    if sinks is not None:
+        # GPT-OSS attention sinks: a learned per-head logit joins the
+        # softmax denominator and its (value-less) probability is
+        # dropped (HF modeling_gpt_oss.py eager_attention_forward)
+        s = sinks.reshape(num_kv_heads, group).astype(jnp.float32)
+        m_val = jnp.maximum(jnp.max(scores, axis=-1), s[None])  # [t,kh,g]
+        e = jnp.exp(scores - m_val[..., None])
+        e = jnp.where(mask[:, None, None, :], e, 0.0)
+        denom = jnp.sum(e, axis=-1) + jnp.exp(s[None] - m_val)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        # Rows with no valid key (inactive slots) produce NaN from
+        # softmax(-inf); zero them so they never propagate.
+        probs = jnp.where(
+            jnp.any(mask, axis=-1)[:, None, None, None], probs, 0.0
+        )
     out = jnp.einsum(
         "tkgm,mkh->tkgh", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
@@ -220,6 +234,7 @@ def dense_causal_attention(
     scale: float,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Plain causal self-attention (no cache) — used for parity tests and
     single-shot full-sequence forwards."""
@@ -228,4 +243,4 @@ def dense_causal_attention(
     mask = pos[None, :] <= pos[:, None]
     if window is not None:
         mask &= pos[None, :] > pos[:, None] - window
-    return _grouped_attention(q, k, v, mask, scale, softcap)
+    return _grouped_attention(q, k, v, mask, scale, softcap, sinks=sinks)

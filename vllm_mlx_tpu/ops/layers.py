@@ -39,16 +39,69 @@ def rms_norm(
 def _rope_inv_freq(
     head_dim: int, rope_theta: float, rope_scaling: Optional[Dict[str, Any]]
 ):
-    """Inverse frequencies (host numpy, so results can be cached across jit
-    traces without leaking tracers), with HF llama3-style scaling."""
+    """(inverse frequencies, attention factor) — host numpy, so results
+    can be cached across jit traces without leaking tracers. Implements
+    HF llama3 / linear / yarn scaling (transformers
+    modeling_rope_utils.py semantics); the attention factor multiplies
+    cos/sin (yarn mscale)."""
+    import math
+
     import numpy as np
 
+    attention_factor = 1.0
     inv_freq = 1.0 / (
         rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim)
     )
     if rope_scaling:
         rope_type = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
-        if rope_type == "llama3":
+        if rope_type == "yarn":
+            # NTK-by-parts interpolation (GPT-OSS, DeepSeek V2/V3,
+            # Qwen long-context finetunes)
+            dim = head_dim
+            base = rope_theta
+            factor = rope_scaling["factor"]
+            attention_factor = rope_scaling.get("attention_factor")
+            mscale = rope_scaling.get("mscale")
+            mscale_all_dim = rope_scaling.get("mscale_all_dim")
+            old_ctx = (
+                rope_scaling.get("original_max_position_embeddings") or 4096
+            )
+
+            def get_mscale(scale, m=1):
+                return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+            if attention_factor is None:
+                if mscale and mscale_all_dim:
+                    attention_factor = float(
+                        get_mscale(factor, mscale)
+                        / get_mscale(factor, mscale_all_dim)
+                    )
+                else:
+                    attention_factor = get_mscale(factor)
+            beta_fast = rope_scaling.get("beta_fast") or 32
+            beta_slow = rope_scaling.get("beta_slow") or 1
+
+            def corr_dim(num_rot):
+                return (
+                    dim * math.log(old_ctx / (num_rot * 2 * math.pi))
+                ) / (2 * math.log(base))
+
+            low, high = corr_dim(beta_fast), corr_dim(beta_slow)
+            if rope_scaling.get("truncate", True):
+                low, high = math.floor(low), math.ceil(high)
+            low, high = max(low, 0), min(high, dim - 1)
+            if low == high:
+                high += 0.001
+            ramp = np.clip(
+                (np.arange(dim // 2, dtype=np.float32) - low) / (high - low),
+                0.0,
+                1.0,
+            )
+            extrap_factor = 1.0 - ramp
+            inv_freq = (inv_freq / factor) * (
+                1.0 - extrap_factor
+            ) + inv_freq * extrap_factor
+        elif rope_type == "llama3":
             factor = rope_scaling["factor"]
             low_factor = rope_scaling["low_freq_factor"]
             high_factor = rope_scaling["high_freq_factor"]
@@ -69,7 +122,7 @@ def _rope_inv_freq(
         elif rope_type == "linear":
             inv_freq = inv_freq / rope_scaling["factor"]
         # "default"/None and unknown types: plain RoPE
-    return inv_freq.astype(np.float32)
+    return inv_freq.astype(np.float32), float(attention_factor)
 
 
 @functools.lru_cache(maxsize=32)
@@ -102,9 +155,10 @@ def rope_cos_sin(
         if rope_scaling
         else None
     )
-    inv_freq = jnp.asarray(
-        _rope_inv_freq_cached(head_dim, float(rope_theta), items)
+    inv_freq_np, attn_factor = _rope_inv_freq_cached(
+        head_dim, float(rope_theta), items
     )
+    inv_freq = jnp.asarray(inv_freq_np)
     if positions.ndim == 2:  # [3, T] multimodal components
         if not mrope_section:
             raise ValueError("3-component positions require mrope_section")
@@ -119,6 +173,9 @@ def rope_cos_sin(
         angles = jnp.concatenate(parts, axis=-1)  # [T, head_dim//2]
     else:
         angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    if attn_factor != 1.0:
+        # yarn: the attention (mscale) factor multiplies cos/sin
+        return jnp.cos(angles) * attn_factor, jnp.sin(angles) * attn_factor
     return jnp.cos(angles), jnp.sin(angles)
 
 

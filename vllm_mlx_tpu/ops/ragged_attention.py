@@ -79,6 +79,7 @@ def ragged_attention(
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
     mesh=None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Mixed prefill/decode paged attention.
 
@@ -88,31 +89,55 @@ def ragged_attention(
     KV — no collectives inside (the o_proj all-reduce follows via
     GSPMD). Without a mesh, GSPMD alone handles the XLA reference path
     but cannot partition a pallas_call, which is exactly why the
-    shard_map wrapper exists (SURVEY §2.8; VERDICT r1 weak #5)."""
+    shard_map wrapper exists (SURVEY §2.8; VERDICT r1 weak #5).
+
+    ``sinks`` ([num_q_heads] learned logits, GPT-OSS) join each row's
+    softmax denominator; sinks shard with q heads under TP."""
     if mesh is not None and "tp" in mesh.axis_names:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        def local(q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l):
+        if sinks is None:
+
+            def local(q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l):
+                return _ragged_attention_local(
+                    q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l, scale,
+                    sliding_window, softcap, k_scale, v_scale,
+                )
+
+            return shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P(None, "tp", None),  # q heads
+                    P(None, None, "tp", None),  # combined KV heads
+                    P(), P(), P(), P(),
+                ),
+                out_specs=P(None, "tp", None),
+                check_vma=False,
+            )(q, pages, kv_lens, page_indices, cu_q_lens, num_seqs)
+
+        def local_s(q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l, sinks_l):
             return _ragged_attention_local(
                 q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l, scale,
-                sliding_window, softcap, k_scale, v_scale,
+                sliding_window, softcap, k_scale, v_scale, sinks=sinks_l,
             )
 
         return shard_map(
-            local,
+            local_s,
             mesh=mesh,
             in_specs=(
-                P(None, "tp", None),  # q heads
-                P(None, None, "tp", None),  # combined KV heads
+                P(None, "tp", None),
+                P(None, None, "tp", None),
                 P(), P(), P(), P(),
+                P("tp"),  # sinks follow q heads
             ),
             out_specs=P(None, "tp", None),
             check_vma=False,
-        )(q, pages, kv_lens, page_indices, cu_q_lens, num_seqs)
+        )(q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, sinks)
     return _ragged_attention_local(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
-        sliding_window, softcap, k_scale, v_scale,
+        sliding_window, softcap, k_scale, v_scale, sinks=sinks,
     )
 
 
@@ -128,8 +153,29 @@ def _ragged_attention_local(
     softcap: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     if jax.default_backend() == "tpu":
+        if sinks is not None:
+            # sink-aware fork of the pallas kernel (ops/ragged_sink_kernel)
+            from .ragged_sink_kernel import ragged_paged_attention_sinks
+
+            return ragged_paged_attention_sinks(
+                q,
+                pages,
+                kv_lens,
+                page_indices,
+                cu_q_lens,
+                num_seqs,
+                sinks,
+                sm_scale=scale,
+                sliding_window=sliding_window,
+                soft_cap=softcap,
+                k_scale=k_scale,
+                v_scale=v_scale,
+                num_kv_pages_per_block=4,
+                num_queries_per_block=32,
+            )
         from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
             ragged_paged_attention,
         )
@@ -151,7 +197,7 @@ def _ragged_attention_local(
         )
     return ragged_attention_xla(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
-        sliding_window, softcap, k_scale, v_scale,
+        sliding_window, softcap, k_scale, v_scale, sinks=sinks,
     )
 
 
@@ -167,6 +213,7 @@ def ragged_attention_xla(
     softcap: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked reference implementation (any backend, O(T * max_ctx))."""
     t, num_q_heads, hd = q.shape
@@ -215,10 +262,20 @@ def ragged_attention_xla(
         mask &= kv_pos[None, :] > q_pos[:, None] - sliding_window
     mask &= valid_row[:, None]
     scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(
-        jnp.any(mask, axis=-1)[:, None, None, None], probs, 0.0
-    )
+    if sinks is not None:
+        # per-q-head learned sink logit joins the softmax denominator
+        # (GPT-OSS; HF modeling_gpt_oss.py eager_attention_forward)
+        sg = sinks.reshape(kvh, group).astype(jnp.float32)
+        m_val = jnp.maximum(jnp.max(scores, axis=-1), sg[None])
+        e = jnp.exp(scores - m_val[..., None])
+        e = jnp.where(mask[:, None, None, :], e, 0.0)
+        denom = jnp.sum(e, axis=-1) + jnp.exp(sg[None] - m_val)
+        probs = e / denom[..., None]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(
+            jnp.any(mask, axis=-1)[:, None, None, None], probs, 0.0
+        )
     out = jnp.einsum(
         "tkgm,tmkh->tkgh", probs, v.astype(jnp.float32),
         preferred_element_type=jnp.float32,
