@@ -837,11 +837,15 @@ class Scheduler:
             if i_seq is None or not advance_mask[i_seq]:
                 continue
             if req.think_phase == "think":
-                # unconstrained reasoning phase: no mask until the
-                # think block closes or the budget forces it (reference
+                # unconstrained reasoning phase — except stop tokens:
+                # EOS during thinking would end the request with no
+                # constrained answer at all (reference
                 # thinking_processor.py:60-283)
-                continue
-            if req.think_phase == "force":
+                mask = np.ones(self.runner.cfg.vocab_size, dtype=bool)
+                for t in self._stop_token_set(req):
+                    if t < mask.shape[0]:
+                        mask[t] = False
+            elif req.think_phase == "force":
                 # budget exhausted: force the </think> sequence one
                 # token per step via a single-token allow-mask
                 mask = np.zeros(

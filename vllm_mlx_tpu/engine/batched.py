@@ -432,9 +432,15 @@ class BatchedEngine(BaseEngine):
                 # thinking-aware enforcement (reference
                 # constrained/thinking_processor.py:60-283): reasoning
                 # models think unconstrained, then the FSM engages after
-                # </think> (forced once the budget is exhausted)
+                # </think> (forced once the budget is exhausted). The
+                # budget is capped to leave the constrained answer room
+                # inside max_tokens — an uncloseable think phase would
+                # return no JSON at all.
                 end_ids = self._think_end_token_ids()
-                if end_ids:
+                max_t = sp.max_tokens or budget
+                reserve = 32 + len(end_ids)
+                budget = min(budget, max(0, max_t - reserve))
+                if end_ids and budget > 0:
                     req.think_phase = "think"
                     req.think_budget = budget
                     req.think_end_ids = end_ids
