@@ -244,8 +244,15 @@ class TestStreamingToolParser:
         content = "".join(d.get("content", "") for d in deltas)
         tool_deltas = [d for d in deltas if "tool_calls" in d]
         assert content == "I will check that. "
-        assert len(tool_deltas) == 1
+        # incremental streaming: a name delta first, then argument
+        # fragments that concatenate to the full arguments JSON
         assert tool_deltas[0]["tool_calls"][0]["function"]["name"] == "f"
+        args = "".join(
+            tc.get("function", {}).get("arguments", "")
+            for d in tool_deltas
+            for tc in d["tool_calls"]
+        )
+        assert json.loads(args) == {}
 
     def test_no_tool_passthrough(self):
         p = get_tool_parser("hermes")

@@ -496,7 +496,8 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
             if stream_tools is not None and text:
                 deltas = stream_tools.feed(text)
                 for d in deltas:
-                    sent_tool_calls = True
+                    if "tool_calls" in d:
+                        sent_tool_calls = True
                     await _send_sse(
                         resp, _chat_chunk(request_id, req.model, d)
                     )
@@ -535,7 +536,8 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
             )
     if stream_tools is not None:
         for d in stream_tools.flush():
-            sent_tool_calls = True
+            if "tool_calls" in d:
+                sent_tool_calls = True
             await _send_sse(resp, _chat_chunk(request_id, req.model, d))
 
     finish_reason = (final.finish_reason if final else None) or "stop"

@@ -22,6 +22,8 @@ _OPEN_ONLY_RE = re.compile(r"<tool_call>\s*(.*)\s*$", re.DOTALL)
 @register_tool_parser("hermes")
 class HermesToolParser(ToolParser):
     stream_markers = ["<tool_call>"]
+    stream_incremental = True  # name + argument-fragment deltas
+    stream_close_markers = ["</tool_call>"]
 
     def extract_tool_calls(self, text: str) -> ExtractedToolCalls:
         calls: List[dict] = []

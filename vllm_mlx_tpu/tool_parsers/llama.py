@@ -22,6 +22,7 @@ PYTHON_TAG = "<|python_tag|>"
 @register_tool_parser("llama3_json")
 class LlamaToolParser(ToolParser):
     stream_markers = [PYTHON_TAG, "{"]
+    stream_incremental = True  # JSON regions stream; python-tag falls back
 
     def extract_tool_calls(self, text: str) -> ExtractedToolCalls:
         work = text

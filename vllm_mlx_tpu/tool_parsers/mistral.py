@@ -21,6 +21,8 @@ MARKER = "[TOOL_CALLS]"
 @register_tool_parser("mistral")
 class MistralToolParser(ToolParser):
     stream_markers = [MARKER]
+    stream_incremental = True  # array of calls streams call-by-call
+    stream_close_markers = ["]"]
 
     def extract_tool_calls(self, text: str) -> ExtractedToolCalls:
         if MARKER not in text:
