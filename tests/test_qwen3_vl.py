@@ -1,0 +1,323 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Qwen3-VL parity vs HuggingFace (VERDICT r2 #3): deepstack vision
+tower, interleaved M-RoPE, full multimodal greedy generation, and
+serving through the engine (the reference's benchmark VLM family,
+reference docs/benchmarks/image.md:15-28)."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+VOCAB = 512
+IMG_TOK = 500
+VID_TOK = 501
+VSTART = 502
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen3_vl(tmp_path_factory):
+    from transformers import Qwen3VLForConditionalGeneration
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLConfig,
+    )
+
+    torch.manual_seed(0)
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            vocab_size=VOCAB,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=8,
+            rope_theta=10000.0,
+            rope_scaling={
+                "rope_type": "default",
+                "mrope_section": [1, 1, 2],
+                "mrope_interleaved": True,
+            },
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            depth=4,
+            hidden_size=32,
+            intermediate_size=64,
+            num_heads=2,
+            patch_size=4,
+            temporal_patch_size=2,
+            spatial_merge_size=2,
+            out_hidden_size=32,
+            in_channels=3,
+            num_position_embeddings=16,
+            deepstack_visual_indexes=[1, 2],
+        ),
+        image_token_id=IMG_TOK,
+        video_token_id=VID_TOK,
+        vision_start_token_id=VSTART,
+        vision_end_token_id=VSTART + 1,
+    )
+    model = Qwen3VLForConditionalGeneration(cfg).eval()
+    d = tmp_path_factory.mktemp("qwen3vl")
+    model.save_pretrained(d, safe_serialization=True)
+    return model, str(d)
+
+
+@pytest.fixture(scope="module")
+def pixels():
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, size=(24, 16, 3), dtype=np.uint8)
+    return Image.fromarray(arr)
+
+
+def _hf_patches(image):
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import (
+        Qwen2VLImageProcessor,
+    )
+
+    proc = Qwen2VLImageProcessor(
+        patch_size=4,
+        merge_size=2,
+        temporal_patch_size=2,
+        min_pixels=4 * 4 * 4,
+        max_pixels=4 * 4 * 4 * 1280,
+    )
+    out = proc(images=[image], return_tensors="np")
+    return out["pixel_values"], out["image_grid_thw"]
+
+
+class TestVisionTower:
+    def test_features_and_deepstack_match_hf(self, tiny_qwen3_vl, pixels):
+        from vllm_mlx_tpu.models.qwen3_vl import Qwen3VLModel
+
+        hf_model, model_dir = tiny_qwen3_vl
+        flat, grid = _hf_patches(pixels)
+        t, h, w = (int(x) for x in grid[0])
+        with torch.no_grad():
+            ref, ref_ds = hf_model.model.visual(
+                torch.from_numpy(flat).float(), torch.tensor(grid)
+            )
+        vlm = Qwen3VLModel(model_dir, dtype="float32").load()
+        feats, ds = vlm.encode_media(flat, (t, h, w))
+        np.testing.assert_allclose(
+            feats, ref.numpy(), atol=2e-4, rtol=1e-4
+        )
+        assert ds.shape[0] == 2  # two deepstack taps
+        for k in range(2):
+            np.testing.assert_allclose(
+                ds[k], ref_ds[k].numpy(), atol=2e-4, rtol=1e-4
+            )
+
+
+class TestMRoPE:
+    def test_positions_match_hf_get_rope_index(self, tiny_qwen3_vl, pixels):
+        from vllm_mlx_tpu.models.qwen_vl import compute_mrope_positions
+
+        hf_model, _ = tiny_qwen3_vl
+        flat, grid = _hf_patches(pixels)
+        t, h, w = (int(x) for x in grid[0])
+        n_img = t * (h // 2) * (w // 2)
+        prompt = [1, 2, VSTART] + [IMG_TOK] * n_img + [VSTART + 1, 9]
+        with torch.no_grad():
+            ref_pos, ref_delta = hf_model.model.get_rope_index(
+                torch.tensor([prompt]),
+                image_grid_thw=torch.tensor(grid),
+            )
+        got, delta = compute_mrope_positions(
+            prompt,
+            [{"grid": (1, h, w)} for _ in range(t)],
+            IMG_TOK,
+            VID_TOK,
+            merge=2,
+            tokens_per_second=0.0,
+        )
+        np.testing.assert_array_equal(got, ref_pos[:, 0].numpy())
+        assert delta == int(ref_delta[0, 0])
+
+    def test_video_positions_split_frames(self, tiny_qwen3_vl):
+        """HF splits video grids into t=1 frames (timestamp tokens
+        between them); per-frame media entries must reproduce it."""
+        from vllm_mlx_tpu.models.qwen_vl import compute_mrope_positions
+
+        hf_model, _ = tiny_qwen3_vl
+        t, h, w = 2, 4, 4
+        n_per_frame = (h // 2) * (w // 2)
+        # processor layout: <ts><vision_start><frame><vision_end> x t
+        prompt = [1]
+        for _ in range(t):
+            prompt += [7, VSTART] + [VID_TOK] * n_per_frame + [VSTART + 1]
+        prompt += [9]
+        with torch.no_grad():
+            ref_pos, ref_delta = hf_model.model.get_rope_index(
+                torch.tensor([prompt]),
+                video_grid_thw=torch.tensor([[t, h, w]]),
+            )
+        got, delta = compute_mrope_positions(
+            prompt,
+            [{"grid": (1, h, w)} for _ in range(t)],
+            IMG_TOK,
+            VID_TOK,
+            merge=2,
+            tokens_per_second=0.0,
+        )
+        np.testing.assert_array_equal(got, ref_pos[:, 0].numpy())
+        assert delta == int(ref_delta[0, 0])
+
+
+class TestGenerateParity:
+    def test_multimodal_greedy_matches_hf(self, tiny_qwen3_vl, pixels):
+        """Dense greedy decode with deepstack injection + interleaved
+        M-RoPE is token-identical to HF generate."""
+        import jax.numpy as jnp
+
+        from vllm_mlx_tpu.models import decoder
+        from vllm_mlx_tpu.models.qwen3_vl import Qwen3VLModel
+        from vllm_mlx_tpu.models.qwen_vl import compute_mrope_positions
+
+        hf_model, model_dir = tiny_qwen3_vl
+        flat, grid = _hf_patches(pixels)
+        t, h, w = (int(x) for x in grid[0])
+        n_img = t * (h // 2) * (w // 2)
+        prompt = [1, 2, VSTART] + [IMG_TOK] * n_img + [VSTART + 1, 9, 11]
+        with torch.no_grad():
+            out = hf_model.generate(
+                input_ids=torch.tensor([prompt]),
+                pixel_values=torch.from_numpy(flat).float(),
+                image_grid_thw=torch.tensor(grid),
+                max_new_tokens=8,
+                do_sample=False,
+            )
+        ref_tokens = out[0, len(prompt):].tolist()
+
+        vlm = Qwen3VLModel(model_dir, dtype="float32").load()
+        assert vlm.cfg.mrope_interleaved
+        feats_ds = vlm.encode_media(flat, (t, h, w))
+        collapsed = [1, 2, VSTART, IMG_TOK, VSTART + 1, 9, 11]
+        ids, embeds, mask, positions, delta, deepstack = (
+            vlm.build_multimodal_prompt(collapsed, [feats_ds], [(t, h, w)])
+        )
+        assert ids == prompt
+        cur = list(ids)
+        cur_emb, cur_mask, cur_ds = embeds, mask, deepstack
+        media = [{"grid": (1, h, w)} for _ in range(t)]
+        got = []
+        for _ in range(8):
+            pos, _ = compute_mrope_positions(
+                cur, media, IMG_TOK, VID_TOK, merge=2, tokens_per_second=0.0
+            )
+            logits = decoder.dense_forward(
+                vlm.lm_params,
+                vlm.cfg,
+                jnp.asarray(cur, jnp.int32),
+                token_embeds=jnp.asarray(cur_emb),
+                embeds_mask=jnp.asarray(cur_mask),
+                positions=jnp.asarray(pos),
+                deepstack_embeds=jnp.asarray(cur_ds),
+            )
+            nxt = int(np.argmax(np.asarray(logits[-1])))
+            got.append(nxt)
+            cur.append(nxt)
+            cur_emb = np.concatenate(
+                [cur_emb, np.zeros((1, cur_emb.shape[1]), np.float32)]
+            )
+            cur_mask = np.concatenate([cur_mask, [False]])
+            cur_ds = np.concatenate(
+                [cur_ds, np.zeros((cur_ds.shape[0], 1, cur_ds.shape[2]),
+                                  np.float32)],
+                axis=1,
+            )
+        assert got == ref_tokens
+
+
+class TestEngine:
+    def test_qwen3_vl_through_scheduler(self, tiny_qwen3_vl, pixels):
+        """Image request through the continuous-batching scheduler:
+        deepstack embeds flow through chunked prefill (sliced per chunk)
+        and interleaved-mrope positions travel as explicit rope rows —
+        token-identical to HF generate. A concurrent text request
+        batches into the same compiled steps."""
+        from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+        from vllm_mlx_tpu.core.model_runner import ModelRunner
+        from vllm_mlx_tpu.core.request import Request, SamplingParams
+        from vllm_mlx_tpu.core.scheduler import Scheduler
+        from vllm_mlx_tpu.models.qwen3_vl import Qwen3VLModel
+
+        hf_model, model_dir = tiny_qwen3_vl
+        flat, grid = _hf_patches(pixels)
+        t, h, w = (int(x) for x in grid[0])
+        n_img = t * (h // 2) * (w // 2)
+        prompt = [1, 2, VSTART] + [IMG_TOK] * n_img + [VSTART + 1, 9, 11]
+        text_prompt = [3, 4, 5, 6, 7]
+        with torch.no_grad():
+            out = hf_model.generate(
+                input_ids=torch.tensor([prompt]),
+                pixel_values=torch.from_numpy(flat).float(),
+                image_grid_thw=torch.tensor(grid),
+                max_new_tokens=10,
+                do_sample=False,
+            )
+            ref_mm = out[0, len(prompt):].tolist()
+            ref_txt = hf_model.generate(
+                input_ids=torch.tensor([text_prompt]),
+                max_new_tokens=10,
+                do_sample=False,
+            )[0, len(text_prompt):].tolist()
+
+        vlm = Qwen3VLModel(model_dir, dtype="float32").load()
+        cfg = vlm.text_config
+        cfg.dtype = "float32"
+        runner = ModelRunner(
+            cfg,
+            vlm.lm_params,
+            CacheConfig(block_size=8, num_blocks=64, kv_dtype="float32"),
+            SchedulerConfig(
+                max_num_seqs=2,
+                max_prefill_tokens=16,  # force multi-chunk prefill
+                prefill_chunk_sizes=[16, 64],
+                max_model_len=256,
+            ),
+        )
+        sched = Scheduler(runner, tokenizer=None, stop_tokens=set())
+        feats_ds = vlm.encode_media(flat, (t, h, w))
+        collapsed = [1, 2, VSTART, IMG_TOK, VSTART + 1, 9, 11]
+        ids, embeds, mask, positions, delta, deepstack = (
+            vlm.build_multimodal_prompt(collapsed, [feats_ds], [(t, h, w)])
+        )
+        assert ids == prompt
+        req = Request(
+            request_id="mm",
+            prompt=list(ids),
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=10),
+        )
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.mrope_positions = positions
+        req.mrope_delta = delta
+        req.deepstack_embeds = deepstack
+        req.is_multimodal = True
+        sched.add_request(req)
+        sched.add_request(
+            Request(
+                request_id="txt",
+                prompt=list(text_prompt),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=10
+                ),
+            )
+        )
+        outs = {}
+        steps = 0
+        while sched.has_unfinished():
+            for o in sched.step():
+                if o.finished:
+                    outs[o.request_id] = o
+            steps += 1
+            assert steps < 300
+        assert outs["mm"].output_token_ids == ref_mm
+        assert outs["txt"].output_token_ids == ref_txt

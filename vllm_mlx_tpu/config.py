@@ -88,6 +88,13 @@ class ModelConfig:
     # the rotary half-dim (HF ``rope_scaling.mrope_section``). Text-only
     # requests on an mrope model use equal components == plain RoPE.
     mrope_section: Optional[List[int]] = None
+    # Qwen3-VL: interleaved M-RoPE — channels cycle [T H W T H W ...]
+    # instead of chunked sections (HF apply_interleaved_mrope)
+    mrope_interleaved: bool = False
+    # Qwen3-VL deepstack: visual features from intermediate ViT layers
+    # are ADDED to the LM's hidden states after layers 0..n-1 at visual
+    # rows (HF Qwen3VLTextModel._deepstack_process)
+    num_deepstack_layers: int = 0
     # Partial rotary (Bamba/Nemotron style): rope applies to the first
     # head_dim * factor channels only
     partial_rotary_factor: float = 1.0
@@ -159,8 +166,12 @@ class ModelConfig:
             else None,
             layer_types=cfg.get("layer_types"),
         )
-        if model_type in ("qwen3", "qwen3_moe", "qwen3_vl_text"):
+        if model_type in (
+            "qwen3", "qwen3_moe", "qwen3_vl_text", "qwen3_vl_moe_text",
+        ):
             kw["use_qk_norm"] = True
+        if model_type in ("qwen3_vl_text", "qwen3_vl_moe_text"):
+            kw["mrope_interleaved"] = True
         if model_type in ("qwen2_vl_text", "qwen2_5_vl_text", "qwen2_vl", "qwen2_5_vl"):
             # Qwen-VL text stacks are Qwen2-style (qkv bias)
             kw["attention_bias"] = True
@@ -254,7 +265,7 @@ class ModelConfig:
         if model_type == "qwen2":
             # Qwen2 has bias on qkv only; handled by loader (missing biases -> zeros)
             kw["attention_bias"] = True
-        if model_type in ("qwen3_moe",):
+        if model_type in ("qwen3_moe", "qwen3_vl_moe_text"):
             kw.update(
                 num_experts=cfg.get("num_experts", 0),
                 num_experts_per_tok=cfg.get("num_experts_per_tok", 0),

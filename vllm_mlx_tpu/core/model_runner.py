@@ -117,6 +117,9 @@ class StepInput:
     rope_pos: Optional[np.ndarray] = None
     # hybrid SSM: slot per row (sentinel max_num_seqs for padding)
     row_slot: Optional[np.ndarray] = None
+    # Qwen3-VL deepstack: [n_ds, T, H] added after decoder layers 0..n-1
+    # (zero rows for text/decode positions)
+    deepstack_embeds: Optional[np.ndarray] = None
 
 
 def unpack_multi(packed: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -299,6 +302,7 @@ class ModelRunner:
         draft_params: Optional[Params] = None,
         rope_positions: Optional[jax.Array] = None,  # [3, T] mrope
         row_slot: Optional[jax.Array] = None,  # [T] hybrid SSM routing
+        deepstack_embeds: Optional[jax.Array] = None,  # [n_ds, T, H]
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
@@ -346,6 +350,7 @@ class ModelRunner:
             kv_scale=self.kv_scale,
             mesh=self.mesh,
             ssm_ctx=ssm_ctx,
+            deepstack_embeds=deepstack_embeds,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -426,6 +431,7 @@ class ModelRunner:
         allow_rows: Optional[jax.Array] = None,
         allow_words: Optional[jax.Array] = None,
         draft_params: Optional[Params] = None,
+        deepstack_embeds: Optional[jax.Array] = None,
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         """One ragged step from TWO packed host uploads. Every h2d
         transfer costs ~30 ms latency on this platform, so the ~11
@@ -466,6 +472,7 @@ class ModelRunner:
             allow_rows=allow_rows,
             allow_words=allow_words,
             draft_params=draft_params,
+            deepstack_embeds=deepstack_embeds,
             rope_positions=(
                 tok_pack[5:8] if tok_pack.shape[0] >= 8 else None
             ),
@@ -1178,6 +1185,13 @@ class ModelRunner:
         else:  # dummy: the packed step synthesizes zeros on device
             embeds = np.zeros((1, self.cfg.hidden_size), np.float32)
             emask = np.zeros(1, bool)
+        deepstack = None
+        if inp.deepstack_embeds is not None:
+            n_ds = inp.deepstack_embeds.shape[0]
+            deepstack = np.zeros(
+                (n_ds, bucket, self.cfg.hidden_size), np.float32
+            )
+            deepstack[:, :t] = inp.deepstack_embeds
         self.state, sampled, logprobs = self._step_packed_jit(
             self.params,
             self.state,
@@ -1191,6 +1205,7 @@ class ModelRunner:
             allow_rows=allow_rows,
             allow_words=allow_words,
             draft_params=self.draft_params,
+            deepstack_embeds=deepstack,
         )
         return sampled, logprobs
 

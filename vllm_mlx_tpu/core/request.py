@@ -86,6 +86,8 @@ class Request:
     # Multimodal: precomputed embeddings aligned with prompt_token_ids
     # (rows where embeds_mask is True replace the token embedding)
     prompt_embeds: Optional[Any] = None  # np [num_prompt_tokens, H]
+    # Qwen3-VL deepstack features aligned to prompt rows [n_ds, T, H]
+    deepstack_embeds: Optional[Any] = None
     embeds_mask: Optional[Any] = None  # np [num_prompt_tokens] bool
     is_multimodal: bool = False
     # Qwen-VL M-RoPE: explicit (t, h, w) prompt positions + decode delta

@@ -707,12 +707,18 @@ class Scheduler:
         bundle = _StepBundle()
         token_embeds = None
         embeds_mask = None
+        ds_embeds = None
         if any(
             req.prompt_embeds is not None for req, _, _ in prefill
         ):
             h = self.runner.cfg.hidden_size
             token_embeds = np.zeros((total_t, h), np.float32)
             embeds_mask = np.zeros(total_t, bool)
+            n_ds = self.runner.cfg.num_deepstack_layers
+            if n_ds and any(
+                req.deepstack_embeds is not None for req, _, _ in prefill
+            ):
+                ds_embeds = np.zeros((n_ds, total_t, h), np.float32)
         # mrope models (Qwen-VL) need explicit (t, h, w) rope positions:
         # vision rows use grid coordinates, text rows token index + delta
         rope_pos = (
@@ -796,6 +802,12 @@ class Scheduler:
                     embeds_mask[t : t + k] = (
                         pm[c0:hi] if pm is not None else True
                     )
+                    if ds_embeds is not None and (
+                        req.deepstack_embeds is not None
+                    ):
+                        ds_embeds[:, t : t + k] = (
+                            req.deepstack_embeds[:, c0:hi]
+                        )
             for j in range(n):
                 kv_dest[t + j] = self._dest_for(req, c0 + j)
             kv_lens[i] = c0 + n
@@ -877,6 +889,7 @@ class Scheduler:
             total_tokens=total_t,
             token_embeds=token_embeds,
             embeds_mask=embeds_mask,
+            deepstack_embeds=ds_embeds,
             allow_rows=(
                 np.asarray(allow_rows_l, np.int32) if allow_rows_l else None
             ),

@@ -221,6 +221,18 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = QwenVLImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") in ("qwen3_vl", "qwen3_vl_moe"):
+                # Qwen3-VL: deepstack tower + interleaved M-RoPE
+                # (reference benchmark VLM, docs/benchmarks/image.md)
+                from ..models.qwen3_vl import Qwen3VLModel
+                from ..multimodal_processor import QwenVLImageProcessor
+
+                logger.info("loading multimodal checkpoint (Qwen3-VL)")
+                self.vlm = Qwen3VLModel(self.model_path).load()
+                self.vlm_kind = "qwen3_vl"
+                self.image_processor = QwenVLImageProcessor.from_pretrained(
+                    self.model_path
+                )
             else:
                 from ..models.mllm import MultimodalLM
                 from ..multimodal_processor import ImageProcessor
@@ -682,7 +694,7 @@ class BatchedEngine(BaseEngine):
         from ..multimodal_processor import image_bytes_key
 
         token_ids = self._tokenizer.encode(prompt)
-        if getattr(self, "vlm_kind", "llava") == "qwen_vl":
+        if getattr(self, "vlm_kind", "llava") in ("qwen_vl", "qwen3_vl"):
             return self._make_qwen_vl_request(
                 token_ids, media, request_id, **kwargs
             )
@@ -775,19 +787,35 @@ class BatchedEngine(BaseEngine):
             features.append(feats)
             grids.append(grid)
             spgs.append(spg)
-        ids, embeds, mask, positions, delta = (
-            self.vlm.build_multimodal_prompt(
-                token_ids, features, grids, second_per_grid_ts=spgs
+        if self.vlm_kind == "qwen3_vl":
+            ids, embeds, mask, positions, delta, deepstack = (
+                self.vlm.build_multimodal_prompt(
+                    token_ids, features, grids,
+                    second_per_grid_ts=spgs,
+                )
             )
-        )
+        else:
+            ids, embeds, mask, positions, delta = (
+                self.vlm.build_multimodal_prompt(
+                    token_ids, features, grids, second_per_grid_ts=spgs
+                )
+            )
+            deepstack = None
         req = self._make_request(ids, request_id, **kwargs)
         req.prompt_embeds = embeds
         req.embeds_mask = mask
         req.is_multimodal = True
         req.mrope_positions = positions
         req.mrope_delta = delta
+        req.deepstack_embeds = deepstack
         req.media_spans = _media_spans(
-            ids, mask, keys, [f.shape[0] for f in features]
+            ids,
+            mask,
+            keys,
+            [
+                (f[0] if isinstance(f, tuple) else f).shape[0]
+                for f in features
+            ],
         )
         return req
 

@@ -330,6 +330,7 @@ def _stack(
     token_embeds: Optional[jax.Array] = None,  # [T, H] multimodal override
     embeds_mask: Optional[jax.Array] = None,  # [T] bool: use override row
     ssm_fn: Optional[Callable] = None,  # (layer, params, h) -> out
+    deepstack_embeds: Optional[jax.Array] = None,  # [n_ds, T, H]
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Shared layer stack. ``attend(kv_pool, layer, q, k, v) ->
     (attn_out, kv_pool)`` encapsulates cache writing + attention;
@@ -362,6 +363,7 @@ def _stack(
         cfg.rope_theta,
         cfg.rope_scaling,
         tuple(cfg.mrope_section) if cfg.mrope_section else None,
+        mrope_interleaved=cfg.mrope_interleaved,
     )
     a1 = cfg.rms_add_one
     for i, p in enumerate(params["layers"]):
@@ -409,6 +411,11 @@ def _stack(
                 x, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
             )
             x = x + _mlp_block(cfg, i, p, h, moe_top_k)
+        if deepstack_embeds is not None and i < deepstack_embeds.shape[0]:
+            # Qwen3-VL deepstack: intermediate-ViT features add to the
+            # hidden states after early layers (rows are pre-zeroed for
+            # text/decode positions; HF _deepstack_process)
+            x = x + deepstack_embeds[i].astype(x.dtype)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, a1)
     return x, kv_pool
 
@@ -430,6 +437,7 @@ def unified_forward(
     kv_scale: Optional[float] = None,
     mesh=None,
     ssm_ctx: Optional[Dict[str, Any]] = None,
+    deepstack_embeds: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, List[jax.Array], Optional[List[Tuple]]]:
     """One step for a ragged mixed prefill/decode batch.
 
@@ -560,6 +568,7 @@ def unified_forward(
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
         token_embeds, embeds_mask, ssm_fn=ssm_fn,
+        deepstack_embeds=deepstack_embeds,
     )
     return hidden, new_pages, new_ssm_states
 
@@ -652,6 +661,7 @@ def dense_forward(
     token_embeds: Optional[jax.Array] = None,
     embeds_mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,  # [T] or [3, T] (mrope)
+    deepstack_embeds: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
@@ -685,5 +695,6 @@ def dense_forward(
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
         token_embeds, embeds_mask, ssm_fn=ssm_fn,
+        deepstack_embeds=deepstack_embeds,
     )
     return _logits(params, cfg, hidden)

@@ -139,6 +139,7 @@ def rope_cos_sin(
     rope_theta: float,
     rope_scaling: Optional[Dict[str, Any]] = None,
     mrope_section: Optional[Tuple[int, ...]] = None,
+    mrope_interleaved: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables for the given integer positions. Shapes [T, head_dim//2].
 
@@ -165,12 +166,24 @@ def rope_cos_sin(
         angles3 = (
             positions.astype(jnp.float32)[:, :, None] * inv_freq[None, None, :]
         )  # [3, T, head_dim//2]
-        parts = []
-        off = 0
-        for comp, sec in enumerate(mrope_section):
-            parts.append(angles3[comp, :, off : off + sec])
-            off += sec
-        angles = jnp.concatenate(parts, axis=-1)  # [T, head_dim//2]
+        import numpy as _np
+
+        half = int(inv_freq.shape[0])
+        if mrope_interleaved:
+            # Qwen3-VL: channels cycle [T H W T H W ...] up to each
+            # section's reach (HF apply_interleaved_mrope: H at indices
+            # 1,4,7,..<3*sec_h; W at 2,5,8,..<3*sec_w; T elsewhere)
+            sel = _np.zeros(half, _np.int32)
+            sel[1 : min(3 * mrope_section[1], half) : 3] = 1
+            sel[2 : min(3 * mrope_section[2], half) : 3] = 2
+            angles = angles3[sel, :, _np.arange(half)].T  # [T, half]
+        else:
+            parts = []
+            off = 0
+            for comp, sec in enumerate(mrope_section):
+                parts.append(angles3[comp, :, off : off + sec])
+                off += sec
+            angles = jnp.concatenate(parts, axis=-1)  # [T, head_dim//2]
     else:
         angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
     if attn_factor != 1.0:

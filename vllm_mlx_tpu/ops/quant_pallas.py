@@ -1,0 +1,147 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Fused int4 dequant-matmul Pallas kernel (VERDICT r2 #4 / PLAN_R3
+perf #1).
+
+Decode is weight-bandwidth-bound: int8 weights read 1 byte/weight, int4
+halves that again — but XLA cannot fuse a convert+scale across a dot
+input on TPU (it materializes the dequantized copy, tripling HBM
+traffic — NOTES_TPU_ENV.md kernel lessons). This kernel reads PACKED
+int4 weights (two nibbles per byte) from HBM, sign-extends and scales
+them in VMEM, and feeds the MXU in bfloat16 — weight HBM traffic is
+0.5 bytes/weight end to end.
+
+Packing layout ("half split", chosen so unpacking needs NO lane
+shuffles): byte ``[o, j]`` holds ``w[o, j]`` in the low nibble and
+``w[o, j + K/2]`` in the high nibble. Unpacking yields two contiguous
+``[O, K/2]`` halves; the matmul runs as
+``x[:, :K/2] @ lo.T + x[:, K/2:] @ hi.T``. Per-group scales stay
+contiguous per half as long as ``group_size`` divides ``K/2``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_int4(w_q: jax.Array) -> jax.Array:
+    """[O, K] int4-valued (any int dtype) -> [O, K/2] uint8 packed in
+    the half-split layout."""
+    o, k = w_q.shape
+    assert k % 2 == 0
+    w = jnp.asarray(w_q).astype(jnp.int32)
+    lo = w[:, : k // 2] & 0xF
+    hi = (w[:, k // 2 :] & 0xF) << 4
+    return (lo | hi).astype(jnp.uint8)
+
+
+def _int4_kernel(
+    xlo_ref,  # [T, K2] bf16
+    xhi_ref,  # [T, K2] bf16
+    wp_ref,  # [bo, K2] uint8 packed
+    slo_ref,  # [bo, K2//g] f32 scales, low half
+    shi_ref,  # [bo, K2//g] f32 scales, high half
+    o_ref,  # [T, bo] f32
+    *,
+    group_size: int,
+):
+    b = wp_ref[...].astype(jnp.int32)
+    lo = (b << 28) >> 28  # sign-extend low nibble
+    hi = (b << 24) >> 28  # sign-extend high nibble
+    bo, k2 = b.shape
+    g = group_size
+    ng = k2 // g
+
+    def dequant(nib, s_ref):
+        w = nib.astype(jnp.float32).reshape(bo, ng, g)
+        w = w * s_ref[...].astype(jnp.float32)[:, :, None]
+        return w.reshape(bo, k2).astype(jnp.bfloat16)
+
+    wlo = dequant(lo, slo_ref)
+    whi = dequant(hi, shi_ref)
+    acc = jax.lax.dot_general(
+        xlo_ref[...],
+        wlo,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        xhi_ref[...],
+        whi,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "group_size"))
+def int4_matmul_packed(
+    x: jax.Array,  # [T, K] bf16
+    w_packed: jax.Array,  # [O, K/2] uint8 (pack_int4 layout)
+    scales: jax.Array,  # [O, K/group] any float
+    *,
+    group_size: int = 128,
+    block_o: int = 512,
+) -> jax.Array:
+    """x @ W^T with W int4-packed; returns [T, O] f32."""
+    t, k = x.shape
+    o, k2 = w_packed.shape
+    assert k2 * 2 == k
+    ng = scales.shape[1]
+    assert ng * group_size == k
+    assert k2 % group_size == 0, "group_size must divide K/2"
+    assert o % block_o == 0 or o < block_o
+    bo = min(block_o, o)
+    xlo = x[:, :k2]
+    xhi = x[:, k2:]
+    s32 = scales.astype(jnp.float32)
+    slo = s32[:, : ng // 2]
+    shi = s32[:, ng // 2 :]
+    grid = (o // bo,)
+    return pl.pallas_call(
+        functools.partial(_int4_kernel, group_size=group_size),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, k2), lambda i: (0, 0)),
+            pl.BlockSpec((t, k2), lambda i: (0, 0)),
+            pl.BlockSpec((bo, k2), lambda i: (i, 0)),
+            pl.BlockSpec((bo, ng // 2), lambda i: (i, 0)),
+            pl.BlockSpec((bo, ng // 2), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((t, bo), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((t, o), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(xlo, xhi, w_packed, slo, shi)
+
+
+def int4_matmul(x: jax.Array, q) -> jax.Array:
+    """Adapter for ops.quant.QuantizedTensor (bits=4): packs lazily and
+    caches the packed form on the tensor object."""
+    packed = getattr(q, "_packed", None)
+    if packed is None:
+        packed = pack_int4(q.w_q)
+        object.__setattr__(q, "_packed", packed)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    t = x2.shape[0]
+    pad = (-t) % 8
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    o = q.w_q.shape[0]
+    bo = 512
+    while o % bo and bo > 8:
+        bo //= 2
+    y = int4_matmul_packed(
+        x2, packed, q.scale, group_size=q.group_size, block_o=bo
+    )
+    if pad:
+        y = y[:t]
+    return y.reshape(*lead, o)
