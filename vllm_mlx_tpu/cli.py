@@ -397,6 +397,57 @@ def download_command(args: argparse.Namespace) -> None:
     print(path)
 
 
+def bench_serve_command(args: argparse.Namespace) -> None:
+    """``bench-serve`` subcommand (reference cli.py:889): thin wrapper
+    over the bench_serve module with args passed through."""
+    from . import bench_serve
+
+    rest = list(args.rest or [])
+    if rest and rest[0] == "--":
+        rest = rest[1:]
+    bench_serve.main(rest)
+
+
+def bench_detok_command(args: argparse.Namespace) -> None:
+    """``bench-detok`` (reference cli.py:628): incremental streaming
+    detokenization vs naive full re-decode per emitted token."""
+    import time as _time
+
+    import numpy as np
+
+    from .core.detokenizer import StreamingDetokenizer
+    from .utils.tokenizer import load_tokenizer
+
+    tok = load_tokenizer(args.model)
+    vocab = getattr(tok, "vocab_size", None) or len(tok.get_vocab())
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, vocab, size=args.tokens).tolist()
+
+    t0 = _time.perf_counter()
+    out_naive = []
+    for i in range(1, len(ids) + 1):  # decode-all on every new token
+        text = tok.decode(ids[:i])
+        out_naive.append(text)
+    t_naive = _time.perf_counter() - t0
+
+    detok = StreamingDetokenizer(tok)
+    state = detok.new_state()
+    t0 = _time.perf_counter()
+    parts = []
+    for t in ids:
+        parts.append(detok.step(state, t))
+    parts.append(detok.flush(state))
+    t_stream = _time.perf_counter() - t0
+    print(
+        f"tokens: {len(ids)}\n"
+        f"naive full re-decode: {t_naive*1e3:8.1f} ms "
+        f"({len(ids)/t_naive:,.0f} tok/s)\n"
+        f"streaming detok:      {t_stream*1e3:8.1f} ms "
+        f"({len(ids)/t_stream:,.0f} tok/s)\n"
+        f"speedup: {t_naive/t_stream:.1f}x"
+    )
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     parser = argparse.ArgumentParser(
         prog="vllm-mlx-tpu",
@@ -422,6 +473,24 @@ def main(argv: Optional[List[str]] = None) -> None:
     bench_p.add_argument("--quantization",
                          choices=["none", "int8", "int4"], default="none")
     bench_p.set_defaults(func=bench_command)
+
+    bs_p = sub.add_parser(
+        "bench-serve",
+        help="HTTP serving benchmark against a live server "
+             "(concurrency grids, TTFT/TPOT percentiles, workload "
+             "contracts); flags pass through to bench_serve",
+    )
+    bs_p.add_argument("rest", nargs=argparse.REMAINDER)
+    bs_p.set_defaults(func=bench_serve_command)
+
+    bd_p = sub.add_parser(
+        "bench-detok",
+        help="streaming-detokenizer benchmark: incremental decode vs "
+             "naive full re-decode per token",
+    )
+    bd_p.add_argument("model", help="checkpoint/tokenizer path")
+    bd_p.add_argument("--tokens", type=int, default=2048)
+    bd_p.set_defaults(func=bench_detok_command)
 
     dl_p = sub.add_parser("download", help="download a model from HF hub")
     dl_p.add_argument("model")

@@ -89,6 +89,11 @@ class RunnerState:
     # (conv_state [slots, cd, K], ssm_state [slots, nh, hd, ds]) —
     # the KV-cache analogue for SSD layers. None for pure-attention.
     ssm_states: Optional[List[Tuple[jax.Array, jax.Array]]] = None
+    # MTP-head speculation: target's final-norm hidden at each slot's
+    # last written position (the MTP draft conditions on it; reference
+    # patches/qwen3_5_mtp.py loads in-checkpoint heads). None unless an
+    # MTP head is attached.
+    last_hidden: Optional[jax.Array] = None  # [slots, H] f32
 
 
 @dataclass
@@ -355,6 +360,47 @@ class ModelRunner:
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
         logits = decoder.compute_logits(params, self.cfg, hs)  # [S, V]
+        new_last_hidden = state.last_hidden
+        if state.last_hidden is not None:
+            # MTP-head speculation: remember the hidden at each slot's
+            # last WRITTEN position (chunk tail or decode row) — the
+            # head conditions its next draft / next chunk on it
+            seq_valid_lh = jnp.arange(s) < num_seqs[0]
+            lh_slots = jnp.where(seq_valid_lh, seq_slots, s)
+            new_last_hidden = state.last_hidden.at[lh_slots].set(
+                hs.astype(state.last_hidden.dtype), mode="drop"
+            )
+        if (
+            getattr(self, "mtp_params", None) is not None
+            and state.draft_pages is not None
+        ):
+            # keep the MTP layer's 1-layer KV pool in sync with every
+            # prefill/decode the target sees: its input at row j pairs
+            # token j with the target hidden at j-1 (carried hidden at
+            # sequence starts)
+            prev = jnp.roll(hidden, 1, axis=0)
+            seq_starts = cu_q_lens[:-1]
+            carried = state.last_hidden[seq_slots].astype(prev.dtype)
+            prev = prev.at[seq_starts].set(carried, mode="drop")
+            x_mtp = self._mtp_combine(params, tokens, prev.astype(
+                jnp.float32
+            ))
+            _, new_draft_pages, _ = decoder.unified_forward(
+                self._mtp_wrapped,
+                self.draft_cfg,
+                jnp.zeros_like(tokens),
+                positions,
+                state.draft_pages,
+                kv_dest,
+                kv_lens,
+                page_indices,
+                cu_q_lens,
+                num_seqs,
+                token_embeds=x_mtp,
+                embeds_mask=jnp.ones((tokens.shape[0],), bool),
+                kv_scale=self.kv_scale,
+                mesh=self.mesh,
+            )
 
         slot_sampling = jax.tree.map(lambda a: a[seq_slots], state.sampling)
         key = jax.random.fold_in(self._rng_base, state.step_count)
@@ -414,6 +460,7 @@ class ModelRunner:
             rope_deltas=state.rope_deltas,
             draft_pages=new_draft_pages,
             ssm_states=new_ssm if new_ssm is not None else state.ssm_states,
+            last_hidden=new_last_hidden,
         )
         return new_state, sampled, logprobs
 
@@ -528,6 +575,106 @@ class ModelRunner:
             donate_argnums=(2,),
         )
 
+    def enable_mtp_head(self, mtp_params: Params, k: int) -> None:
+        """Attach an in-checkpoint MTP head as the speculative draft
+        (reference patches/qwen3_5_mtp.py:70-340 / qwen3_next_mtp.py:
+        no separate draft model needed). The head shares the target's
+        embeddings and lm_head; its own weights are a combining fc over
+        (normed token embedding, normed target hidden) plus ONE decoder
+        layer with a 1-layer KV pool. The spec round chains the head's
+        hidden output across the k draft steps."""
+        import dataclasses as _dc
+
+        if self.has_ssm:
+            raise ValueError(
+                "MTP-head speculation is not supported for hybrid SSM "
+                "models (recurrent state cannot roll back)"
+            )
+        dcfg = _dc.replace(
+            self.cfg,
+            num_hidden_layers=1,
+            layer_types=None,
+            sliding_window=None,
+            mamba_cfg=None,
+        )
+        self.mtp_params = {
+            "fc": mtp_params["fc"],
+            "pre_norm_emb": mtp_params["pre_norm_emb"],
+            "pre_norm_hidden": mtp_params["pre_norm_hidden"],
+        }
+        # the wrapped 1-layer model consumed via the embeds override
+        # (token embedding is bypassed entirely)
+        self._mtp_wrapped = {
+            "embed_tokens": jnp.zeros(
+                (1, self.cfg.hidden_size),
+                self.params["embed_tokens"].dtype
+                if hasattr(self.params["embed_tokens"], "dtype")
+                else jnp.bfloat16,
+            ),
+            "layers": [mtp_params["layer"]],
+            "norm": mtp_params["norm"],
+        }
+        self.draft_cfg = dcfg
+        self.spec_k = int(k)
+        self.draft_params = None  # draft model path unused
+        draft_pages = make_kv_pages(
+            1,
+            self.num_pages,
+            self.page_size,
+            dcfg.num_key_value_heads,
+            dcfg.head_dim,
+            dtype=self.kv_dtype,
+        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import shard_params
+
+            self.mtp_params = shard_params(self.mesh, self.mtp_params)
+            self._mtp_wrapped = shard_params(self.mesh, self._mtp_wrapped)
+            kv_sh = NamedSharding(self.mesh, P(None, None, "tp", None))
+            draft_pages = [jax.device_put(p, kv_sh) for p in draft_pages]
+        elif self.device is not None:
+            self.mtp_params = jax.device_put(self.mtp_params, self.device)
+            self._mtp_wrapped = jax.device_put(
+                self._mtp_wrapped, self.device
+            )
+            draft_pages = jax.device_put(draft_pages, self.device)
+        self.state = replace(
+            self.state,
+            draft_pages=draft_pages,
+            last_hidden=jnp.zeros(
+                (self.max_num_seqs, self.cfg.hidden_size), jnp.float32
+            ),
+        )
+        self._spec_jit = jax.jit(
+            functools.partial(self._spec_round, k=self.spec_k),
+            static_argnums=(),
+            donate_argnums=(2,),
+        )
+
+    def _mtp_combine(
+        self, params: Params, tok: jax.Array, h_prev: jax.Array
+    ) -> jax.Array:
+        """MTP input: fc(concat(norm(embed(tok)), norm(h_prev)))."""
+        from ..ops.layers import embed, linear, rms_norm
+
+        mtp = self.mtp_params
+        e = embed(tok, params["embed_tokens"])
+        if self.cfg.embed_scale:
+            e = e * jnp.asarray(self.cfg.embed_scale, dtype=e.dtype)
+        eps = self.cfg.rms_norm_eps
+        x = jnp.concatenate(
+            [
+                rms_norm(e, mtp["pre_norm_emb"], eps),
+                rms_norm(
+                    h_prev.astype(e.dtype), mtp["pre_norm_hidden"], eps
+                ),
+            ],
+            axis=-1,
+        )
+        return linear(x, mtp["fc"]).astype(jnp.float32)
+
     def _spec_round(
         self, params: Params, draft_params: Params, state: RunnerState,
         k: int,
@@ -557,24 +704,53 @@ class ModelRunner:
         # d_k's KV — keeps next round's draft conditioning complete)
         dpages = state.draft_pages
         dt = state.device_tokens
+        use_mtp = getattr(self, "mtp_params", None) is not None
+        h = state.last_hidden
+        s_ones = jnp.ones((s,), bool)
         drafts = []
         for i in range(k + 1):
             pos = base + i
-            dhid, dpages, _ = decoder.unified_forward(
-                draft_params,
-                self.draft_cfg,
-                dt,
-                jnp.where(active, jnp.minimum(pos, max_pos), 0),
-                dpages,
-                dest_at(pos),
-                jnp.where(active, pos + 1, 0),
-                tables,
-                cu,
-                n_act[None],
-                kv_scale=self.kv_scale,
-                mesh=self.mesh,
-            )
-            dlogits = decoder.compute_logits(draft_params, self.draft_cfg, dhid)
+            if use_mtp:
+                # in-checkpoint MTP head: combine (token, target hidden)
+                # through fc, run the single MTP layer via the embeds
+                # override, predict with the TARGET's lm_head, chain h
+                x = self._mtp_combine(params, dt, h)
+                dhid, dpages, _ = decoder.unified_forward(
+                    self._mtp_wrapped,
+                    self.draft_cfg,
+                    jnp.zeros_like(dt),
+                    jnp.where(active, jnp.minimum(pos, max_pos), 0),
+                    dpages,
+                    dest_at(pos),
+                    jnp.where(active, pos + 1, 0),
+                    tables,
+                    cu,
+                    n_act[None],
+                    token_embeds=x,
+                    embeds_mask=s_ones,
+                    kv_scale=self.kv_scale,
+                    mesh=self.mesh,
+                )
+                dlogits = decoder.compute_logits(params, self.cfg, dhid)
+                h = dhid.astype(jnp.float32)
+            else:
+                dhid, dpages, _ = decoder.unified_forward(
+                    draft_params,
+                    self.draft_cfg,
+                    dt,
+                    jnp.where(active, jnp.minimum(pos, max_pos), 0),
+                    dpages,
+                    dest_at(pos),
+                    jnp.where(active, pos + 1, 0),
+                    tables,
+                    cu,
+                    n_act[None],
+                    kv_scale=self.kv_scale,
+                    mesh=self.mesh,
+                )
+                dlogits = decoder.compute_logits(
+                    draft_params, self.draft_cfg, dhid
+                )
             dt = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
             if i < k:
                 drafts.append(dt)
@@ -637,6 +813,15 @@ class ModelRunner:
         bonus = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
         emitted = jnp.sum(out >= 0, axis=1)  # [S] tokens this round
 
+        new_last_hidden = state.last_hidden
+        if state.last_hidden is not None:
+            # hidden at each slot's last ACCEPTED row pairs with the
+            # bonus token for the next round's first MTP draft
+            rows = jnp.arange(s) * (k + 1) + n_acc
+            hsel = hidden[rows].astype(jnp.float32)
+            new_last_hidden = jnp.where(
+                active[:, None], hsel, state.last_hidden
+            )
         new_state = replace(
             state,
             kv_pages=new_pages,
@@ -644,6 +829,7 @@ class ModelRunner:
             device_tokens=jnp.where(active, bonus, state.device_tokens),
             kv_lens=jnp.where(active, base + emitted, base),
             step_count=state.step_count + 1,
+            last_hidden=new_last_hidden,
         )
         packed = jax.lax.bitcast_convert_type(
             out.T.astype(jnp.int32), jnp.float32
@@ -652,7 +838,9 @@ class ModelRunner:
 
     def spec_round(self) -> jax.Array:
         """Dispatch one speculative round; returns packed [k+1, S] f32
-        (bitcast int32 tokens, -1 = nothing emitted at that row)."""
+        (bitcast int32 tokens, -1 = nothing emitted at that row).
+        draft_params is None on the MTP-head path (the head's weights
+        ride self.mtp_params / self._mtp_wrapped)."""
         self.state, packed = self._spec_jit(
             self.params, self.draft_params, self.state
         )
@@ -719,6 +907,29 @@ class ModelRunner:
                 kv_scale=self.kv_scale,
                 mesh=self.mesh,
             )
+        elif (
+            getattr(self, "mtp_params", None) is not None
+            and state.draft_pages is not None
+        ):
+            x_mtp = self._mtp_combine(
+                params, state.device_tokens, state.last_hidden
+            )
+            _, new_draft_pages, _ = decoder.unified_forward(
+                self._mtp_wrapped,
+                self.draft_cfg,
+                jnp.zeros_like(state.device_tokens),
+                jnp.where(active, pos, 0),
+                state.draft_pages,
+                kv_dest,
+                kv_lens_att,
+                state.block_tables,
+                cu_q_lens,
+                n[None],
+                token_embeds=x_mtp,
+                embeds_mask=jnp.ones((s,), bool),
+                kv_scale=self.kv_scale,
+                mesh=self.mesh,
+            )
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)
         sampled, logprobs = sample_tokens(
@@ -729,6 +940,13 @@ class ModelRunner:
         sampling = advance_repetition_state(
             state.sampling, sampled, active, track_presence=use_presence
         )
+        new_last_hidden = state.last_hidden
+        if state.last_hidden is not None:
+            new_last_hidden = jnp.where(
+                active[:, None],
+                hidden.astype(state.last_hidden.dtype),
+                state.last_hidden,
+            )
         new_state = RunnerState(
             kv_pages=new_pages,
             device_tokens=jnp.where(active, sampled, state.device_tokens),
@@ -740,6 +958,7 @@ class ModelRunner:
             rope_deltas=state.rope_deltas,
             draft_pages=new_draft_pages,
             ssm_states=new_ssm if new_ssm is not None else state.ssm_states,
+            last_hidden=new_last_hidden,
         )
         return new_state, sampled, logprobs
 

@@ -343,6 +343,24 @@ class BatchedEngine(BaseEngine):
             runner.enable_speculative(
                 dparams, dcfg, self.num_speculative_tokens
             )
+        elif (
+            self._preloaded_params is None
+            and cfg.mamba_cfg is None
+            and os.path.isdir(str(self.model_path))
+        ):
+            # in-checkpoint MTP head (reference patches/qwen3_5_mtp.py):
+            # speculation with no separate draft model
+            try:
+                mtp = loader.load_mtp_params(self.model_path, cfg)
+            except (FileNotFoundError, ValueError) as e:
+                logger.warning("MTP head load skipped: %s", e)
+                mtp = None
+            if mtp is not None:
+                logger.info(
+                    "speculative decoding from in-checkpoint MTP head "
+                    "(k=%d)", self.num_speculative_tokens,
+                )
+                runner.enable_mtp_head(mtp, self.num_speculative_tokens)
         if self.specprefill_model:
             # sparse-prefill draft (reference specprefill.py): scores
             # prompt-token importance; can share a checkpoint with the

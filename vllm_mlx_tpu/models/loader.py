@@ -222,6 +222,78 @@ def load_params(
     return params
 
 
+def load_mtp_params(
+    model_path: str, cfg: ModelConfig, dtype: Optional[str] = None
+) -> Optional[Params]:
+    """Load an in-checkpoint MTP head (qwen3_next-style ``mtp.*``
+    tensors; reference patches/qwen3_5_mtp.py:70-340). Returns None if
+    the checkpoint has no MTP head.
+
+    Expected names (relative): mtp.fc.weight [H, 2H],
+    mtp.pre_fc_norm_embedding.weight, mtp.pre_fc_norm_hidden.weight,
+    mtp.norm.weight, mtp.layers.0.{input_layernorm, self_attn.*,
+    post_attention_layernorm, mlp.*} — embeddings and lm_head are
+    shared with the target model."""
+    jdt = _DTYPES[dtype or cfg.dtype]
+    layer: Params = {}
+    out: Params = {"layer": layer}
+
+    def put(t):
+        return jnp.asarray(np.asarray(t)).astype(jdt)
+
+    import glob as _glob
+
+    from safetensors import safe_open
+
+    found = False
+    mtp_items = []
+    for f in sorted(
+        _glob.glob(os.path.join(model_path, "*.safetensors"))
+    ):
+        with safe_open(f, framework="numpy") as st:
+            for name in st.keys():
+                if _strip(name).startswith("mtp."):
+                    mtp_items.append((_strip(name), st.get_tensor(name)))
+    for n, tensor in mtp_items:
+        found = True
+        rest = n[len("mtp."):]
+        if rest == "fc.weight":
+            out["fc"] = put(tensor)
+        elif rest == "pre_fc_norm_embedding.weight":
+            out["pre_norm_emb"] = put(tensor)
+        elif rest == "pre_fc_norm_hidden.weight":
+            out["pre_norm_hidden"] = put(tensor)
+        elif rest in ("norm.weight", "final_layernorm.weight"):
+            out["norm"] = put(tensor)
+        elif rest.startswith("layers."):
+            sub = rest.split(".", 2)[2]
+            if sub in ("input_layernorm.weight",):
+                layer["input_layernorm"] = put(tensor)
+            elif sub == "post_attention_layernorm.weight":
+                layer["post_attention_layernorm"] = put(tensor)
+            elif sub.startswith("self_attn."):
+                proj, kind = sub[len("self_attn."):].rsplit(".", 1)
+                if proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                    key = proj if kind == "weight" else (
+                        "o_bias" if proj == "o_proj" else proj[0] + "_bias"
+                    )
+                    layer[key] = put(tensor)
+                elif proj in ("q_norm", "k_norm") and kind == "weight":
+                    layer[proj] = put(tensor)
+            elif sub.startswith("mlp."):
+                mp = sub.split(".")[1]
+                if mp in ("gate_proj", "up_proj", "down_proj"):
+                    layer.setdefault("mlp", {})[mp] = put(tensor)
+    if not found:
+        return None
+    required = {"fc", "pre_norm_emb", "pre_norm_hidden", "norm"}
+    if not required.issubset(out) or "input_layernorm" not in layer:
+        raise ValueError(
+            f"incomplete MTP head in {model_path}: have {sorted(out)}"
+        )
+    return out
+
+
 def init_params(cfg: ModelConfig, seed: int = 0, dtype: Optional[str] = None) -> Params:
     """Random-init params with the right shapes (tests / synthetic bench)."""
     jdt = _DTYPES[dtype or cfg.dtype]

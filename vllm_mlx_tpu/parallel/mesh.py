@@ -108,6 +108,7 @@ def state_pspecs(state: Any) -> Any:
     ssm = None
     if state.ssm_states is not None:
         ssm = [(P(), P()) for _ in state.ssm_states]
+    lh = P() if state.last_hidden is not None else None
     return RunnerState(
         kv_pages=[kv_spec for _ in state.kv_pages],
         device_tokens=P(),
@@ -119,6 +120,7 @@ def state_pspecs(state: Any) -> Any:
         rope_deltas=P(),
         draft_pages=draft,
         ssm_states=ssm,
+        last_hidden=lh,
     )
 
 
