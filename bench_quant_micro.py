@@ -46,7 +46,7 @@ def make_weights(kind, rng):
             ws.append(w.astype(jnp.bfloat16))
         elif kind == "int8":
             ws.append(quantize_int8(w))
-        elif kind in ("int4_xla", "int4_w4a8", "int4_pallas"):
+        elif kind.startswith("int4"):
             ws.append(quantize_int4(w, 128))
     return ws
 
@@ -59,7 +59,8 @@ def matmul_variant(kind, x, q):
             x, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16)
-    if kind == "int8" or kind == "int4_xla":
+    if kind in ("int8", "int4"):
+        # int4 routes through the fused pallas kernel on TPU
         return quant_matmul(x, q).astype(jnp.bfloat16)
     if kind == "int4_w4a8":
         # W4A8: activations int8 per row; per-group int32 partial dots
@@ -125,7 +126,7 @@ def bench(kind, t_rows, iters=50):
 
 
 if __name__ == "__main__":
-    kinds = sys.argv[1:] or ["bf16", "int8", "int4_xla", "int4_w4a8"]
+    kinds = sys.argv[1:] or ["bf16", "int8", "int4"]
     for t in (8, 32):
         for kind in kinds:
             try:

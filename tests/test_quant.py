@@ -37,7 +37,8 @@ def test_int4_matmul_matches_dequant(rng):
     w = jnp.asarray(rng.standard_normal((16, 256), dtype=np.float32))
     x = jnp.asarray(rng.standard_normal((3, 256), dtype=np.float32))
     q = quant.quantize_int4(w, group_size=128)
-    assert str(q.w_q.dtype) == "int4"
+    assert str(q.w_q.dtype) == "uint8"  # nibble-packed half-split
+    assert q.w_q.shape == (16, 128) and q.shape == (16, 256)
     y_q = np.asarray(quant.quant_matmul(x, q))
     y_ref = np.asarray(x) @ np.asarray(
         quant.dequantize(q, dtype=jnp.float32)

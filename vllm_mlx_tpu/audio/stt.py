@@ -111,9 +111,36 @@ class STTEngine:
             nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             return nxt, self_kv
 
+        @functools.partial(
+            jax.jit, donate_argnums=(4,), static_argnames=("steps",)
+        )
+        def _multi_step(
+            params, tokens, pos, cross_kv, self_kv, suppress_mask,
+            steps=16,
+        ):
+            # bundled greedy decode: every host round-trip costs ~30 ms
+            # on this platform (NOTES_TPU_ENV.md), so chain ``steps``
+            # decoder steps in ONE program and fetch one token block —
+            # the same trick as the LLM engine's decode_fast_multi
+            def body(carry, _):
+                nxt, pos_, kv = carry
+                logits, kv = wh.decode_step(
+                    params, cfg, nxt[:, None], pos_, kv, cross_kv, pos_
+                )
+                nxt2 = jnp.argmax(
+                    logits[:, -1] + suppress_mask, axis=-1
+                ).astype(jnp.int32)
+                return (nxt2, pos_ + 1, kv), nxt2
+
+            (nxt, pos, self_kv), toks = jax.lax.scan(
+                body, (tokens, pos, self_kv), None, length=steps
+            )
+            return nxt, toks, self_kv  # toks: [steps, B]
+
         self._encode_jit = _encode
         self._prefill_jit = _prefill
         self._step_jit = _step
+        self._multi_step_jit = _multi_step
 
     # ------------------------------------------------------------- prompting
     def _prompt_tokens(self, language: Optional[str]) -> List[int]:
@@ -199,17 +226,20 @@ class STTEngine:
             max_new_tokens, self.cfg.max_target_positions - len(prompt) - 1
         )
         finished = np.asarray(out_tokens[0]) == eos
-        step_handles = []
-        for i in range(max_steps - 1):
-            if finished.all():
-                break
-            nxt, self_kv = self._step_jit(
-                self.params, nxt, jnp.int32(pos), cross_kv, self_kv, suppress
+        bundle = 16
+        done = 1
+        while done < max_steps and not finished.all():
+            steps = min(bundle, max_steps - done)
+            nxt, toks, self_kv = self._multi_step_jit(
+                self.params, nxt, jnp.int32(pos), cross_kv, self_kv,
+                suppress, steps=steps,
             )
-            pos += 1
-            arr = np.asarray(nxt)
-            out_tokens.append(arr)
-            finished |= arr == eos
+            pos += steps
+            done += steps
+            block = np.asarray(toks)  # ONE fetch per bundle
+            for r in range(block.shape[0]):
+                out_tokens.append(block[r])
+                finished |= block[r] == eos
         toks = np.stack(out_tokens, axis=1)  # [B, steps]
         texts = []
         for i in range(n_seg):

@@ -1317,6 +1317,40 @@ class ModelRunner:
                 self.state, slots, idxs, blocks
             )
 
+    # ---------------------------------------------- SSM state snapshot/restore
+    def read_ssm_slot(self, slot: int):
+        """Fetch one slot's hybrid recurrent state to host:
+        [(conv [cd, K], ssm [nh, hd, ds])] per mamba layer (the SSM
+        prefix-cache snapshot unit; syncs on all dispatched steps)."""
+        return [
+            (np.asarray(c[slot]), np.asarray(s[slot]))
+            for c, s in self.state.ssm_states
+        ]
+
+    def restore_ssm_slot(self, slot: int, layers) -> None:
+        """Write cached (conv, ssm) state rows into a slot (prefix-cache
+        hit on a hybrid model)."""
+        if not hasattr(self, "_restore_ssm_jit"):
+
+            def _restore(state, slot_, flat):
+                half = len(flat) // 2
+                new = [
+                    (
+                        c.at[slot_].set(flat[i].astype(c.dtype)),
+                        s.at[slot_].set(flat[half + i].astype(s.dtype)),
+                    )
+                    for i, (c, s) in enumerate(state.ssm_states)
+                ]
+                return replace(state, ssm_states=new)
+
+            self._restore_ssm_jit = jax.jit(_restore, donate_argnums=(0,))
+        flat = [jnp.asarray(c) for c, _ in layers] + [
+            jnp.asarray(s) for _, s in layers
+        ]
+        self.state = self._restore_ssm_jit(
+            self.state, jnp.int32(slot), flat
+        )
+
     # ------------------------------------------------- KV block spill/restore
     def read_block(self, block: int) -> np.ndarray:
         """Fetch one block's KV across all layers to host

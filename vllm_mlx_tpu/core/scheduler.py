@@ -106,6 +106,7 @@ class Scheduler:
         stop_tokens: Optional[set] = None,
         prefix_cache=None,
         pipeline_depth: Optional[int] = None,
+        ssm_cache=None,
     ) -> None:
         self.runner = runner
         self.config = config or runner.sched_cfg
@@ -148,6 +149,11 @@ class Scheduler:
         self._pending_growth: List[Tuple[Request, int, int]] = []
         self.stats = SchedulerStats()
         self._default_stop_tokens = set(stop_tokens or set())
+        # hybrid SSM prefix caching (cache/ssm_cache.py): snapshots
+        # pending capture as (req, epoch, snap_tokens, chain_hash)
+        self.ssm_cache = ssm_cache
+        self._ssm_snap_pending: List[Tuple[Request, int, int, str]] = []
+        self._ssm_restores: List[Tuple[int, list]] = []
 
     # ------------------------------------------------------------------ admin
     def add_request(self, request: Request) -> None:
@@ -190,7 +196,13 @@ class Scheduler:
         self.stats.num_steps += 1
         outputs: List[RequestOutput] = []
         outputs.extend(self._process_aborts())
+        if self.ssm_cache is not None:
+            # capture pending hybrid state snapshots before anything
+            # else can advance those slots
+            self._drain_ssm_snapshots()
         self._schedule_waiting()
+        if self.ssm_cache is not None:
+            self._flush_ssm_restores()
         if self.config.max_kv_size:
             self._retire_window_blocks()
         if self._immediate_outputs:
@@ -340,6 +352,17 @@ class Scheduler:
                     self.block_mgr, tokens, media_spans=req.media_spans
                 )
                 req.cache_hit_type = hit
+                if self.ssm_cache is not None and getattr(
+                    self.runner, "has_ssm", False
+                ):
+                    # hybrid: a KV chain is only usable where the mamba
+                    # recurrent state can be restored too — resume at
+                    # the longest snapshot <= the matched chain
+                    cached_blocks, cached_tokens = self._ssm_resume_point(
+                        req, tokens, cached_blocks
+                    )
+                    if not cached_tokens:
+                        req.cache_hit_type = None
                 self.stats.prefix_cache_queries += 1
                 if cached_tokens:
                     self.stats.prefix_cache_hits += 1
@@ -410,6 +433,79 @@ class Scheduler:
             )
             if self.detok is not None and req.detok_state is None:
                 req.detok_state = self.detok.new_state(tokens[-6:])
+            if self.ssm_cache is not None and getattr(
+                self.runner, "has_ssm", False
+            ):
+                if getattr(req, "_ssm_restore", None) is not None:
+                    self._ssm_restores.append((slot, req._ssm_restore))
+                    req._ssm_restore = None
+                self._plan_ssm_snapshot(req, tokens, cached_tokens)
+
+    def _ssm_chain_hashes(self, req: Request, tokens) -> List[str]:
+        return self.prefix_cache.block_hashes(
+            tokens, media_spans=req.media_spans
+        )
+
+    def _ssm_resume_point(self, req, tokens, cached_blocks):
+        """Longest snapshot boundary covered by the matched chain; frees
+        unusable tail blocks back to the cache."""
+        ps = self.page_size
+        self.ssm_cache.queries += 1
+        hashes = self._ssm_chain_hashes(req, tokens)
+        max_j = min(len(cached_blocks), (len(tokens) - 1) // ps)
+        for j in range(max_j, 0, -1):
+            entry = self.ssm_cache.get(hashes[j - 1])
+            if entry is not None:
+                self.ssm_cache.hits += 1
+                self.block_mgr.free(cached_blocks[j:], cache=True)
+                req._ssm_restore = entry[1]
+                return cached_blocks[:j], j * ps
+        self.block_mgr.free(cached_blocks, cache=True)
+        return [], 0
+
+    def _plan_ssm_snapshot(self, req, tokens, cached_tokens) -> None:
+        """Arrange for ONE state snapshot at the prompt's last full
+        block boundary (a prefill chunk will be clamped to end there)."""
+        ps = self.page_size
+        p_snap = ((len(tokens) - 1) // ps) * ps
+        if self.prefix_cache is None or p_snap <= cached_tokens or p_snap <= 0:
+            req._ssm_snap_at = None
+            return
+        h = self._ssm_chain_hashes(req, tokens)[p_snap // ps - 1]
+        if self.ssm_cache.contains(h):
+            req._ssm_snap_at = None
+            return
+        req._ssm_snap_at = p_snap
+        req._ssm_snap_hash = h
+
+    def _drain_ssm_snapshots(self) -> None:
+        """Capture pending snapshots BEFORE dispatching new steps: the
+        slot's state rows reflect exactly the clamped chunk (one
+        prefill per step for hybrids, and the request is not yet
+        decode-ready). The read syncs on dispatched steps — once per
+        hybrid prompt."""
+        if not self._ssm_snap_pending:
+            return
+        pending = self._ssm_snap_pending
+        self._ssm_snap_pending = []
+        for req, epoch, snap, h in pending:
+            if (
+                req.status != RequestStatus.RUNNING
+                or self._epoch.get(req.request_id) != epoch
+                or req.slot is None
+                or req.num_computed_tokens != snap
+            ):
+                continue
+            layers = self.runner.read_ssm_slot(req.slot)
+            self.ssm_cache.put(h, snap, layers)
+
+    def _flush_ssm_restores(self) -> None:
+        if not self._ssm_restores:
+            return
+        restores = self._ssm_restores
+        self._ssm_restores = []
+        for slot, layers in restores:
+            self.runner.restore_ssm_slot(slot, layers)
 
     # --------------------------------------------------------------- dispatch
     def _decode_ready(self, req: Request) -> bool:
@@ -681,6 +777,12 @@ class Scheduler:
             if len(prefill) >= max_prefills:
                 break
             chunk = pending[: min(budget, max_t - t_used)]
+            snap = getattr(req, "_ssm_snap_at", None)
+            if snap is not None:
+                c0 = req.num_computed_tokens
+                if c0 < snap < c0 + len(chunk):
+                    # clamp so the chunk ENDS at the snapshot boundary
+                    chunk = chunk[: snap - c0]
             is_final = len(chunk) == len(pending)
             prefill.append((req, chunk, is_final))
             t_used += len(chunk)
@@ -825,6 +927,12 @@ class Scheduler:
                 self._pending_prompt[rid] = self._pending_prompt[rid][n:]
             req.num_computed_tokens += n
             self.stats.num_prompt_tokens += n
+            snap = getattr(req, "_ssm_snap_at", None)
+            if snap is not None and req.num_computed_tokens == snap:
+                self._ssm_snap_pending.append(
+                    (req, self._epoch[rid], snap, req._ssm_snap_hash)
+                )
+                req._ssm_snap_at = None
             t += n
             i += 1
         cu_q_lens[i + 1 :] = cu_q_lens[i]

@@ -372,13 +372,16 @@ class BatchedEngine(BaseEngine):
             spparams = loader.load_params(self.specprefill_model, spcfg)
             logger.info("specprefill draft: %s", self.specprefill_model)
             self._specprefill = SpecPrefillScorer(spparams, spcfg)
+        ssm_cache = None
         if cfg.mamba_cfg is not None and self.enable_prefix_cache:
-            # hybrid SSM: KV blocks cover only attention layers; a
-            # prefix hit could not restore the mamba recurrent state,
-            # so prefix caching is disabled (state snapshots are a
-            # future extension, reference utils/mamba_cache.py)
-            logger.info("hybrid SSM model: prefix cache disabled")
-            self.enable_prefix_cache = False
+            # hybrid SSM: KV blocks alone can't restore the mamba
+            # recurrent state, so prefix hits are gated on per-request
+            # state snapshots at block boundaries (cache/ssm_cache.py;
+            # reference utils/mamba_cache.py:99-201 gates the same way)
+            from ..cache.ssm_cache import SsmStateCache
+
+            ssm_cache = SsmStateCache()
+            logger.info("hybrid SSM model: snapshot-gated prefix cache")
         if self.enable_prefix_cache:
             host_tier = None
             if self.cache_config.host_cache_bytes > 0:
@@ -408,7 +411,9 @@ class BatchedEngine(BaseEngine):
             self._tokenizer,
             stop_tokens=eos,
             prefix_cache=self.prefix_cache,
+            ssm_cache=ssm_cache,
         )
+        self.ssm_cache = ssm_cache
 
     async def stop(self) -> None:
         if self.core is not None:

@@ -47,6 +47,9 @@ class QuantizedTensor:
 
     @property
     def shape(self):
+        if self.bits == 4:
+            # int4 is stored nibble-packed [O, K/2]; report logical K
+            return (*self.w_q.shape[:-1], self.w_q.shape[-1] * 2)
         return self.w_q.shape
 
     @property
@@ -70,21 +73,39 @@ def quantize_int8(w: jax.Array) -> QuantizedTensor:
 def quantize_int4(
     w: jax.Array, group_size: int = DEFAULT_GROUP
 ) -> QuantizedTensor:
-    """Symmetric grouped int4 over the last axis (stored as jnp.int4)."""
+    """Symmetric grouped int4 over the last axis, stored NIBBLE-PACKED
+    as uint8 [O, K/2] in the half-split layout the fused Pallas kernel
+    consumes without lane shuffles: byte [o, j] = w[o, j] (low nibble) |
+    w[o, j + K/2] << 4. (jnp.int4 arrays trip XLA transfer paths on
+    this platform and double HBM traffic anyway.)"""
     *lead, k = w.shape
     g = group_size
-    if k % g:
+    if k % g or (k // 2) % g or k % 2:
         return quantize_int8(w)  # fallback for odd shapes
     wf = w.astype(jnp.float32).reshape(*lead, k // g, g)
     amax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    w_q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+    codes = (
+        jnp.clip(jnp.round(wf / scale), -7, 7)
+        .astype(jnp.int32)
+        .reshape(*lead, k)
+    )
+    lo = codes[..., : k // 2] & 0xF
+    hi = (codes[..., k // 2 :] & 0xF) << 4
     return QuantizedTensor(
-        w_q=w_q.reshape(*lead, k),
+        w_q=(lo | hi).astype(jnp.uint8),
         scale=scale.squeeze(-1).astype(jnp.bfloat16),  # [*lead, k//g]
         bits=4,
         group_size=g,
     )
+
+
+def unpack_int4(q: QuantizedTensor) -> jax.Array:
+    """Packed uint8 [O, K/2] -> sign-extended int8 codes [O, K]."""
+    b = q.w_q.astype(jnp.int32)
+    lo = (b << 28) >> 28
+    hi = (b << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 def dequantize(q: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
@@ -93,8 +114,9 @@ def dequantize(q: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
             q.w_q.astype(jnp.float32) * q.scale.astype(jnp.float32)
         ).astype(dtype)
     g = q.group_size
-    *lead, k = q.w_q.shape
-    wf = q.w_q.astype(jnp.float32).reshape(*lead, k // g, g)
+    codes = unpack_int4(q)
+    *lead, k = codes.shape
+    wf = codes.astype(jnp.float32).reshape(*lead, k // g, g)
     wf = wf * q.scale.astype(jnp.float32)[..., None]
     return wf.reshape(*lead, k).astype(dtype)
 
@@ -120,18 +142,17 @@ def quant_matmul(x: jax.Array, q: QuantizedTensor) -> jax.Array:
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         return y * x_scale * q.scale.astype(jnp.float32)[:, 0]
-    # int4 grouped: dequantize per group inside the contraction by
-    # splitting K into groups (XLA fuses the convert+scale into the
-    # matmul feeds).
-    g = q.group_size
-    o, k = q.w_q.shape
-    wg = q.w_q.reshape(o, k // g, g).astype(x.dtype)
-    wg = wg * q.scale.astype(x.dtype)[..., None]
-    xg = x.reshape(*x.shape[:-1], k // g, g)
+    # int4: the fused Pallas dequant-matmul on TPU (0.5 B/weight HBM
+    # reads end to end); portable dequantize-then-dot elsewhere (tests)
+    if jax.default_backend() == "tpu":
+        from .quant_pallas import int4_matmul
+
+        return int4_matmul(x, q)
+    w = dequantize(q, jnp.float32)
     return jax.lax.dot_general(
-        xg,
-        wg,
-        (((x.ndim - 1, x.ndim), (1, 2)), ((), ())),
+        x.astype(jnp.float32),
+        w,
+        (((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 

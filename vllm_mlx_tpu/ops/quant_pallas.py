@@ -123,19 +123,16 @@ def int4_matmul_packed(
 
 
 def int4_matmul(x: jax.Array, q) -> jax.Array:
-    """Adapter for ops.quant.QuantizedTensor (bits=4): packs lazily and
-    caches the packed form on the tensor object."""
-    packed = getattr(q, "_packed", None)
-    if packed is None:
-        packed = pack_int4(q.w_q)
-        object.__setattr__(q, "_packed", packed)
+    """Adapter for ops.quant.QuantizedTensor (bits=4, already stored in
+    the packed half-split layout)."""
+    packed = q.w_q
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     t = x2.shape[0]
     pad = (-t) % 8
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    o = q.w_q.shape[0]
+    o = q.shape[0]
     bo = 512
     while o % bo and bo > 8:
         bo //= 2
