@@ -848,6 +848,25 @@ class BatchedEngine(BaseEngine):
         tools: Optional[List[Dict[str, Any]]] = None,
         chat_template_kwargs: Optional[Dict[str, Any]] = None,
     ) -> str:
+        from ..api.prompt_canonicalize import canonicalize_messages
+
+        messages = canonicalize_messages(messages)
+        if (
+            self._model_config is not None
+            and self._model_config.model_type == "gpt_oss"
+        ):
+            # canonical Harmony rendering: byte-stable prompts (pinned
+            # date, sorted tool schemas) for the prefix cache + correct
+            # channel framing for the harmony parsers (reference
+            # utils/harmony_render.py:217)
+            from ..utils.harmony_render import render_harmony_prompt
+
+            kw = chat_template_kwargs or {}
+            return render_harmony_prompt(
+                messages,
+                tools,
+                reasoning_effort=kw.get("reasoning_effort", "medium"),
+            )
         return apply_chat_template(
             self._tokenizer,
             messages,
