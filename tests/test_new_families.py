@@ -338,3 +338,84 @@ class TestDeepseekV2:
             params,
             {"a": rng.integers(2, 250, size=13).tolist()},
         )
+
+
+class TestGlm4:
+    def _model(self):
+        from transformers import Glm4Config, Glm4ForCausalLM
+
+        torch.manual_seed(15)
+        cfg = Glm4Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            partial_rotary_factor=0.5,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        return Glm4ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # pair-interleaved partial rotary + GLM sandwich norms + fused
+        # gate_up MLP
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.rope_glm and cfg.sandwich_norms
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=18).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )
+
+
+class TestPhi3:
+    def _model(self):
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        torch.manual_seed(16)
+        cfg = Phi3Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        return Phi3ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # fused qkv + fused gate_up split at load
+        _assert_parity(self._model(), tmp_path, token_ids)
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {"a": rng.integers(2, 250, size=15).tolist()},
+        )

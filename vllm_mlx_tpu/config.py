@@ -98,6 +98,10 @@ class ModelConfig:
     # Partial rotary (Bamba/Nemotron style): rope applies to the first
     # head_dim * factor channels only
     partial_rotary_factor: float = 1.0
+    # GLM-4 rotary: adjacent channel PAIRS share an angle (HF glm4
+    # repeat_interleaves the half-table) and rotate_half spans the
+    # rotary dim — a distinct linear map from standard rope
+    rope_glm: bool = False
     # Hybrid SSM (Mamba2/Bamba): layer_types entries "mamba" use the
     # SSD mixer instead of attention; mamba_cfg holds its geometry.
     # block_has_mlp=False for pure Mamba2 (block = norm -> mixer only).
@@ -262,6 +266,32 @@ class ModelConfig:
             if model_type == "gemma3_text":
                 kw["use_qk_norm"] = True
                 kw["attn_softcap"] = None
+        if model_type == "glm4":
+            # GLM-4 (HF Glm4ForCausalLM): qkv bias, partial rotary with
+            # pair-interleaved angles, gemma-style sandwich norms under
+            # GLM names (loader remaps), fused gate_up MLP (loader
+            # splits)
+            kw.update(
+                attention_bias=cfg.get("attention_bias", True),
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+                rope_glm=True,
+                sandwich_norms=True,
+            )
+        if model_type == "phi3":
+            # Phi-3 (HF Phi3ForCausalLM): llama-shaped with fused
+            # qkv/gate_up projections (loader splits); longrope scaling
+            # is not implemented (serve the 4k-context variants)
+            rs_p = cfg.get("rope_scaling") or {}
+            if rs_p.get("rope_type", rs_p.get("type")) == "longrope":
+                import logging as _logging
+
+                _logging.getLogger(__name__).warning(
+                    "phi3 longrope scaling not implemented; positions "
+                    "beyond original_max_position_embeddings will be "
+                    "wrong"
+                )
         if model_type == "qwen2":
             # Qwen2 has bias on qkv only; handled by loader (missing biases -> zeros)
             kw["attention_bias"] = True

@@ -111,6 +111,24 @@ def _mla_qkv(
     return q, k, v
 
 
+def _apply_rope_glm(
+    x: jax.Array, cos: jax.Array, sin: jax.Array
+) -> jax.Array:
+    """GLM-4 rotary: complex rotation of ADJACENT channel pairs —
+    out[2i]   = x[2i] cos(t_i) - x[2i+1] sin(t_i)
+    out[2i+1] = x[2i+1] cos(t_i) + x[2i] sin(t_i)
+    (HF modeling_glm4.py rotate_half interleaves -odd/even and the
+    cos/sin half-table is repeat_interleaved per pair)."""
+    dtype = x.dtype
+    c = jnp.repeat(cos, 2, axis=-1)[:, None, :].astype(jnp.float32)
+    s = jnp.repeat(sin, 2, axis=-1)[:, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    even = xf[..., 0::2]
+    odd = xf[..., 1::2]
+    rh = jnp.stack([-odd, even], axis=-1).reshape(xf.shape)
+    return (xf * c + rh * s).astype(dtype)
+
+
 def _qkv(
     cfg: ModelConfig, p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -124,7 +142,19 @@ def _qkv(
     if cfg.use_qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
-    if cfg.partial_rotary_factor < 1.0:
+    if cfg.rope_glm:
+        # GLM-4: rotary over the leading rd channels with PAIR-shared
+        # angles and a full-width rotate_half (HF modeling_glm4.py
+        # apply_rotary_pos_emb) — a different linear map from standard
+        # partial rope
+        rd = int(hd * cfg.partial_rotary_factor)
+        q = jnp.concatenate(
+            [_apply_rope_glm(q[..., :rd], cos, sin), q[..., rd:]], axis=-1
+        )
+        k = jnp.concatenate(
+            [_apply_rope_glm(k[..., :rd], cos, sin), k[..., rd:]], axis=-1
+        )
+    elif cfg.partial_rotary_factor < 1.0:
         # Bamba/Nemotron-style partial rope: rotate the leading channels
         rd = int(hd * cfg.partial_rotary_factor)
         q = jnp.concatenate(

@@ -85,6 +85,24 @@ def load_params(
             if rest in ("input_layernorm.weight", "norm.weight"):
                 # "norm.weight" = pure-Mamba2 block norm
                 ld["input_layernorm"] = put(tensor)
+            elif cfg.model_type == "glm4" and rest in (
+                # GLM-4 sandwich norms map onto the gemma-style slots:
+                # post_self_attn -> post_attention (scales attn out),
+                # post_attention -> pre_feedforward (pre-MLP norm),
+                # post_mlp -> post_feedforward (scales MLP out)
+                "post_self_attn_layernorm.weight",
+                "post_attention_layernorm.weight",
+                "post_mlp_layernorm.weight",
+            ):
+                key = {
+                    "post_self_attn_layernorm.weight":
+                        "post_attention_layernorm",
+                    "post_attention_layernorm.weight":
+                        "pre_feedforward_layernorm",
+                    "post_mlp_layernorm.weight":
+                        "post_feedforward_layernorm",
+                }[rest]
+                ld[key] = put(tensor)
             elif rest in (
                 "post_attention_layernorm.weight",
                 "pre_ff_layernorm.weight",  # Bamba
@@ -123,6 +141,32 @@ def load_params(
                 # GPT-OSS learned per-head attention sink logits (f32:
                 # they enter the softmax max/denominator directly)
                 ld["sinks"] = jnp.asarray(tensor).astype(jnp.float32)
+            elif rest.startswith("self_attn.qkv_proj."):
+                # Phi-3 fused qkv: split rows [q; k; v]
+                t = np.asarray(tensor)
+                nh = cfg.num_attention_heads * cfg.head_dim
+                nkv = cfg.num_key_value_heads * cfg.head_dim
+                kind = rest.rsplit(".", 1)[1]
+                names = (
+                    ("q_proj", "k_proj", "v_proj")
+                    if kind == "weight"
+                    else ("q_bias", "k_bias", "v_bias")
+                )
+                ld[names[0]] = put(t[:nh])
+                ld[names[1]] = put(t[nh : nh + nkv])
+                ld[names[2]] = put(t[nh + nkv :])
+            elif rest.startswith("mlp.gate_up_proj."):
+                # GLM-4 / Phi-3 fused gate_up: gate rows first
+                t = np.asarray(tensor)
+                inter = cfg.intermediate_size
+                kind = rest.rsplit(".", 1)[1]
+                names = (
+                    ("gate_proj", "up_proj")
+                    if kind == "weight"
+                    else ("gate_bias", "up_bias")
+                )
+                ld.setdefault("mlp", {})[names[0]] = put(t[:inter])
+                ld.setdefault("mlp", {})[names[1]] = put(t[inter:])
             elif rest.startswith("self_attn."):
                 sub = rest[len("self_attn."):]
                 proj, kind = sub.rsplit(".", 1)
