@@ -59,11 +59,14 @@ def build():
     params = loader.init_params(cfg, seed=0, dtype="bfloat16")
     log(f"params init: {time.time()-t0:.1f}s ({loader.param_count(params)/1e6:.0f}M)")
     # The reference's headline model is 8-bit (mlx-community Qwen3-0.6B-8bit);
-    # match it: int8 weights incl. the tied embedding/lm_head.
+    # match it: int8 weights incl. the tied embedding/lm_head. Pass
+    # "int4" on the command line for the fused-dequant int4 path
+    # (reference also publishes 4-bit configs; PLAN_R3 perf #1).
     from vllm_mlx_tpu.ops.quant import quantize_params
 
-    params = quantize_params(params, bits=8, quantize_embedding=True)
-    log("weights quantized to int8")
+    bits = 4 if "int4" in sys.argv[1:] else 8
+    params = quantize_params(params, bits=bits, quantize_embedding=True)
+    log(f"weights quantized to int{bits}")
     cache_cfg = CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16")
     sched_cfg = SchedulerConfig(
         max_num_seqs=32,

@@ -58,7 +58,7 @@ _MLLM_ARCH_MARKERS = (
 _MLLM_MODEL_TYPES = {
     "qwen2_vl", "qwen2_5_vl", "qwen3_vl", "qwen3_vl_moe", "llava",
     "llava_next", "idefics", "gemma3", "paligemma", "internvl",
-    "pixtral", "mllama",
+    "pixtral", "mllama", "qwen2_audio",
 }
 
 

@@ -233,6 +233,16 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = QwenVLImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") == "qwen2_audio":
+                # native sound-encoder model: audio placeholder tokens
+                # expand to encoder features (reference
+                # models/mllm.py:760-838 audio-capable path)
+                from ..models.qwen2_audio import Qwen2AudioModel
+
+                logger.info("loading multimodal checkpoint (Qwen2-Audio)")
+                self.vlm = Qwen2AudioModel(self.model_path).load()
+                self.vlm_kind = "qwen2_audio"
+                self.image_processor = None
             else:
                 from ..models.mllm import MultimodalLM
                 from ..multimodal_processor import ImageProcessor
@@ -612,11 +622,14 @@ class BatchedEngine(BaseEngine):
             from ..multimodal_processor import extract_media_from_messages
 
             messages, media = extract_media_from_messages(messages)
-        if any(m.get("kind") == "audio" for m in media):
-            # audio-in-chat: transcribe with the attached STT engine and
-            # inject the transcript where the audio part sat (reference
-            # audio-in-chat path for models without sound encoders,
-            # models/mllm.py:877 process_audio_input)
+        if any(m.get("kind") == "audio" for m in media) and not getattr(
+            self.vlm, "supports_audio", False
+        ):
+            # audio-in-chat FALLBACK for models without sound encoders:
+            # transcribe with the attached STT engine and inject the
+            # transcript where the audio part sat (reference
+            # models/mllm.py:877 process_audio_input); sound-encoder
+            # models (Qwen2-Audio) take the native path below
             loop = asyncio.get_running_loop()
             messages = await loop.run_in_executor(
                 None,
@@ -721,6 +734,10 @@ class BatchedEngine(BaseEngine):
             return self._make_qwen_vl_request(
                 token_ids, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "qwen2_audio":
+            return self._make_qwen2_audio_request(
+                token_ids, media, request_id, **kwargs
+            )
         from ..media_fetch import resolve_media_source
 
         images = [
@@ -748,6 +765,58 @@ class BatchedEngine(BaseEngine):
             for j, (idx, _) in enumerate(to_encode):
                 features[idx] = encoded[j]
                 self.vision_cache.put(keys[idx], encoded[j])
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(
+            token_ids, features
+        )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_qwen2_audio_request(
+        self,
+        token_ids: List[int],
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Native audio-in-chat: waveforms -> encoder features (through
+        the media-hash cache) -> expanded <|AUDIO|> rows."""
+        import base64
+        import tempfile
+
+        from ..audio.mel import load_wav
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+
+        features: List[Any] = []
+        keys: List[str] = []
+        for m in media:
+            if m.get("kind") != "audio":
+                raise ValueError(
+                    "this model accepts audio (not image/video) input"
+                )
+            src = resolve_media_source(m.get("src"), self.media_policy)
+            if isinstance(src, str):
+                src = base64.b64decode(src)
+            key = image_hash(b"audio:" + src)
+            keys.append(key)
+            cached = self.vision_cache.get(key) if self.vision_cache else None
+            if cached is None:
+                with tempfile.NamedTemporaryFile(
+                    suffix=f".{m.get('format', 'wav')}"
+                ) as f:
+                    f.write(src)
+                    f.flush()
+                    audio = load_wav(f.name)
+                cached = self.vlm.encode_audio(audio)
+                if self.vision_cache is not None:
+                    self.vision_cache.put(key, cached)
+            features.append(cached)
         ids, embeds, mask = self.vlm.build_multimodal_prompt(
             token_ids, features
         )
