@@ -310,3 +310,81 @@ class TestSSEDeltasOverHttp:
         assert calls[0]["name"] == "get_weather"
         assert json.loads(calls[0]["arguments"]) == ARG_OBJ
         assert finish == "tool_calls"
+
+
+class TestAnthropicToolUseStreaming:
+    """Anthropic /v1/messages streams tool_use blocks with incremental
+    input_json_delta events (Anthropic event protocol)."""
+
+    def test_input_json_delta_events(self):
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from vllm_mlx_tpu.api.server import build_app
+
+        body = (
+            "Sure. <tool_call>"
+            + json.dumps({"name": "get_weather", "arguments": ARG_OBJ})
+            + "</tool_call>"
+        )
+        chunks = [body[i : i + 6] for i in range(0, len(body), 6)]
+        sc = TestSSEDeltasOverHttp()
+        eng = sc._scripted_engine(chunks)
+        app = build_app(
+            eng,
+            served_models=["scripted"],
+            default_max_tokens=64,
+            tool_parser_name="hermes",
+        )
+
+        async def go():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            resp = await client.post(
+                "/v1/messages",
+                json={
+                    "model": "scripted",
+                    "max_tokens": 64,
+                    "messages": [{"role": "user", "content": "hi"}],
+                    "stream": True,
+                    "tools": [
+                        {
+                            "name": "get_weather",
+                            "input_schema": {"type": "object"},
+                        }
+                    ],
+                },
+            )
+            raw = await resp.text()
+            await client.close()
+            return raw
+
+        raw = asyncio.new_event_loop().run_until_complete(go())
+        events = []
+        for line in raw.splitlines():
+            if line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+        starts = [
+            e
+            for e in events
+            if e["type"] == "content_block_start"
+            and e["content_block"]["type"] == "tool_use"
+        ]
+        assert len(starts) == 1
+        assert starts[0]["content_block"]["name"] == "get_weather"
+        jdeltas = [
+            e["delta"]["partial_json"]
+            for e in events
+            if e["type"] == "content_block_delta"
+            and e["delta"]["type"] == "input_json_delta"
+        ]
+        assert len(jdeltas) > 2  # incremental fragments
+        assert json.loads("".join(jdeltas)) == ARG_OBJ
+        stop = next(e for e in events if e["type"] == "message_delta")
+        assert stop["delta"]["stop_reason"] == "tool_use"
+        text = "".join(
+            e["delta"]["text"]
+            for e in events
+            if e["type"] == "content_block_delta"
+            and e["delta"]["type"] == "text_delta"
+        )
+        assert text.strip() == "Sure."

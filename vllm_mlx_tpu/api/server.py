@@ -1474,6 +1474,56 @@ async def handle_anthropic_messages(request: web.Request) -> web.Response:
     )
     await _send_sse(resp, data, event=name)
     final = None
+    # tool_use blocks stream incrementally as input_json_delta events
+    # (Anthropic protocol; powered by the incremental tool streamer)
+    stream_tools = tool_parser.make_stream_state() if tool_parser else None
+    tool_blocks: Dict[int, Dict[str, Any]] = {}
+    next_block = 1
+    sent_tool_use = False
+
+    async def emit_anthropic_tool_deltas(deltas):
+        nonlocal next_block, sent_tool_use
+        for d in deltas:
+            for tc in d.get("tool_calls", []):
+                idx = tc.get("index", 0)
+                fn = tc.get("function", {})
+                if idx not in tool_blocks and fn.get("name"):
+                    info = {
+                        "block": next_block,
+                        "id": tc.get("id")
+                        or f"toolu_{uuid.uuid4().hex[:24]}",
+                    }
+                    next_block += 1
+                    tool_blocks[idx] = info
+                    sent_tool_use = True
+                    n_, d_ = ev(
+                        "content_block_start",
+                        {
+                            "index": info["block"],
+                            "content_block": {
+                                "type": "tool_use",
+                                "id": info["id"],
+                                "name": fn["name"],
+                                "input": {},
+                            },
+                        },
+                    )
+                    await _send_sse(resp, d_, event=n_)
+                info = tool_blocks.get(idx)
+                frag = fn.get("arguments", "")
+                if info is not None and frag:
+                    n_, d_ = ev(
+                        "content_block_delta",
+                        {
+                            "index": info["block"],
+                            "delta": {
+                                "type": "input_json_delta",
+                                "partial_json": frag,
+                            },
+                        },
+                    )
+                    await _send_sse(resp, d_, event=n_)
+
     try:
         async for chunk in engine.stream_chat(
             oai["messages"],
@@ -1482,23 +1532,37 @@ async def handle_anthropic_messages(request: web.Request) -> web.Response:
             **kwargs,
         ):
             final = chunk
-            if chunk.text:
+            text_delta = chunk.text
+            if stream_tools is not None and text_delta:
+                deltas = stream_tools.feed(text_delta)
+                await emit_anthropic_tool_deltas(deltas)
+                text_delta = "".join(
+                    d.get("content", "") for d in deltas
+                )
+            if text_delta:
                 name, data = ev(
                     "content_block_delta",
                     {
                         "index": 0,
-                        "delta": {"type": "text_delta", "text": chunk.text},
+                        "delta": {"type": "text_delta", "text": text_delta},
                     },
                 )
                 await _send_sse(resp, data, event=name)
     except ConnectionResetError:
         engine.abort_request(request_id)
         return resp
+    if stream_tools is not None:
+        await emit_anthropic_tool_deltas(stream_tools.flush())
     name, data = ev("content_block_stop", {"index": 0})
     await _send_sse(resp, data, event=name)
+    for info in tool_blocks.values():
+        name, data = ev("content_block_stop", {"index": info["block"]})
+        await _send_sse(resp, data, event=name)
     stop_reason = convert_stop_reason(
         final.finish_reason if final else "stop"
     )
+    if sent_tool_use:
+        stop_reason = "tool_use"
     name, data = ev(
         "message_delta",
         {
