@@ -78,8 +78,19 @@ def main():
         enable_persistent_compilation_cache,
     )
     from vllm_mlx_tpu.core.scheduler import Scheduler
+    from vllm_mlx_tpu.ops.ragged_attention import (
+        set_attention_block_config,
+    )
 
     enable_persistent_compilation_cache()
+    # attention-kernel tuning sweep: bench_8b.py [kv_pages] [q_block]
+    # [kv_dtype]  (VERDICT r2 weak #1 — defaults 4/32/bfloat16)
+    argv = sys.argv[1:]
+    if len(argv) >= 2:
+        set_attention_block_config(int(argv[0]), int(argv[1]))
+        log(f"attention blocks: kv_pages={argv[0]} q_block={argv[1]}")
+    kv_dtype = argv[2] if len(argv) >= 3 else "bfloat16"
+    log(f"kv dtype: {kv_dtype}")
     # Qwen3-8B geometry (Qwen/Qwen3-8B config.json)
     cfg = ModelConfig(
         model_type="qwen3",
@@ -102,7 +113,7 @@ def main():
         ModelRunner(
             cfg,
             params,
-            CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16"),
+            CacheConfig(block_size=32, num_blocks=1024, kv_dtype=kv_dtype),
             SchedulerConfig(
                 max_num_seqs=32,
                 max_prefill_tokens=2048,

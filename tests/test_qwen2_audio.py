@@ -155,3 +155,134 @@ class TestGenerate:
             steps += 1
             assert steps < 300
         assert outs["a"].output_token_ids == ref
+
+
+class TestEngine:
+    def test_audio_chat_through_engine(self, tiny_qwen2_audio, audio):
+        """WAV bytes through BatchedEngine.stream_chat: native audio
+        routing (no STT transcribe), placeholder expansion, and
+        token-identity to HF generate."""
+        import asyncio
+        import base64
+        import io
+
+        from scipy.io import wavfile
+        from tokenizers import Tokenizer
+        from tokenizers import models as tok_models
+        from tokenizers import pre_tokenizers
+        from transformers import PreTrainedTokenizerFast
+
+        from vllm_mlx_tpu.config import (
+            CacheConfig,
+            ModelConfig,
+            SchedulerConfig,
+        )
+        from vllm_mlx_tpu.engine.batched import BatchedEngine
+        from vllm_mlx_tpu.models.qwen2_audio import Qwen2AudioModel
+
+        hf_model, model_dir = tiny_qwen2_audio
+        vocab = {"hello": 5, "there": 7, "<unk>": 0}
+        tok = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+        tok.pre_tokenizer = pre_tokenizers.Whitespace()
+        fast = PreTrainedTokenizerFast(tokenizer_object=tok)
+        fast.add_special_tokens(
+            {"additional_special_tokens": ["<|AUDIO|>"], "eos_token": "<unk>"}
+        )
+        aud_id = fast.convert_tokens_to_ids("<|AUDIO|>")
+        fast.chat_template = (
+            "{% for m in messages %}{% for c in m.content %}"
+            "{% if c.type == 'audio' %}<|AUDIO|>"
+            "{% else %}{{ c.text }} {% endif %}"
+            "{% endfor %}{% endfor %}"
+        )
+        fast.save_pretrained(model_dir)
+        # point the checkpoint's audio token at the tokenizer's id
+        import json as _json
+
+        cfg_path = f"{model_dir}/config.json"
+        raw = _json.load(open(cfg_path))
+        raw["audio_token_index"] = aud_id
+        _json.dump(raw, open(cfg_path, "w"))
+
+        buf = io.BytesIO()
+        wavfile.write(buf, 16000, (audio * 32767).astype(np.int16))
+        b64 = base64.b64encode(buf.getvalue()).decode()
+
+        async def go():
+            eng = BatchedEngine(
+                model_dir,
+                cache_config=CacheConfig(
+                    block_size=8, num_blocks=64, kv_dtype="float32"
+                ),
+                scheduler_config=SchedulerConfig(
+                    max_num_seqs=2,
+                    max_prefill_tokens=32,
+                    prefill_chunk_sizes=[16, 64],
+                    max_model_len=256,
+                ),
+            )
+            mc = ModelConfig.from_hf_config(raw["text_config"])
+            mc.dtype = "float32"
+            eng._model_config = None  # force the VLM branch
+            await eng.start()
+            try:
+                assert eng.vlm_kind == "qwen2_audio"
+                eng.scheduler.runner.cfg.dtype = "float32"
+                toks = []
+                async for chunk in eng.stream_chat(
+                    [
+                        {
+                            "role": "user",
+                            "content": [
+                                {"type": "text", "text": "hello"},
+                                {
+                                    "type": "input_audio",
+                                    "input_audio": {
+                                        "data": b64,
+                                        "format": "wav",
+                                    },
+                                },
+                            ],
+                        }
+                    ],
+                    temperature=0.0,
+                    max_tokens=6,
+                ):
+                    toks.extend(chunk.token_ids)
+                return toks
+            finally:
+                await eng.stop()
+
+        got = asyncio.run(go())
+
+        # HF reference over the same expanded ids + SAME decoded wav
+        # (16-bit quantization changes the waveform slightly)
+        m = Qwen2AudioModel(model_dir, dtype="float32").load()
+        from vllm_mlx_tpu.audio.mel import load_wav
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(buf.getvalue())
+            f.flush()
+            wav_decoded = load_wav(f.name)
+        n_rows = m.encode_audio(wav_decoded).shape[0]
+        prompt = [5] + [aud_id] * n_rows
+        mel_t = _hf_mel(wav_decoded, 32)
+        fam = torch.zeros(1, mel_t.shape[-1], dtype=torch.long)
+        fam[0, : -(-len(wav_decoded) // 160)] = 1
+        old_tok = hf_model.config.audio_token_index
+        try:
+            # the engine re-pointed the checkpoint's audio token at the
+            # tokenizer's id; mirror it on the in-memory HF model
+            hf_model.config.audio_token_index = aud_id
+            with torch.no_grad():
+                out = hf_model.generate(
+                    input_ids=torch.tensor([prompt]),
+                    input_features=mel_t,
+                    feature_attention_mask=fam,
+                    max_new_tokens=6,
+                    do_sample=False,
+                )
+        finally:
+            hf_model.config.audio_token_index = old_tok
+        assert got == out[0, len(prompt):].tolist()
