@@ -419,3 +419,42 @@ class TestPhi3:
             params,
             {"a": rng.integers(2, 250, size=15).tolist()},
         )
+
+
+class TestNemotron:
+    def _model(self):
+        from transformers import NemotronConfig, NemotronForCausalLM
+
+        torch.manual_seed(17)
+        cfg = NemotronConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            partial_rotary_factor=0.5,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        return NemotronForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # LayerNorm1P norms + gateless relu^2 MLP + partial rotary
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.norm_type == "layernorm1p"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {"a": rng.integers(2, 250, size=17).tolist()},
+        )

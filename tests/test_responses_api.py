@@ -208,3 +208,51 @@ def test_streaming_function_call_items():
     assert text_deltas.strip() == "Checking."
 
     asyncio.new_event_loop().close()
+
+
+def test_previous_response_id_chains_conversation():
+    async def go():
+        eng = _scripted_engine(["echo"])
+        client = await _client(eng)
+        r1 = await client.post(
+            "/v1/responses",
+            json={"model": "scripted", "input": "first turn", "store": True},
+        )
+        rid = (await r1.json())["id"]
+        # capture what the engine sees on the second turn
+        seen = {}
+        orig = eng.stream_chat
+
+        async def spy_chat(messages, **kw):
+            seen["messages"] = messages
+            return await eng.__class__.chat(eng, messages, **kw)
+
+        eng.chat = spy_chat
+        r2 = await client.post(
+            "/v1/responses",
+            json={
+                "model": "scripted",
+                "input": "second turn",
+                "previous_response_id": rid,
+            },
+        )
+        assert r2.status == 200
+        roles = [m["role"] for m in seen["messages"]]
+        assert roles == ["user", "assistant", "user"]
+        assert seen["messages"][1]["content"] == "echo"
+        # unknown prev id -> 404
+        r3 = await client.post(
+            "/v1/responses",
+            json={
+                "model": "scripted",
+                "input": "x",
+                "previous_response_id": "resp_missing",
+            },
+        )
+        assert r3.status == 404
+        # GET must not leak private keys
+        g = await client.get(f"/v1/responses/{rid}")
+        assert "_messages" not in await g.json()
+        await client.close()
+
+    asyncio.new_event_loop().run_until_complete(go())

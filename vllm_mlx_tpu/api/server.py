@@ -730,6 +730,20 @@ async def handle_responses(request: web.Request) -> web.Response:
     state = _state(request)
     state["requests_served"] += 1
     messages = input_to_messages(body.get("input"), body.get("instructions"))
+    if body.get("previous_response_id"):
+        # conversation chaining (OpenAI Responses store semantics):
+        # prepend the stored turn's messages + assistant output
+        prev = (state.get("responses_store") or {}).get(
+            body["previous_response_id"]
+        )
+        if prev is None:
+            return _error(
+                404,
+                f"previous response {body['previous_response_id']!r} "
+                "not found",
+                "not_found_error",
+            )
+        messages = list(prev.get("_messages") or []) + messages
     kwargs: Dict[str, Any] = {
         "max_tokens": body.get("max_output_tokens")
         or state.get("default_max_tokens", 32768)
@@ -790,6 +804,23 @@ async def handle_responses(request: web.Request) -> web.Response:
             completion_tokens=out.completion_tokens,
         )
 
+    def _store_turn(final_body):
+        if not (body.get("store") or body.get("background")):
+            return
+        store = state.setdefault("responses_store", {})
+        while len(store) >= 256:
+            store.pop(next(iter(store)))
+        text_out = ""
+        for item in final_body.get("output", []):
+            if item.get("type") == "message":
+                for c in item.get("content", []):
+                    text_out += c.get("text", "")
+        final_body = dict(final_body)
+        final_body["_messages"] = messages + [
+            {"role": "assistant", "content": text_out}
+        ]
+        store[response_id] = final_body
+
     if body.get("background"):
         # Background mode (reference /v1/responses background): return
         # immediately with status queued; poll GET /v1/responses/{id},
@@ -810,7 +841,9 @@ async def handle_responses(request: web.Request) -> web.Response:
                 out = await engine.chat(
                     messages, request_id=response_id, tools=tools, **kwargs
                 )
-                store[response_id] = _finish_body(out)
+                done_body = _finish_body(out)
+                store[response_id] = done_body
+                _store_turn(done_body)
             except asyncio.CancelledError:
                 store[response_id] = {**shell, "status": "cancelled"}
                 raise
@@ -835,7 +868,9 @@ async def handle_responses(request: web.Request) -> web.Response:
             return _error(429, "engine busy", "rate_limit_error")
         except ValueError as e:
             return _error(400, str(e))
-        return web.json_response(_finish_body(out))
+        done_body = _finish_body(out)
+        _store_turn(done_body)
+        return web.json_response(done_body)
 
     resp = _sse_response(request)
     await resp.prepare(request)
@@ -1071,7 +1106,9 @@ async def handle_response_get(request: web.Request) -> web.Response:
     body = store.get(rid)
     if body is None:
         return _error(404, f"response {rid!r} not found", "not_found_error")
-    return web.json_response(body)
+    return web.json_response(
+        {k: v for k, v in body.items() if not k.startswith("_")}
+    )
 
 
 async def handle_response_cancel(request: web.Request) -> web.Response:

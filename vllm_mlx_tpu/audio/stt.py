@@ -228,6 +228,7 @@ class STTEngine:
         finished = np.asarray(out_tokens[0]) == eos
         bundle = 16
         done = 1
+        pending = []  # dispatched-but-unfetched token blocks
         while done < max_steps and not finished.all():
             steps = min(bundle, max_steps - done)
             nxt, toks, self_kv = self._multi_step_jit(
@@ -236,7 +237,17 @@ class STTEngine:
             )
             pos += steps
             done += steps
-            block = np.asarray(toks)  # ONE fetch per bundle
+            pending.append(toks)
+            if len(pending) >= 2:
+                # fetch the OLDER bundle while the newer one computes —
+                # the fetch sync never stalls the device (EOS detection
+                # lags one bundle; over-decoded tokens are discarded)
+                block = np.asarray(pending.pop(0))
+                for r in range(block.shape[0]):
+                    out_tokens.append(block[r])
+                    finished |= block[r] == eos
+        for toks in pending:
+            block = np.asarray(toks)
             for r in range(block.shape[0]):
                 out_tokens.append(block[r])
                 finished |= block[r] == eos

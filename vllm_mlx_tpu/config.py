@@ -80,6 +80,9 @@ class ModelConfig:
     embed_scale: Optional[float] = None  # sqrt(hidden) input scaling
     hidden_act: str = "silu"
     rms_add_one: bool = False  # RMSNorm uses (1 + weight)
+    # Block norm type: "rms" | "layernorm1p" (Nemotron: LayerNorm with
+    # (1 + weight) scale and bias)
+    norm_type: str = "rms"
     sandwich_norms: bool = False  # post-sublayer norms (gemma2/3)
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
@@ -292,6 +295,18 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "nemotron":
+            # Nemotron (HF NemotronForCausalLM): LayerNorm1P norms,
+            # gateless relu^2 MLP, partial rotary
+            kw.update(
+                norm_type="layernorm1p",
+                hidden_act=cfg.get("hidden_act", "relu2"),
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+                rms_norm_eps=cfg.get("norm_eps", 1e-5),
+                mlp_bias=cfg.get("mlp_bias", False),
+            )
         if model_type == "qwen2":
             # Qwen2 has bias on qkv only; handled by loader (missing biases -> zeros)
             kw["attention_bias"] = True

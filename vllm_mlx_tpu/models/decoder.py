@@ -40,6 +40,21 @@ from ..ops.layers import (
 Params = Dict[str, Any]
 
 
+def _bnorm(cfg: ModelConfig, x, p: Params, name: str):
+    """Block norm dispatch: RMSNorm (default) or Nemotron LayerNorm1P
+    ((1 + weight) scale with bias)."""
+    if cfg.norm_type == "layernorm1p":
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        w = 1.0 + p[name].astype(jnp.float32)
+        b = p[name + "_bias"].astype(jnp.float32)
+        return (
+            (xf - mean) * jax.lax.rsqrt(var + cfg.rms_norm_eps) * w + b
+        ).astype(x.dtype)
+    return rms_norm(x, p[name], cfg.rms_norm_eps, cfg.rms_add_one)
+
+
 def _layer_window(cfg: ModelConfig, layer_idx: int) -> Optional[int]:
     if cfg.sliding_window is None:
         return None
@@ -342,6 +357,19 @@ def _mlp_block(
             # DeepSeek shared experts: dense MLP added to routed output
             out = out + swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
         return out
+    if "gate_proj" not in p["mlp"]:
+        # gateless MLP (Nemotron): down(act(up(x)))
+        mlp = p["mlp"]
+        y = linear(x, mlp["up_proj"], mlp.get("up_bias")).astype(
+            jnp.float32
+        )
+        if cfg.hidden_act == "relu2":
+            y = jnp.square(jax.nn.relu(y))
+        else:
+            y = jax.nn.silu(y)
+        return linear(
+            y.astype(x.dtype), mlp["down_proj"], mlp.get("down_bias")
+        )
     return swiglu_mlp(x, p["mlp"], cfg.hidden_act)
 
 
@@ -397,7 +425,7 @@ def _stack(
     )
     a1 = cfg.rms_add_one
     for i, p in enumerate(params["layers"]):
-        h = rms_norm(x, p["input_layernorm"], cfg.rms_norm_eps, a1)
+        h = _bnorm(cfg, x, p, "input_layernorm")
         if cfg.layer_types is not None and cfg.layer_types[i] == "mamba":
             # hybrid SSM block: the mixer replaces attention; the
             # caller's ssm_fn owns state plumbing (serving) or runs
@@ -405,9 +433,7 @@ def _stack(
             mix_out = ssm_fn(i, p["mamba"], h)
             if cfg.block_has_mlp:  # Bamba-style
                 x = x + mix_out
-                h = rms_norm(
-                    x, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
-                )
+                h = _bnorm(cfg, x, p, "post_attention_layernorm")
                 x = x + _mlp_block(cfg, i, p, h, moe_top_k)
             else:  # pure Mamba2: block = norm -> mixer only
                 x = x + mix_out
@@ -423,30 +449,22 @@ def _stack(
             attn_out.reshape(t, -1), p["o_proj"], p.get("o_bias")
         )
         if cfg.sandwich_norms:
-            attn_out = rms_norm(
-                attn_out, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
-            )
+            attn_out = _bnorm(cfg, attn_out, p, "post_attention_layernorm")
             x = x + attn_out
-            h = rms_norm(
-                x, p["pre_feedforward_layernorm"], cfg.rms_norm_eps, a1
-            )
+            h = _bnorm(cfg, x, p, "pre_feedforward_layernorm")
             mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
-            mlp_out = rms_norm(
-                mlp_out, p["post_feedforward_layernorm"], cfg.rms_norm_eps, a1
-            )
+            mlp_out = _bnorm(cfg, mlp_out, p, "post_feedforward_layernorm")
             x = x + mlp_out
         else:
             x = x + attn_out
-            h = rms_norm(
-                x, p["post_attention_layernorm"], cfg.rms_norm_eps, a1
-            )
+            h = _bnorm(cfg, x, p, "post_attention_layernorm")
             x = x + _mlp_block(cfg, i, p, h, moe_top_k)
         if deepstack_embeds is not None and i < deepstack_embeds.shape[0]:
             # Qwen3-VL deepstack: intermediate-ViT features add to the
             # hidden states after early layers (rows are pre-zeroed for
             # text/decode positions; HF _deepstack_process)
             x = x + deepstack_embeds[i].astype(x.dtype)
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, a1)
+    x = _bnorm(cfg, x, params, "norm")
     return x, kv_pool
 
 

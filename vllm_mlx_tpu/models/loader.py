@@ -75,6 +75,8 @@ def load_params(
             params["embed_tokens"] = put(tensor)
         elif n in ("norm.weight", "norm_f.weight", "final_layernorm.weight"):
             params["norm"] = put(tensor)
+        elif n in ("norm.bias", "final_layernorm.bias"):
+            params["norm_bias"] = put(tensor)  # Nemotron LayerNorm1P
         elif n in ("lm_head.weight",):
             params["lm_head"] = put(tensor)
         elif n.startswith("layers."):
@@ -85,6 +87,10 @@ def load_params(
             if rest in ("input_layernorm.weight", "norm.weight"):
                 # "norm.weight" = pure-Mamba2 block norm
                 ld["input_layernorm"] = put(tensor)
+            elif rest == "input_layernorm.bias":
+                ld["input_layernorm_bias"] = put(tensor)
+            elif rest == "post_attention_layernorm.bias":
+                ld["post_attention_layernorm_bias"] = put(tensor)
             elif cfg.model_type == "glm4" and rest in (
                 # GLM-4 sandwich norms map onto the gemma-style slots:
                 # post_self_attn -> post_attention (scales attn out),
