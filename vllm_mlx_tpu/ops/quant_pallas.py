@@ -124,20 +124,39 @@ def int4_matmul_packed(
 
 def int4_matmul(x: jax.Array, q) -> jax.Array:
     """Adapter for ops.quant.QuantizedTensor (bits=4, already stored in
-    the packed half-split layout)."""
-    packed = q.w_q
+    the packed half-split layout).
+
+    The fused kernel targets DECODE (small token counts, weight-
+    bandwidth-bound). Prefill-sized batches dequantize-then-dot via
+    XLA instead: at T >= 64 the one-off bf16 materialization amortizes,
+    and whole-K kernel tiles would blow the 16 MB VMEM limit."""
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     t = x2.shape[0]
+    o = q.shape[0]
+    k2 = q.w_q.shape[1]
+    if t > 64:
+        from .quant import dequantize
+
+        w = dequantize(q, jnp.bfloat16)
+        y = jax.lax.dot_general(
+            x2, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y.reshape(*lead, o)
     pad = (-t) % 8
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    o = q.shape[0]
+    # block_o sized to the ~16 MB VMEM budget:
+    # wp (bo*k2) + dequant halves (4*bo*k2) + x (4*t*k2) + out
+    budget = 12 * 2**20
     bo = 512
+    while bo > 128 and (5 * bo * k2 + 4 * (t + pad) * k2) > budget:
+        bo //= 2
     while o % bo and bo > 8:
         bo //= 2
     y = int4_matmul_packed(
-        x2, packed, q.scale, group_size=q.group_size, block_o=bo
+        x2, q.w_q, q.scale, group_size=q.group_size, block_o=bo
     )
     if pad:
         y = y[:t]

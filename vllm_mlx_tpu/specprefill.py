@@ -100,7 +100,7 @@ class SpecPrefillScorer:
         scale = cfg.attn_scale or cfg.head_dim**-0.5
         captured: List[Tuple[jax.Array, jax.Array]] = []
 
-        def attend(pool, i, q, k, v):
+        def attend(pool, i, q, k, v, sinks=None):
             out = att.dense_causal_attention(
                 q, k, v, scale,
                 None if cfg.sliding_window is None else cfg.sliding_window,
