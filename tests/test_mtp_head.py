@@ -204,3 +204,29 @@ def test_mtp_spec_rounds_actually_run(mtp_model_dir):
             await eng.stop()
 
     asyncio.run(go())
+
+
+def test_mtp_head_with_tp2(mtp_model_dir):
+    """TP x MTP-head: the head's params and 1-layer KV pool shard over
+    the mesh; greedy output identical to tp=1."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 virtual devices")
+
+    async def run(tp):
+        eng = _engine(mtp_model_dir, **({"tp_size": tp} if tp > 1 else {}))
+        await eng.start()
+        try:
+            toks = []
+            async for chunk in eng.stream_generate(
+                "the quick brown fox", temperature=0.0, max_tokens=12
+            ):
+                toks.extend(chunk.token_ids)
+            return toks
+        finally:
+            await eng.stop()
+
+    ref = asyncio.run(run(1))
+    got = asyncio.run(run(2))
+    assert got == ref and len(ref) == 12
