@@ -458,3 +458,50 @@ class TestNemotron:
             params,
             {"a": rng.integers(2, 250, size=17).tolist()},
         )
+
+
+class TestMiniMax:
+    def _model(self):
+        from transformers import MiniMaxConfig, MiniMaxForCausalLM
+
+        torch.manual_seed(18)
+        cfg = MiniMaxConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            layer_types=["linear_attention", "full_attention"],
+            block_size=8,
+            max_position_embeddings=512,
+            sliding_window=None,
+            tie_word_embeddings=False,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        return MiniMaxForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # lightning (decayed linear) attention + Mixtral-style MoE
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.has_recurrent and cfg.layer_types[0] == "linear_attention"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

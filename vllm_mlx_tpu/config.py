@@ -110,6 +110,16 @@ class ModelConfig:
     # block_has_mlp=False for pure Mamba2 (block = norm -> mixer only).
     mamba_cfg: Optional[Dict[str, Any]] = None
     block_has_mlp: bool = True
+    # MiniMax lightning attention: layer_types entries
+    # "linear_attention" use the decayed linear-attention mixer;
+    # linear_cfg holds {"block_size": N} for the prefill formulation.
+    linear_cfg: Optional[Dict[str, Any]] = None
+    # MiniMax norm-as-residual block: residual = input_layernorm(x)
+    # (the un-normed input is DISCARDED) and the combine is
+    # residual*alpha + sublayer_out*beta (HF MiniMaxDecoderLayer
+    # forward). Keys: full_alpha/full_beta/linear_alpha/linear_beta
+    # (attention combine per layer type), mlp_alpha/mlp_beta.
+    residual_cfg: Optional[Dict[str, float]] = None
     # Generation defaults
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -123,6 +133,15 @@ class ModelConfig:
     @property
     def is_moe(self) -> bool:
         return self.num_experts > 0
+
+    @property
+    def has_recurrent(self) -> bool:
+        """Any per-slot recurrent mixer layers (Mamba SSD or lightning
+        linear attention)."""
+        return self.mamba_cfg is not None or (
+            self.layer_types is not None
+            and "linear_attention" in self.layer_types
+        )
 
     def moe_layer_indices(self) -> List[int]:
         """Layers that use the sparse MoE block (Qwen3-MoE
@@ -318,6 +337,25 @@ class ModelConfig:
                 decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
                 mlp_only_layers=cfg.get("mlp_only_layers", []) or [],
                 norm_topk_prob=cfg.get("norm_topk_prob", True),
+            )
+        if model_type == "minimax":
+            # MiniMax-M1 hybrids (HF MiniMaxForCausalLM): Mixtral-style
+            # MoE every layer + alternating full/lightning(linear)
+            # attention layers with per-head decayed state
+            kw.update(
+                num_experts=cfg.get("num_local_experts", 8),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+                moe_intermediate_size=cfg.get("intermediate_size", 0),
+                norm_topk_prob=True,
+                linear_cfg=dict(block_size=cfg.get("block_size", 256)),
+                residual_cfg=dict(
+                    full_alpha=cfg.get("full_attn_alpha_factor", 1.0),
+                    full_beta=cfg.get("full_attn_beta_factor", 1.0),
+                    linear_alpha=cfg.get("linear_attn_alpha_factor", 1.0),
+                    linear_beta=cfg.get("linear_attn_beta_factor", 1.0),
+                    mlp_alpha=cfg.get("mlp_alpha_factor", 1.0),
+                    mlp_beta=cfg.get("mlp_beta_factor", 1.0),
+                ),
             )
         if model_type == "mixtral":
             # Mixtral-8x7B/8x22B (HF MixtralForCausalLM): llama attention

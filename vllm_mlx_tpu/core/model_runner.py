@@ -227,26 +227,58 @@ class ModelRunner:
     # ------------------------------------------------------------------ state
     @property
     def has_ssm(self) -> bool:
-        return self.cfg.mamba_cfg is not None
+        """True for any per-slot recurrent mixer (Mamba SSD or MiniMax
+        lightning linear attention) — they share the state plumbing."""
+        return self.cfg.has_recurrent
 
     @property
     def num_attn_layers(self) -> int:
         if self.cfg.layer_types is None:
             return self.cfg.num_hidden_layers
-        return sum(1 for lt in self.cfg.layer_types if lt != "mamba")
+        return sum(
+            1
+            for lt in self.cfg.layer_types
+            if lt not in ("mamba", "linear_attention")
+        )
 
     def _init_state(self) -> RunnerState:
         c = self.cfg
         ssm_states = None
         if self.has_ssm:
-            from ..models.mamba2 import MambaMixerConfig, init_mixer_states
+            mc = None
+            if c.mamba_cfg is not None:
+                from ..models.mamba2 import (
+                    MambaMixerConfig,
+                    init_mixer_states,
+                )
 
-            mc = MambaMixerConfig(**c.mamba_cfg)
-            n_mamba = sum(1 for lt in c.layer_types if lt == "mamba")
-            ssm_states = [
-                init_mixer_states(mc, self.max_num_seqs)
-                for _ in range(n_mamba)
-            ]
+                mc = MambaMixerConfig(**c.mamba_cfg)
+            ssm_states = []
+            for lt in c.layer_types:
+                if lt == "mamba":
+                    ssm_states.append(
+                        init_mixer_states(mc, self.max_num_seqs)
+                    )
+                elif lt == "linear_attention":
+                    # lightning state: per-head decayed K^T V matrix
+                    # (+ a scalar placeholder so the generic 2-tuple
+                    # slot ops apply unchanged)
+                    ssm_states.append(
+                        (
+                            jnp.zeros(
+                                (
+                                    self.max_num_seqs,
+                                    c.num_attention_heads,
+                                    c.head_dim,
+                                    c.head_dim,
+                                ),
+                                jnp.float32,
+                            ),
+                            jnp.zeros(
+                                (self.max_num_seqs, 1, 1), jnp.float32
+                            ),
+                        )
+                    )
         return RunnerState(
             ssm_states=ssm_states,
             kv_pages=make_kv_pages(
@@ -526,7 +558,7 @@ class ModelRunner:
                 tok_pack[5:8] if tok_pack.shape[0] >= 8 else None
             ),
             row_slot=(
-                tok_pack[-1] if self.cfg.mamba_cfg is not None else None
+                tok_pack[-1] if self.cfg.has_recurrent else None
             ),
         )
 

@@ -266,7 +266,7 @@ class BatchedEngine(BaseEngine):
         if cfg is None:
             cfg = ModelConfig.from_pretrained(self.model_path)
         if self.scheduler_config.max_kv_size:
-            if cfg.mamba_cfg is not None:
+            if cfg.has_recurrent:
                 raise ValueError(
                     "--max-kv-size is not supported for hybrid SSM "
                     "models (their memory is already bounded by the "
@@ -383,7 +383,7 @@ class BatchedEngine(BaseEngine):
             logger.info("specprefill draft: %s", self.specprefill_model)
             self._specprefill = SpecPrefillScorer(spparams, spcfg)
         ssm_cache = None
-        if cfg.mamba_cfg is not None and self.enable_prefix_cache:
+        if cfg.has_recurrent and self.enable_prefix_cache:
             # hybrid SSM: KV blocks alone can't restore the mamba
             # recurrent state, so prefix hits are gated on per-request
             # state snapshots at block boundaries (cache/ssm_cache.py;

@@ -424,14 +424,25 @@ def _stack(
         mrope_interleaved=cfg.mrope_interleaved,
     )
     a1 = cfg.rms_add_one
+    rc = cfg.residual_cfg
     for i, p in enumerate(params["layers"]):
         h = _bnorm(cfg, x, p, "input_layernorm")
-        if cfg.layer_types is not None and cfg.layer_types[i] == "mamba":
-            # hybrid SSM block: the mixer replaces attention; the
-            # caller's ssm_fn owns state plumbing (serving) or runs
-            # stateless (dense parity)
-            mix_out = ssm_fn(i, p["mamba"], h)
-            if cfg.block_has_mlp:  # Bamba-style
+        if cfg.layer_types is not None and cfg.layer_types[i] in (
+            "mamba",
+            "linear_attention",
+        ):
+            # recurrent mixer block (Mamba SSD / lightning linear
+            # attention): the caller's ssm_fn owns state plumbing
+            # (serving) or runs stateless (dense parity)
+            mix_out = ssm_fn(i, p, h)
+            if rc is not None:
+                # MiniMax norm-as-residual: the NORMED value is the
+                # residual, scaled by alpha/beta (HF MiniMaxDecoderLayer)
+                x = h * rc["linear_alpha"] + mix_out * rc["linear_beta"]
+                h = _bnorm(cfg, x, p, "post_attention_layernorm")
+                mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
+                x = h * rc["mlp_alpha"] + mlp_out * rc["mlp_beta"]
+            elif cfg.block_has_mlp:  # Bamba-style
                 x = x + mix_out
                 h = _bnorm(cfg, x, p, "post_attention_layernorm")
                 x = x + _mlp_block(cfg, i, p, h, moe_top_k)
@@ -448,7 +459,13 @@ def _stack(
         attn_out = linear(
             attn_out.reshape(t, -1), p["o_proj"], p.get("o_bias")
         )
-        if cfg.sandwich_norms:
+        if rc is not None:
+            # MiniMax norm-as-residual (see recurrent branch above)
+            x = h * rc["full_alpha"] + attn_out * rc["full_beta"]
+            h = _bnorm(cfg, x, p, "post_attention_layernorm")
+            mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
+            x = h * rc["mlp_alpha"] + mlp_out * rc["mlp_beta"]
+        elif cfg.sandwich_norms:
             attn_out = _bnorm(cfg, attn_out, p, "post_attention_layernorm")
             x = x + attn_out
             h = _bnorm(cfg, x, p, "pre_feedforward_layernorm")
@@ -466,6 +483,55 @@ def _stack(
             x = x + deepstack_embeds[i].astype(x.dtype)
     x = _bnorm(cfg, x, params, "norm")
     return x, kv_pool
+
+
+def _lightning_serving(
+    cfg, p, layer_idx, h, states, m, is_prefill, is_decode, row_slot,
+    n_slots, any_prefill, d0, pslot, new_ssm_states,
+):
+    """Lightning mixer inside the ragged serving step: batched decode
+    rank-1 state updates for decode rows, block-formulated prefill with
+    carried state for the (single) prefilling sequence's front-rolled
+    rows — mirrors the Mamba plumbing exactly."""
+    from .lightning_attn import (
+        lightning_sequence,
+        lightning_step,
+        slope_rate,
+    )
+
+    kvst, dummy = states[m]
+    rate = jnp.asarray(
+        slope_rate(
+            cfg.num_attention_heads, layer_idx, cfg.num_hidden_layers
+        )
+    )
+    eps = 1e-6  # HF hardcodes the lightning norm eps (not config eps)
+    slot_or_drop = jnp.where(is_decode, row_slot, n_slots)
+    x_slots = jnp.zeros((n_slots, h.shape[-1]), h.dtype).at[
+        slot_or_drop
+    ].set(h, mode="drop")
+    active = jnp.zeros((n_slots,), bool).at[slot_or_drop].set(
+        True, mode="drop"
+    )
+    y_dec, kv1 = lightning_step(p, rate, eps, x_slots, active, kvst)
+    h_roll = jnp.roll(h, -d0, axis=0)
+    valid_roll = jnp.roll(is_prefill, -d0, axis=0)
+    init = jnp.where(
+        any_prefill, kvst[jnp.minimum(pslot, n_slots - 1)], 0.0
+    )
+    y_seq, kv_p = lightning_sequence(
+        p, rate, eps, h_roll, valid_roll, init,
+        block=(cfg.linear_cfg or {}).get("block_size", 64),
+    )
+    y_seq = jnp.roll(y_seq, d0, axis=0)
+    kv2 = kv1.at[pslot].set(kv_p, mode="drop")
+    new_ssm_states[m] = (kv2, dummy)
+    y = jnp.where(
+        is_prefill[:, None],
+        y_seq,
+        jnp.where(is_decode[:, None], y_dec[row_slot], 0.0),
+    )
+    return y.astype(h.dtype)
 
 
 def unified_forward(
@@ -517,15 +583,18 @@ def unified_forward(
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
     # kv pool index per layer (hybrid models pool only attention layers)
-    if cfg.layer_types is not None and "mamba" in cfg.layer_types:
+    _REC = ("mamba", "linear_attention")
+    if cfg.layer_types is not None and any(
+        lt in _REC for lt in cfg.layer_types
+    ):
         attn_layers = [
-            i for i, lt in enumerate(cfg.layer_types) if lt != "mamba"
+            i for i, lt in enumerate(cfg.layer_types) if lt not in _REC
         ]
         pool_of = {i: j for j, i in enumerate(attn_layers)}
         mamba_of = {
             i: j
             for j, i in enumerate(
-                i for i, lt in enumerate(cfg.layer_types) if lt == "mamba"
+                i for i, lt in enumerate(cfg.layer_types) if lt in _REC
             )
         }
     else:
@@ -558,9 +627,11 @@ def unified_forward(
     ssm_fn = None
     new_ssm_states: Optional[List[Tuple]] = None
     if ssm_ctx is not None:
-        from .mamba2 import MambaMixerConfig, mixer_sequence, mixer_step
+        mc = None
+        if cfg.mamba_cfg is not None:
+            from .mamba2 import MambaMixerConfig
 
-        mc = MambaMixerConfig(**cfg.mamba_cfg)
+            mc = MambaMixerConfig(**cfg.mamba_cfg)
         states = ssm_ctx["states"]
         row_slot = ssm_ctx["row_slot"]  # [T] i32, == n_slots for padding
         from_device = ssm_ctx["from_device"]  # [T] bool
@@ -575,8 +646,17 @@ def unified_forward(
             any_prefill, row_slot[d0], jnp.int32(n_slots)
         )
 
-        def ssm_fn(i, p, h):
+        def ssm_fn(i, layer_p, h):
             m = mamba_of[i]
+            if cfg.layer_types[i] == "linear_attention":
+                return _lightning_serving(
+                    cfg, layer_p["lightning"], i, h, states, m,
+                    is_prefill, is_decode, row_slot, n_slots,
+                    any_prefill, d0, pslot, new_ssm_states,
+                )
+            from .mamba2 import mixer_sequence, mixer_step
+
+            p = layer_p["mamba"]
             conv, ssm = states[m]
             # decode rows -> their slots (one closed-form step each)
             slot_or_drop = jnp.where(is_decode, row_slot, n_slots)
@@ -725,14 +805,43 @@ def dense_forward(
         positions = jnp.arange(token_ids.shape[0])
 
     ssm_fn = None
-    if cfg.mamba_cfg is not None:
-        from .mamba2 import MambaMixerConfig, mixer_sequence
+    if cfg.has_recurrent:
+        mc = None
+        if cfg.mamba_cfg is not None:
+            from .mamba2 import MambaMixerConfig
 
-        mc = MambaMixerConfig(**cfg.mamba_cfg)
+            mc = MambaMixerConfig(**cfg.mamba_cfg)
 
-        def ssm_fn(i, p, h):
+        def ssm_fn(i, layer_p, h):
+            if cfg.layer_types[i] == "linear_attention":
+                from .lightning_attn import (
+                    lightning_sequence,
+                    slope_rate,
+                )
+
+                rate = jnp.asarray(
+                    slope_rate(
+                        cfg.num_attention_heads, i, cfg.num_hidden_layers
+                    )
+                )
+                y, _ = lightning_sequence(
+                    layer_p["lightning"], rate, 1e-6, h,
+                    None,
+                    jnp.zeros(
+                        (
+                            cfg.num_attention_heads,
+                            cfg.head_dim,
+                            cfg.head_dim,
+                        ),
+                        jnp.float32,
+                    ),
+                    block=(cfg.linear_cfg or {}).get("block_size", 64),
+                )
+                return y
+            from .mamba2 import mixer_sequence
+
             y, _, _ = mixer_sequence(
-                p, mc, h, None,
+                layer_p["mamba"], mc, h, None,
                 jnp.zeros((mc.conv_dim, mc.conv_kernel), h.dtype),
                 jnp.zeros(
                     (mc.num_heads, mc.head_dim, mc.state_size), jnp.float32

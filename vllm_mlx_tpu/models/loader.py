@@ -147,6 +147,21 @@ def load_params(
                 # GPT-OSS learned per-head attention sink logits (f32:
                 # they enter the softmax max/denominator directly)
                 ld["sinks"] = jnp.asarray(tensor).astype(jnp.float32)
+            elif (
+                cfg.model_type == "minimax"
+                and cfg.layer_types
+                and cfg.layer_types[i] == "linear_attention"
+                and rest.startswith("self_attn.")
+            ):
+                # lightning layer: HEAD-MAJOR fused qkv stays fused
+                key = {
+                    "self_attn.qkv_proj.weight": "qkv_w",
+                    "self_attn.out_proj.weight": "out_w",
+                    "self_attn.output_gate.weight": "gate_w",
+                    "self_attn.norm.weight": "norm_w",
+                }.get(rest)
+                if key:
+                    ld.setdefault("lightning", {})[key] = put(tensor)
             elif rest.startswith("self_attn.qkv_proj."):
                 # Phi-3 fused qkv: split rows [q; k; v]
                 t = np.asarray(tensor)

@@ -63,17 +63,17 @@ def _int4_kernel(
         w = w * s_ref[...].astype(jnp.float32)[:, :, None]
         return w.reshape(bo, k2).astype(jnp.bfloat16)
 
-    wlo = dequant(lo, slo_ref)
-    whi = dequant(hi, shi_ref)
+    # interleave dequant with the dots so only ONE f32 [bo, k2] half is
+    # live at a time (peak scoped-VMEM, not HBM, bounds bo)
     acc = jax.lax.dot_general(
         xlo_ref[...],
-        wlo,
+        dequant(lo, slo_ref),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc += jax.lax.dot_general(
         xhi_ref[...],
-        whi,
+        dequant(hi, shi_ref),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -96,14 +96,13 @@ def int4_matmul_packed(
     ng = scales.shape[1]
     assert ng * group_size == k
     assert k2 % group_size == 0, "group_size must divide K/2"
-    assert o % block_o == 0 or o < block_o
     bo = min(block_o, o)
     xlo = x[:, :k2]
     xhi = x[:, k2:]
     s32 = scales.astype(jnp.float32)
     slo = s32[:, : ng // 2]
     shi = s32[:, ng // 2 :]
-    grid = (o // bo,)
+    grid = (-(-o // bo),)  # cdiv: pallas masks the edge block
     return pl.pallas_call(
         functools.partial(_int4_kernel, group_size=group_size),
         grid=grid,
@@ -147,13 +146,16 @@ def int4_matmul(x: jax.Array, q) -> jax.Array:
     pad = (-t) % 8
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    # block_o sized to the ~16 MB VMEM budget:
-    # wp (bo*k2) + dequant halves (4*bo*k2) + x (4*t*k2) + out
-    budget = 12 * 2**20
-    bo = 512
-    while bo > 128 and (5 * bo * k2 + 4 * (t + pad) * k2) > budget:
-        bo //= 2
-    while o % bo and bo > 8:
+    # block_o sized to the 16 MB scoped-VMEM limit. Mosaic's measured
+    # peak is ~18 B per bo*k2 element (u8 block + i32 sign-extend
+    # temps + one f32 dequant half + bf16 copies + double buffering) —
+    # the naive "packed byte + one dequant copy" estimate OOM'd at
+    # bo=2048. Bigger tiles = fewer grid steps (the vocab-size lm_head
+    # was catastrophic at bo=128: 1187 sequential 64 KB tiles); the
+    # grid is cdiv so O need not divide bo.
+    budget = 13 * 2**20
+    bo = 2048
+    while bo > 128 and (18 * bo * k2 + 4 * (t + pad) * k2) > budget:
         bo //= 2
     y = int4_matmul_packed(
         x2, q.w_q, q.scale, group_size=q.group_size, block_o=bo
