@@ -72,3 +72,58 @@ class TestEndpointPolicies:
     def test_tts_rejects_whisper(self):
         _, err = resolve_tts_model_name("whisper-1", "kokoro")
         assert err is not None
+
+
+class TestHardwareDetection:
+    """optimizations.py rebuild (reference optimizations.py:34-190)."""
+
+    def test_detect_hardware(self):
+        from vllm_mlx_tpu.optimizations import detect_hardware
+
+        hw = detect_hardware()
+        assert hw.num_devices >= 1
+        assert hw.platform  # cpu under the test conftest
+        assert hw.device_kind
+        assert hw.summary()
+
+    def test_bandwidth_probe(self):
+        from vllm_mlx_tpu.optimizations import measure_memory_bandwidth
+
+        r = measure_memory_bandwidth(size_mb=4, iters=2)
+        assert r["gb_per_s"] > 0
+
+    def test_recommended_settings(self):
+        from vllm_mlx_tpu.optimizations import recommended_settings
+
+        s = recommended_settings()
+        assert s["dtype"] in ("bfloat16", "float32")
+
+
+class TestPluginAndParserAliases:
+    def test_vllm_plugin_inactive_without_vllm(self):
+        from vllm_mlx_tpu.vllm_plugin import (
+            TpuJaxPlatform,
+            tpu_platform_plugin,
+        )
+
+        assert tpu_platform_plugin() is None  # vllm not in the image
+        TpuJaxPlatform.verify_quantization("int8")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            TpuJaxPlatform.verify_quantization("awq")
+
+    def test_poolside_aliases(self):
+        from vllm_mlx_tpu.tool_parsers import get_tool_parser
+        from vllm_mlx_tpu.reasoning import get_reasoning_parser
+
+        tp = get_tool_parser("poolside_v1")
+        out = tp.extract_tool_calls(
+            "<tool_call>look_up\n<arg_key>q</arg_key>"
+            "<arg_value>\"tpu\"</arg_value></tool_call>"
+        )
+        assert out.tools_called
+        assert out.tool_calls[0]["function"]["name"] == "look_up"
+        rp = get_reasoning_parser("poolside_v1")
+        think, ans = rp.extract_reasoning("<think>hm</think>yes")
+        assert think == "hm" and ans == "yes"

@@ -142,6 +142,20 @@ class TestServerEndpoints:
         assert status == 200
         assert data["status"] == "ok"
 
+    def test_builtin_ui(self, server_client):
+        """GET /ui serves the zero-dependency chat page (reference
+        gradio_app.py equivalent)."""
+        loop, client = server_client
+
+        async def go():
+            resp = await client.get("/ui")
+            return resp.status, resp.content_type, await resp.text()
+
+        status, ctype, text = loop.run_until_complete(go())
+        assert status == 200
+        assert ctype == "text/html"
+        assert "/v1/chat/completions" in text
+
     def test_models(self, server_client):
         status, data = _get(server_client, "/v1/models")
         assert status == 200

@@ -137,6 +137,14 @@ async def _engine_for(request: web.Request, model: str) -> BaseEngine:
 
 
 # ------------------------------------------------------------------ handlers
+async def handle_ui(request: web.Request) -> web.Response:
+    """Built-in chat UI (reference ships gradio_app.py/gradio_text_app.py;
+    here a zero-dependency page served in-process — api/webui.py)."""
+    from .webui import CHAT_HTML
+
+    return web.Response(text=CHAT_HTML, content_type="text/html")
+
+
 async def handle_health(request: web.Request) -> web.Response:
     engine = _engine(request)
     return web.json_response(
@@ -1771,6 +1779,7 @@ def build_app(
         "mcp_manager": mcp_manager,
         "model_manager": model_manager,
     }
+    app.router.add_get("/ui", handle_ui)
     app.router.add_get("/health", handle_health)
     app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/v1/models", handle_models)

@@ -149,3 +149,20 @@ def validate_tp(cfg: ModelConfig, tp: int) -> None:
         )
     if cfg.intermediate_size % tp:
         raise ValueError(f"tp={tp} must divide intermediate_size")
+
+
+class MeshCollectives:
+    """Named communicator handle for the vLLM platform shim
+    (vllm_plugin.py). There is no NCCL-style communicator object on
+    TPU: collectives are inserted by XLA/GSPMD from the sharding
+    annotations above and ride ICI. This class exists so external
+    integrations have a stable import path to point at."""
+
+    backend = "xla-gspmd"
+
+    @staticmethod
+    def describe() -> str:
+        return (
+            "collectives are compiler-inserted (psum/all-gather/"
+            "reduce-scatter over the jax.sharding.Mesh ICI axes)"
+        )

@@ -165,9 +165,12 @@ class ThinkParser(TagReasoningParser):
 
 
 @register_reasoning_parser("qwen3")
+@register_reasoning_parser("poolside_v1")
 class Qwen3ReasoningParser(TagReasoningParser):
     """Qwen3: template may pre-open ``<think>`` so streams can begin
-    mid-reasoning (reference reasoning/qwen3_parser.py)."""
+    mid-reasoning (reference reasoning/qwen3_parser.py; Poolside Laguna
+    uses the identical boundary — reference
+    reasoning/poolside_v1_parser.py subclasses the qwen3 parser)."""
 
     starts_in_reasoning = False
 
