@@ -383,3 +383,29 @@ def test_audio_in_chat_transcription_injection(tmp_path):
             await eng.stop()
 
     asyncio.run(go())
+
+
+class TestAudioProcessor:
+    """audio/processor.py separation surface (reference :33-193)."""
+
+    def test_band_separation_and_wav_save(self, tmp_path):
+        import numpy as np
+
+        from vllm_mlx_tpu.audio.processor import AudioProcessor
+
+        p = AudioProcessor()
+        p.load()  # fallback mode
+        t = np.arange(16000) / 16000.0
+        x = np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 6000 * t)
+        r = p.separate(x, 16000, "speech")
+
+        def power_at(sig, f):
+            s = np.fft.rfft(sig)
+            fr = np.fft.rfftfreq(len(sig), 1 / 16000.0)
+            return abs(s[np.argmin(abs(fr - f))])
+
+        assert power_at(r.target, 440) > 5 * power_at(r.target, 6000)
+        assert power_at(r.residual, 6000) > 5 * power_at(r.residual, 440)
+        out = tmp_path / "t.wav"
+        p.save(r.target, str(out))
+        assert out.stat().st_size > 1000
