@@ -62,11 +62,12 @@ def build():
     # match it: int8 weights incl. the tied embedding/lm_head. Pass
     # "int4" on the command line for the fused-dequant int4 path
     # (reference also publishes 4-bit configs; PLAN_R3 perf #1).
-    from vllm_mlx_tpu.ops.quant import quantize_params
+    from vllm_mlx_tpu.ops.quant import fuse_projections, quantize_params
 
     bits = 4 if "int4" in sys.argv[1:] else 8
     params = quantize_params(params, bits=bits, quantize_embedding=True)
-    log(f"weights quantized to int{bits}")
+    params = fuse_projections(params)  # single-chip: fused qkv/gate_up
+    log(f"weights quantized to int{bits} (fused projections)")
     cache_cfg = CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16")
     sched_cfg = SchedulerConfig(
         max_num_seqs=32,

@@ -193,3 +193,42 @@ class TestKVQuant:
         assert len(got) == 8
         # tiny-model greedy is robust to 8-bit KV error
         assert got == ref
+
+
+def test_fused_projection_identity(rng):
+    """fuse_projections must not change greedy outputs: the fused
+    qkv/gate_up kernel produces the same logits as separate
+    projections (scheduler end-to-end, CPU)."""
+    from vllm_mlx_tpu.config import ModelConfig
+    from vllm_mlx_tpu.models import loader
+    from test_scheduler import make_scheduler, run_to_completion, _req
+
+    cfg = ModelConfig(
+        model_type="qwen3", vocab_size=128, hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, use_qk_norm=True, eos_token_ids=[1],
+        dtype="float32",
+    )
+    base = quant.quantize_params(
+        loader.init_params(cfg, seed=11, dtype="float32"), bits=8
+    )
+    import copy
+
+    fused = quant.fuse_projections(copy.deepcopy(base))
+    l0 = fused["layers"][0]
+    assert "qkv_proj" in l0 and "q_proj" not in l0
+    assert "gate_up_proj" in l0["mlp"]
+    prompts = {
+        "a": rng.integers(2, 128, size=9).tolist(),
+        "b": rng.integers(2, 128, size=5).tolist(),
+    }
+    outs = {}
+    for name, params in (("sep", base), ("fused", fused)):
+        sched = make_scheduler(cfg, params)
+        for rid, p in prompts.items():
+            sched.add_request(_req(f"{name}-{rid}", p, max_tokens=8))
+        res = run_to_completion(sched)
+        outs[name] = {
+            rid: res[f"{name}-{rid}"].output_token_ids for rid in prompts
+        }
+    assert outs["sep"] == outs["fused"]

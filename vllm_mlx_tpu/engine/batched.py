@@ -302,6 +302,12 @@ class BatchedEngine(BaseEngine):
                 bits = 8 if self.quantization == "int8" else 4
                 logger.info("quantizing weights to int%d", bits)
                 params = quantize_params(params, bits=bits)
+                if self.tp_size == 1:
+                    # single-chip decode: fuse q/k/v and gate/up into
+                    # one kernel launch each (ops/quant.py)
+                    from ..ops.quant import fuse_projections
+
+                    params = fuse_projections(params)
         self._tokenizer = load_tokenizer(self.model_path)
         eos = collect_eos_ids(self._tokenizer, self.model_path)
         eos.update(cfg.eos_token_ids)

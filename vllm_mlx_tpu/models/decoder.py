@@ -151,9 +151,18 @@ def _qkv(
         return _mla_qkv(cfg, p, x, cos, sin)
     t = x.shape[0]
     hd = cfg.head_dim
-    q = linear(x, p["q_proj"], p.get("q_bias")).reshape(t, cfg.num_attention_heads, hd)
-    k = linear(x, p["k_proj"], p.get("k_bias")).reshape(t, cfg.num_key_value_heads, hd)
-    v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
+    if "qkv_proj" in p:
+        # quantized decode fusion (ops/quant.py fuse_projections)
+        qo = cfg.num_attention_heads * hd
+        ko = cfg.num_key_value_heads * hd
+        qkv = linear(x, p["qkv_proj"], p.get("qkv_bias"))
+        q = qkv[:, :qo].reshape(t, cfg.num_attention_heads, hd)
+        k = qkv[:, qo : qo + ko].reshape(t, cfg.num_key_value_heads, hd)
+        v = qkv[:, qo + ko :].reshape(t, cfg.num_key_value_heads, hd)
+    else:
+        q = linear(x, p["q_proj"], p.get("q_bias")).reshape(t, cfg.num_attention_heads, hd)
+        k = linear(x, p["k_proj"], p.get("k_bias")).reshape(t, cfg.num_key_value_heads, hd)
+        v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
     if cfg.use_qk_norm:
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
@@ -357,7 +366,10 @@ def _mlp_block(
             # DeepSeek shared experts: dense MLP added to routed output
             out = out + swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
         return out
-    if "gate_proj" not in p["mlp"]:
+    if (
+        "gate_proj" not in p["mlp"]
+        and "gate_up_proj" not in p["mlp"]
+    ):
         # gateless MLP (Nemotron): down(act(up(x)))
         mlp = p["mlp"]
         y = linear(x, mlp["up_proj"], mlp.get("up_bias")).astype(

@@ -230,8 +230,15 @@ def linear(x: jax.Array, w, b: Optional[jax.Array] = None) -> jax.Array:
 def swiglu_mlp(x: jax.Array, p: Params, act: str = "silu") -> jax.Array:
     """Gated MLP: down( act(gate(x)) * up(x) ); act silu (Llama/Qwen)
     or tanh-approx gelu (Gemma)."""
-    g = linear(x, p["gate_proj"], p.get("gate_bias"))
-    u = linear(x, p["up_proj"], p.get("up_bias"))
+    if "gate_up_proj" in p:
+        # quantized decode fusion (ops/quant.py fuse_projections): one
+        # kernel for both projections, split halves on the output axis
+        gu = linear(x, p["gate_up_proj"], p.get("gate_up_bias"))
+        inter = gu.shape[-1] // 2
+        g, u = gu[..., :inter], gu[..., inter:]
+    else:
+        g = linear(x, p["gate_proj"], p.get("gate_bias"))
+        u = linear(x, p["up_proj"], p.get("up_bias"))
     gf = g.astype(jnp.float32)
     if act in ("gelu_pytorch_tanh", "gelu_new", "gelu_tanh"):
         a = jax.nn.gelu(gf, approximate=True)

@@ -157,6 +157,79 @@ def quant_matmul(x: jax.Array, q: QuantizedTensor) -> jax.Array:
     )
 
 
+def fuse_quantized(qs) -> QuantizedTensor:
+    """Concatenate same-K QuantizedTensors along the OUTPUT axis so one
+    kernel launch serves several projections (q/k/v, gate/up). Both
+    storage layouts concatenate trivially on axis 0 (int8 [O, K];
+    int4 packed [O, K/2] half-split — packing is per-row)."""
+    q0 = qs[0]
+    assert all(
+        q.bits == q0.bits
+        and q.group_size == q0.group_size
+        and q.w_q.shape[1:] == q0.w_q.shape[1:]
+        for q in qs
+    )
+    return QuantizedTensor(
+        w_q=jnp.concatenate([q.w_q for q in qs], axis=0),
+        scale=jnp.concatenate([q.scale for q in qs], axis=0),
+        bits=q0.bits,
+        group_size=q0.group_size,
+    )
+
+
+def fuse_projections(params: Any) -> Any:
+    """Decode-path fusion pass (run AFTER quantize_params, single-chip
+    only — the concatenated output axis is not a plain TP shard):
+    rewrites each layer dict's quantized q/k/v into one ``qkv_proj``
+    and gate/up into one ``gate_up_proj``. Decode is launch- and
+    bandwidth-bound at tiny token counts; one kernel over the
+    concatenated output rows replaces three (reference serves fused
+    qkv via mlx-lm's fused checkpoints; here fusion happens at load).
+    The decoder splits outputs by sizes derived from the config."""
+
+    def walk(node):
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if not isinstance(node, dict):
+            return node
+        node = {k: walk(v) for k, v in node.items()}
+        qkv = [node.get(n) for n in ("q_proj", "k_proj", "v_proj")]
+        biases = [node.get(n) for n in ("q_bias", "k_bias", "v_bias")]
+        if (
+            all(is_quantized(w) for w in qkv)
+            and len({(w.bits, w.group_size, w.w_q.shape[1]) for w in qkv})
+            == 1
+            and (
+                all(b is not None for b in biases)
+                or all(b is None for b in biases)
+            )
+        ):
+            node["qkv_proj"] = fuse_quantized(qkv)
+            if biases[0] is not None:
+                node["qkv_bias"] = jnp.concatenate(biases)
+            for n in ("q_proj", "k_proj", "v_proj", "q_bias", "k_bias", "v_bias"):
+                node.pop(n, None)
+        gu = [node.get(n) for n in ("gate_proj", "up_proj")]
+        gub = [node.get(n) for n in ("gate_bias", "up_bias")]
+        if (
+            all(is_quantized(w) for w in gu)
+            and len({(w.bits, w.group_size, w.w_q.shape[1]) for w in gu})
+            == 1
+            and (
+                all(b is not None for b in gub)
+                or all(b is None for b in gub)
+            )
+        ):
+            node["gate_up_proj"] = fuse_quantized(gu)
+            if gub[0] is not None:
+                node["gate_up_bias"] = jnp.concatenate(gub)
+            for n in ("gate_proj", "up_proj", "gate_bias", "up_bias"):
+                node.pop(n, None)
+        return node
+
+    return walk(params)
+
+
 _QUANT_SKIP = {
     "input_layernorm",
     "post_attention_layernorm",
