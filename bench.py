@@ -65,9 +65,18 @@ def build():
     from vllm_mlx_tpu.ops.quant import fuse_projections, quantize_params
 
     bits = 4 if "int4" in sys.argv[1:] else 8
-    params = quantize_params(params, bits=bits, quantize_embedding=True)
+    # "bf16-embed" leaves the tied embedding/lm_head unquantized — an
+    # ablation knob for locating decode time (embed gather + lm_head
+    # dominate the int4 delta if this flag moves the number)
+    q_embed = "bf16-embed" not in sys.argv[1:]
+    params = quantize_params(
+        params, bits=bits, quantize_embedding=q_embed
+    )
     params = fuse_projections(params)  # single-chip: fused qkv/gate_up
-    log(f"weights quantized to int{bits} (fused projections)")
+    log(
+        f"weights quantized to int{bits} (fused projections, "
+        f"embed={'quant' if q_embed else 'bf16'})"
+    )
     cache_cfg = CacheConfig(block_size=32, num_blocks=1024, kv_dtype="bfloat16")
     sched_cfg = SchedulerConfig(
         max_num_seqs=32,

@@ -1024,7 +1024,8 @@ class ModelRunner:
             return st, (tok, lp)
 
         state, (tokens, logprobs) = jax.lax.scan(
-            body, state, None, length=steps
+            body, state, None, length=steps,
+            unroll=min(8, steps),
         )
         packed = jnp.stack(
             [
