@@ -8,11 +8,13 @@ Weights are random (timing only) and quantized leaf-by-leaf during
 init so the bf16 intermediate never exceeds HBM.
 """
 
+import functools
 import gc
 import json
 import sys
 import time
 
+import jax
 import numpy as np
 
 TARGET = 3 * 417.9
@@ -32,12 +34,29 @@ def init_quantized_params(cfg, seed=0):
     rng = np.random.default_rng(seed)
     h, hd = cfg.hidden_size, cfg.head_dim
     nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    salt = [0]
 
     def qw(*shape):
-        w = rng.standard_normal(shape, dtype=np.float32) * 0.02
-        out = quantize_int8(jnp.asarray(w))
-        del w
-        return out
+        # timing-only weights: materialize the int8 codes DIRECTLY on
+        # device (host randn + quantize of 8.2B params took ~11 min;
+        # the bench only measures decode throughput, values are
+        # irrelevant — a cheap deterministic nonzero pattern suffices)
+        from vllm_mlx_tpu.ops.quant import QuantizedTensor
+
+        salt[0] += 1
+
+        @functools.partial(jax.jit, static_argnums=(0, 1))
+        def gen(shp, s):
+            # fused in ONE program so the i32 iota intermediates never
+            # materialize in HBM (eagerly they are 4 B/elt — several
+            # GB transient at 8B scale, enough to OOM the pool)
+            iota = jax.lax.broadcasted_iota(jnp.int32, shp, len(shp) - 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+            return ((iota * 31 + row * 7 + s) % 255 - 127).astype(jnp.int8)
+
+        codes = gen(shape, salt[0])
+        scale = jnp.full((shape[0], 1), 2e-4, jnp.bfloat16)
+        return QuantizedTensor(w_q=codes, scale=scale, bits=8)
 
     def ones(*shape):
         return jnp.ones(shape, dtype=jnp.bfloat16)
@@ -48,6 +67,9 @@ def init_quantized_params(cfg, seed=0):
             {
                 "input_layernorm": ones(h),
                 "post_attention_layernorm": ones(h),
+                # separate projections: the fused-qkv layout OOMs HBM
+                # at 8B scale (XLA materializes hoisted weight copies
+                # for the wider dots inside the unrolled decode scan)
                 "q_proj": qw(nh * hd, h),
                 "k_proj": qw(nkv * hd, h),
                 "v_proj": qw(nkv * hd, h),
@@ -108,12 +130,12 @@ def main():
     )
     t0 = time.time()
     params = init_quantized_params(cfg)
-    log(f"params init+quantize: {time.time()-t0:.1f}s (~8.2B, int8)")
+    log(f"params init: {time.time()-t0:.1f}s (~8.2B, int8, fused)")
     sched = Scheduler(
         ModelRunner(
             cfg,
             params,
-            CacheConfig(block_size=32, num_blocks=1024, kv_dtype=kv_dtype),
+            CacheConfig(block_size=32, num_blocks=512, kv_dtype=kv_dtype),
             SchedulerConfig(
                 max_num_seqs=32,
                 max_prefill_tokens=2048,

@@ -505,3 +505,65 @@ class TestMiniMax:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestQwen3Next:
+    """Qwen3-Next (HF Qwen3NextForCausalLM): 3:1 gated-DeltaNet /
+    gated-attention hybrid with partial rotary, (1+w) RMSNorms, MoE
+    with a sigmoid-gated shared expert (reference serves it via mlx-lm
+    + patches/qwen3_next_mtp.py)."""
+
+    def _model(self):
+        from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+        torch.manual_seed(17)
+        cfg = Qwen3NextConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            partial_rotary_factor=0.25,
+            linear_num_value_heads=4,
+            linear_num_key_heads=2,
+            linear_key_head_dim=8,
+            linear_value_head_dim=8,
+            linear_conv_kernel_dim=4,
+            full_attention_interval=4,
+            num_experts=4,
+            num_experts_per_tok=2,
+            decoder_sparse_step=1,
+            moe_intermediate_size=32,
+            shared_expert_intermediate_size=48,
+            norm_topk_prob=True,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        return Qwen3NextForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        # gated deltanet layers + gated attention + gated shared expert
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.has_recurrent and cfg.layer_types[0] == "gdn"
+        assert cfg.layer_types[3] == "full_attention"
+        assert cfg.attn_out_gate and cfg.shared_expert_gated
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

@@ -133,7 +133,9 @@ class STTEngine:
                 return (nxt2, pos_ + 1, kv), nxt2
 
             (nxt, pos, self_kv), toks = jax.lax.scan(
-                body, (tokens, pos, self_kv), None, length=steps
+                body, (tokens, pos, self_kv), None, length=steps,
+                unroll=min(8, steps),  # scan-iteration overhead is
+                # significant on this platform (see decode_fast_multi)
             )
             return nxt, toks, self_kv  # toks: [steps, B]
 

@@ -114,6 +114,18 @@ class ModelConfig:
     # "linear_attention" use the decayed linear-attention mixer;
     # linear_cfg holds {"block_size": N} for the prefill formulation.
     linear_cfg: Optional[Dict[str, Any]] = None
+    # Qwen3-Next gated DeltaNet: layer_types entries "gdn" use the
+    # delta-rule fast-weight mixer; gdn_cfg holds its geometry
+    # (models/gated_deltanet.py DeltaNetConfig kwargs).
+    gdn_cfg: Optional[Dict[str, Any]] = None
+    # Qwen3-Next full-attention layers: q_proj emits [query | gate] per
+    # head and the attention output is gated by sigmoid(gate) before
+    # o_proj (HF Qwen3NextAttention.forward)
+    attn_out_gate: bool = False
+    # Qwen3-Next shared expert: dense MLP beside the routed experts,
+    # scaled by sigmoid(shared_expert_gate(x)) (HF
+    # Qwen3NextSparseMoeBlock; DeepSeek's shared experts are ungated)
+    shared_expert_gated: bool = False
     # MiniMax norm-as-residual block: residual = input_layernorm(x)
     # (the un-normed input is DISCARDED) and the combine is
     # residual*alpha + sublayer_out*beta (HF MiniMaxDecoderLayer
@@ -138,9 +150,13 @@ class ModelConfig:
     def has_recurrent(self) -> bool:
         """Any per-slot recurrent mixer layers (Mamba SSD or lightning
         linear attention)."""
-        return self.mamba_cfg is not None or (
-            self.layer_types is not None
-            and "linear_attention" in self.layer_types
+        return (
+            self.mamba_cfg is not None
+            or self.gdn_cfg is not None
+            or (
+                self.layer_types is not None
+                and "linear_attention" in self.layer_types
+            )
         )
 
     def moe_layer_indices(self) -> List[int]:
@@ -337,6 +353,53 @@ class ModelConfig:
                 decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
                 mlp_only_layers=cfg.get("mlp_only_layers", []) or [],
                 norm_topk_prob=cfg.get("norm_topk_prob", True),
+            )
+        if model_type == "qwen3_next":
+            # Qwen3-Next (HF Qwen3NextForCausalLM): 3:1 gated-DeltaNet /
+            # gated full attention hybrid, partial rotary (0.25),
+            # zero-centered (1+w) RMSNorms, per-head qk-norm, MoE with a
+            # sigmoid-gated shared expert. In-checkpoint MTP heads load
+            # via loader.load_mtp_params (reference
+            # patches/qwen3_next_mtp.py)
+            n_layers = cfg.get("num_hidden_layers", 48)
+            interval = cfg.get("full_attention_interval", 4)
+            hf_types = cfg.get("layer_types") or [
+                "linear_attention" if (i + 1) % interval else "full_attention"
+                for i in range(n_layers)
+            ]
+            kw.update(
+                # internal name "gdn" keeps MiniMax's lightning
+                # "linear_attention" mixer distinct
+                layer_types=[
+                    "gdn" if lt == "linear_attention" else lt
+                    for lt in hf_types
+                ],
+                head_dim=cfg.get("head_dim", 256),
+                use_qk_norm=True,
+                rms_add_one=True,
+                attn_out_gate=True,
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.25)
+                ),
+                attention_bias=cfg.get("attention_bias", False),
+                num_experts=cfg.get("num_experts", 0),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
+                mlp_only_layers=cfg.get("mlp_only_layers", []) or [],
+                norm_topk_prob=cfg.get("norm_topk_prob", True),
+                moe_shared_intermediate=cfg.get(
+                    "shared_expert_intermediate_size", 0
+                ),
+                shared_expert_gated=True,
+                gdn_cfg=dict(
+                    num_v_heads=cfg.get("linear_num_value_heads", 32),
+                    num_k_heads=cfg.get("linear_num_key_heads", 16),
+                    head_k_dim=cfg.get("linear_key_head_dim", 128),
+                    head_v_dim=cfg.get("linear_value_head_dim", 128),
+                    conv_kernel=cfg.get("linear_conv_kernel_dim", 4),
+                    norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                ),
             )
         if model_type == "minimax":
             # MiniMax-M1 hybrids (HF MiniMaxForCausalLM): Mixtral-style

@@ -238,7 +238,7 @@ class ModelRunner:
         return sum(
             1
             for lt in self.cfg.layer_types
-            if lt not in ("mamba", "linear_attention")
+            if lt not in ("mamba", "linear_attention", "gdn")
         )
 
     def _init_state(self) -> RunnerState:
@@ -253,11 +253,23 @@ class ModelRunner:
                 )
 
                 mc = MambaMixerConfig(**c.mamba_cfg)
+            dc = None
+            if c.gdn_cfg is not None:
+                from ..models.gated_deltanet import (
+                    DeltaNetConfig,
+                    init_gdn_states,
+                )
+
+                dc = DeltaNetConfig(**c.gdn_cfg)
             ssm_states = []
             for lt in c.layer_types:
                 if lt == "mamba":
                     ssm_states.append(
                         init_mixer_states(mc, self.max_num_seqs)
+                    )
+                elif lt == "gdn":
+                    ssm_states.append(
+                        init_gdn_states(dc, self.max_num_seqs)
                     )
                 elif lt == "linear_attention":
                     # lightning state: per-head decayed K^T V matrix
@@ -630,6 +642,7 @@ class ModelRunner:
             layer_types=None,
             sliding_window=None,
             mamba_cfg=None,
+            gdn_cfg=None,
         )
         self.mtp_params = {
             "fc": mtp_params["fc"],

@@ -361,7 +361,7 @@ class BatchedEngine(BaseEngine):
             )
         elif (
             self._preloaded_params is None
-            and cfg.mamba_cfg is None
+            and not cfg.has_recurrent
             and os.path.isdir(str(self.model_path))
         ):
             # in-checkpoint MTP head (reference patches/qwen3_5_mtp.py):

@@ -363,8 +363,15 @@ def _mlp_block(
         else:
             out = moe_mlp(cfg, p["moe"], x, moe_top_k)
         if "shared_mlp" in p:
-            # DeepSeek shared experts: dense MLP added to routed output
-            out = out + swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
+            # shared experts: dense MLP added to the routed output —
+            # ungated (DeepSeek) or scaled by sigmoid(shared_expert_gate)
+            # (Qwen3-Next, HF Qwen3NextSparseMoeBlock:848-851)
+            shared = swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
+            if cfg.shared_expert_gated:
+                shared = shared * jax.nn.sigmoid(
+                    linear(x, p["shared_gate"]).astype(jnp.float32)
+                ).astype(shared.dtype)
+            out = out + shared
         return out
     if (
         "gate_proj" not in p["mlp"]
@@ -442,10 +449,11 @@ def _stack(
         if cfg.layer_types is not None and cfg.layer_types[i] in (
             "mamba",
             "linear_attention",
+            "gdn",
         ):
             # recurrent mixer block (Mamba SSD / lightning linear
-            # attention): the caller's ssm_fn owns state plumbing
-            # (serving) or runs stateless (dense parity)
+            # attention / gated DeltaNet): the caller's ssm_fn owns
+            # state plumbing (serving) or runs stateless (dense parity)
             mix_out = ssm_fn(i, p, h)
             if rc is not None:
                 # MiniMax norm-as-residual: the NORMED value is the
@@ -468,9 +476,15 @@ def _stack(
             # V was zero-padded to qk head_dim in the pool; the real
             # value channels are the leading v_head_dim
             attn_out = attn_out[..., : cfg.mla["v_head_dim"]]
-        attn_out = linear(
-            attn_out.reshape(t, -1), p["o_proj"], p.get("o_bias")
-        )
+        attn_out = attn_out.reshape(t, -1)
+        if cfg.attn_out_gate:
+            # Qwen3-Next gated attention: q_proj's gate half modulates
+            # the attention output before o_proj (HF
+            # Qwen3NextAttention.forward:396)
+            attn_out = attn_out * jax.nn.sigmoid(
+                linear(h, p["attn_gate"]).astype(jnp.float32)
+            ).astype(attn_out.dtype)
+        attn_out = linear(attn_out, p["o_proj"], p.get("o_bias"))
         if rc is not None:
             # MiniMax norm-as-residual (see recurrent branch above)
             x = h * rc["full_alpha"] + attn_out * rc["full_beta"]
@@ -595,7 +609,7 @@ def unified_forward(
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
     # kv pool index per layer (hybrid models pool only attention layers)
-    _REC = ("mamba", "linear_attention")
+    _REC = ("mamba", "linear_attention", "gdn")
     if cfg.layer_types is not None and any(
         lt in _REC for lt in cfg.layer_types
     ):
@@ -658,17 +672,12 @@ def unified_forward(
             any_prefill, row_slot[d0], jnp.int32(n_slots)
         )
 
-        def ssm_fn(i, layer_p, h):
-            m = mamba_of[i]
-            if cfg.layer_types[i] == "linear_attention":
-                return _lightning_serving(
-                    cfg, layer_p["lightning"], i, h, states, m,
-                    is_prefill, is_decode, row_slot, n_slots,
-                    any_prefill, d0, pslot, new_ssm_states,
-                )
-            from .mamba2 import mixer_sequence, mixer_step
-
-            p = layer_p["mamba"]
+        def _mixer_serving(step_fn, seq_fn, h, m):
+            """Shared slot plumbing for (conv, state)-shaped recurrent
+            mixers (Mamba SSD, gated DeltaNet): batched closed-form
+            decode for decode rows; the (single) prefilling sequence's
+            contiguous rows rolled to the front and scanned with its
+            carried state."""
             conv, ssm = states[m]
             # decode rows -> their slots (one closed-form step each)
             slot_or_drop = jnp.where(is_decode, row_slot, n_slots)
@@ -678,7 +687,7 @@ def unified_forward(
             active = jnp.zeros((n_slots,), bool).at[slot_or_drop].set(
                 True, mode="drop"
             )
-            y_dec, conv1, ssm1 = mixer_step(p, mc, x_slots, active, conv, ssm)
+            y_dec, conv1, ssm1 = step_fn(x_slots, active, conv, ssm)
             # the one prefilling sequence: roll its contiguous rows to
             # the front so the conv window stitches onto its state
             h_roll = jnp.roll(h, -d0, axis=0)
@@ -689,8 +698,8 @@ def unified_forward(
             init_ssm = jnp.where(
                 any_prefill, ssm[jnp.minimum(pslot, n_slots - 1)], 0.0
             )
-            y_seq, conv_p, ssm_p = mixer_sequence(
-                p, mc, h_roll, valid_roll, init_conv, init_ssm
+            y_seq, conv_p, ssm_p = seq_fn(
+                h_roll, valid_roll, init_conv, init_ssm
             )
             y_seq = jnp.roll(y_seq, d0, axis=0)
             conv2 = conv1.at[pslot].set(
@@ -704,6 +713,37 @@ def unified_forward(
                 jnp.where(is_decode[:, None], y_dec[row_slot], 0.0),
             )
             return y.astype(h.dtype)
+
+        def ssm_fn(i, layer_p, h):
+            m = mamba_of[i]
+            if cfg.layer_types[i] == "linear_attention":
+                return _lightning_serving(
+                    cfg, layer_p["lightning"], i, h, states, m,
+                    is_prefill, is_decode, row_slot, n_slots,
+                    any_prefill, d0, pslot, new_ssm_states,
+                )
+            if cfg.layer_types[i] == "gdn":
+                from .gated_deltanet import (
+                    DeltaNetConfig,
+                    gdn_sequence,
+                    gdn_step,
+                )
+
+                dc = DeltaNetConfig(**cfg.gdn_cfg)
+                p = layer_p["gdn"]
+                return _mixer_serving(
+                    lambda x, a, c, s: gdn_step(p, dc, x, a, c, s),
+                    lambda x, v, c, s: gdn_sequence(p, dc, x, v, c, s),
+                    h, m,
+                )
+            from .mamba2 import mixer_sequence, mixer_step
+
+            p = layer_p["mamba"]
+            return _mixer_serving(
+                lambda x, a, c, s: mixer_step(p, mc, x, a, c, s),
+                lambda x, v, c, s: mixer_sequence(p, mc, x, v, c, s),
+                h, m,
+            )
 
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
@@ -848,6 +888,19 @@ def dense_forward(
                         jnp.float32,
                     ),
                     block=(cfg.linear_cfg or {}).get("block_size", 64),
+                )
+                return y
+            if cfg.layer_types[i] == "gdn":
+                from .gated_deltanet import DeltaNetConfig, gdn_sequence
+
+                dc = DeltaNetConfig(**cfg.gdn_cfg)
+                y, _, _ = gdn_sequence(
+                    layer_p["gdn"], dc, h, None,
+                    jnp.zeros((dc.conv_dim, dc.conv_kernel), h.dtype),
+                    jnp.zeros(
+                        (dc.num_v_heads, dc.head_k_dim, dc.head_v_dim),
+                        jnp.float32,
+                    ),
                 )
                 return y
             from .mamba2 import mixer_sequence

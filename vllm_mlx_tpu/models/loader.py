@@ -162,6 +162,58 @@ def load_params(
                 }.get(rest)
                 if key:
                     ld.setdefault("lightning", {})[key] = put(tensor)
+            elif rest.startswith("linear_attn."):
+                # Qwen3-Next gated DeltaNet. The checkpoint interleaves
+                # per-k-head groups in in_proj_qkvz/in_proj_ba (HF
+                # fix_query_key_value_ordering); canonicalize to
+                # [q | k | v | z] / [b | a] here so the runtime split is
+                # a plain slice (models/gated_deltanet.py _project)
+                sub = rest.split(".", 1)[1]
+                gd = ld.setdefault("gdn", {})
+                t = np.asarray(tensor)
+                g = cfg.gdn_cfg
+                nk, nv = g["num_k_heads"], g["num_v_heads"]
+                dk, dv = g["head_k_dim"], g["head_v_dim"]
+                r = nv // nk
+                if sub == "in_proj_qkvz.weight":
+                    w = t.reshape(nk, 2 * dk + 2 * r * dv, -1)
+                    gd["qkvz_w"] = put(np.concatenate([
+                        w[:, :dk].reshape(nk * dk, -1),
+                        w[:, dk : 2 * dk].reshape(nk * dk, -1),
+                        w[:, 2 * dk : 2 * dk + r * dv].reshape(nv * dv, -1),
+                        w[:, 2 * dk + r * dv :].reshape(nv * dv, -1),
+                    ], axis=0))
+                elif sub == "in_proj_ba.weight":
+                    w = t.reshape(nk, 2 * r, -1)
+                    gd["ba_w"] = put(np.concatenate([
+                        w[:, :r].reshape(nv, -1),
+                        w[:, r:].reshape(nv, -1),
+                    ], axis=0))
+                elif sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
+                    gd["conv_w"] = jnp.asarray(
+                        t.reshape(t.shape[0], t.shape[-1])
+                    ).astype(jnp.float32)
+                elif sub == "out_proj.weight":
+                    gd["out_w"] = put(t)
+                else:
+                    key = {
+                        "dt_bias": "dt_bias",
+                        "A_log": "a_log",
+                        "norm.weight": "norm_w",
+                    }.get(sub)
+                    if key is not None:
+                        gd[key] = jnp.asarray(t).astype(jnp.float32)
+            elif (
+                cfg.attn_out_gate
+                and rest == "self_attn.q_proj.weight"
+            ):
+                # Qwen3-Next: q_proj rows are per-head [query(hd),
+                # gate(hd)] pairs — split into q_proj + attn_gate
+                t = np.asarray(tensor)
+                nh, hd = cfg.num_attention_heads, cfg.head_dim
+                w = t.reshape(nh, 2 * hd, -1)
+                ld["q_proj"] = put(w[:, :hd].reshape(nh * hd, -1))
+                ld["attn_gate"] = put(w[:, hd:].reshape(nh * hd, -1))
             elif rest.startswith("self_attn.qkv_proj."):
                 # Phi-3 fused qkv: split rows [q; k; v]
                 t = np.asarray(tensor)
@@ -251,12 +303,15 @@ def load_params(
                 ld.setdefault("moe", {})["router"] = put(tensor)
             elif rest == "mlp.router.bias":
                 ld.setdefault("moe", {})["router_bias"] = put(tensor)
-            elif rest.startswith("mlp.shared_experts."):
-                # DeepSeek shared experts: a dense MLP beside the
-                # routed experts
+            elif rest.startswith(("mlp.shared_experts.", "mlp.shared_expert.")):
+                # shared experts: a dense MLP beside the routed experts
+                # (DeepSeek plural / Qwen3-Next singular naming)
                 proj = rest.split(".")[2]
                 if proj in ("gate_proj", "up_proj", "down_proj"):
                     ld.setdefault("shared_mlp", {})[proj] = put(tensor)
+            elif rest == "mlp.shared_expert_gate.weight":
+                # Qwen3-Next: sigmoid gate scaling the shared expert
+                ld["shared_gate"] = put(tensor)
             elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
                 ".weight"
             ):
