@@ -108,6 +108,18 @@ def main():
     # attention-kernel tuning sweep: bench_8b.py [kv_pages] [q_block]
     # [kv_dtype]  (VERDICT r2 weak #1 — defaults 4/32/bfloat16)
     argv = sys.argv[1:]
+    # timing-only ablations (WRONG OUTPUTS): "nokv" skips the per-layer
+    # KV scatter, "noattn" zeroes the attention kernel — attributes
+    # step-time between weights / scatters / attention
+    if "nokv" in argv or "noattn" in argv:
+        from vllm_mlx_tpu.ops.ragged_attention import set_ablation
+
+        set_ablation(
+            skip_kv_writes="nokv" in argv,
+            skip_attention="noattn" in argv,
+        )
+        log(f"ABLATION (timing-only): {[a for a in argv if a.startswith('no')]}")
+        argv = [a for a in argv if not a.startswith("no")]
     if len(argv) >= 2:
         set_attention_block_config(int(argv[0]), int(argv[1]))
         log(f"attention blocks: kv_pages={argv[0]} q_block={argv[1]}")

@@ -230,3 +230,173 @@ def test_mtp_head_with_tp2(mtp_model_dir):
     ref = asyncio.run(run(1))
     got = asyncio.run(run(2))
     assert got == ref and len(ref) == 12
+
+
+@pytest.fixture(scope="module")
+def qwen3_next_mtp_dir(tmp_path_factory):
+    """Tiny Qwen3-Next checkpoint (gated-DeltaNet hybrid) + synthetic
+    mtp.* head weights shaped like the reference's full decoder layer
+    (qwen3_next_mtp.py builds a Qwen3NextDecoderLayer at a
+    full-attention index: gated attention + MoE with shared expert)."""
+    from safetensors.numpy import save_file
+    from tokenizers import (
+        Tokenizer,
+        decoders,
+        models,
+        pre_tokenizers,
+        trainers,
+    )
+    from transformers import (
+        PreTrainedTokenizerFast,
+        Qwen3NextConfig,
+        Qwen3NextForCausalLM,
+    )
+
+    d = tmp_path_factory.mktemp("qwen3_next_mtp")
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=300,
+        special_tokens=["</s>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(
+        ["the quick brown fox jumps over the lazy dog"] * 8, trainer
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, eos_token="</s>", pad_token="</s>"
+    )
+    fast.save_pretrained(d)
+    torch.manual_seed(7)
+    h, hd, nh, nkv = 64, 16, 4, 2
+    e, mi, si = 4, 32, 48
+    cfg = Qwen3NextConfig(
+        vocab_size=tok.get_vocab_size(),
+        hidden_size=h,
+        intermediate_size=96,
+        num_hidden_layers=4,
+        num_attention_heads=nh,
+        num_key_value_heads=nkv,
+        head_dim=hd,
+        partial_rotary_factor=0.25,
+        linear_num_value_heads=4,
+        linear_num_key_heads=2,
+        linear_key_head_dim=8,
+        linear_value_head_dim=8,
+        linear_conv_kernel_dim=4,
+        full_attention_interval=4,
+        num_experts=e,
+        num_experts_per_tok=2,
+        decoder_sparse_step=1,
+        moe_intermediate_size=mi,
+        shared_expert_intermediate_size=si,
+        norm_topk_prob=True,
+        max_position_embeddings=512,
+        tie_word_embeddings=False,
+        pad_token_id=0,
+        eos_token_id=fast.eos_token_id,
+        attn_implementation="eager",
+    )
+    Qwen3NextForCausalLM(cfg).eval().save_pretrained(
+        d, safe_serialization=True
+    )
+
+    rng = np.random.default_rng(5)
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    mtp = {
+        "mtp.fc.weight": w(h, 2 * h),
+        "mtp.pre_fc_norm_embedding.weight": np.zeros(h, np.float32),
+        "mtp.pre_fc_norm_hidden.weight": np.zeros(h, np.float32),
+        "mtp.norm.weight": np.zeros(h, np.float32),
+        "mtp.layers.0.input_layernorm.weight": np.zeros(h, np.float32),
+        "mtp.layers.0.post_attention_layernorm.weight": np.zeros(
+            h, np.float32
+        ),
+        # gated attention: q_proj emits [query | gate] per head
+        "mtp.layers.0.self_attn.q_proj.weight": w(nh * hd * 2, h),
+        "mtp.layers.0.self_attn.k_proj.weight": w(nkv * hd, h),
+        "mtp.layers.0.self_attn.v_proj.weight": w(nkv * hd, h),
+        "mtp.layers.0.self_attn.o_proj.weight": w(h, nh * hd),
+        "mtp.layers.0.self_attn.q_norm.weight": np.zeros(hd, np.float32),
+        "mtp.layers.0.self_attn.k_norm.weight": np.zeros(hd, np.float32),
+        "mtp.layers.0.mlp.gate.weight": w(e, h),
+        "mtp.layers.0.mlp.shared_expert.gate_proj.weight": w(si, h),
+        "mtp.layers.0.mlp.shared_expert.up_proj.weight": w(si, h),
+        "mtp.layers.0.mlp.shared_expert.down_proj.weight": w(h, si),
+        "mtp.layers.0.mlp.shared_expert_gate.weight": w(1, h),
+    }
+    for i in range(e):
+        mtp[f"mtp.layers.0.mlp.experts.{i}.gate_proj.weight"] = w(mi, h)
+        mtp[f"mtp.layers.0.mlp.experts.{i}.up_proj.weight"] = w(mi, h)
+        mtp[f"mtp.layers.0.mlp.experts.{i}.down_proj.weight"] = w(h, mi)
+    save_file(mtp, str(d / "mtp_head.safetensors"))
+    return str(d)
+
+
+def test_qwen3_next_mtp_loader(qwen3_next_mtp_dir):
+    """The shared layer parser handles the MTP layer's gated attention
+    and MoE weights."""
+    from vllm_mlx_tpu.models import loader
+
+    cfg = ModelConfig.from_pretrained(qwen3_next_mtp_dir)
+    cfg.dtype = "float32"
+    mtp = loader.load_mtp_params(qwen3_next_mtp_dir, cfg)
+    assert mtp is not None
+    layer = mtp["layer"]
+    assert "attn_gate" in layer  # gated q_proj split
+    assert "moe" in layer and "gate_w" in layer["moe"]
+    assert "shared_mlp" in layer and "shared_gate" in layer
+
+
+def test_qwen3_next_mtp_greedy_identity(qwen3_next_mtp_dir):
+    """Hybrid target + in-checkpoint MTP head: the two-pass segment
+    verify commits DeltaNet state only over accepted rows, so greedy
+    output is token-identical to serving without speculation."""
+    import glob
+    import shutil
+    import tempfile
+
+    async def run(model_dir, expect_mtp):
+        eng = _engine(model_dir)
+        await eng.start()
+        try:
+            runner = eng.scheduler.runner
+            if expect_mtp:
+                assert runner.spec_k > 0
+                assert getattr(runner, "mtp_params", None) is not None
+            else:
+                assert runner.spec_k == 0
+            outs = {}
+            for rid, prompt in (
+                ("a", "the quick brown fox"),
+                ("b", "jumps over"),
+            ):
+                toks = []
+                async for chunk in eng.stream_generate(
+                    prompt, request_id=rid, temperature=0.0, max_tokens=16
+                ):
+                    toks.extend(chunk.token_ids)
+                outs[rid] = toks
+            final = None
+            async for chunk in eng.stream_generate(
+                "lazy dog", request_id="c", temperature=0.0, max_tokens=12
+            ):
+                final = chunk
+            if expect_mtp:
+                assert final.mtp_drafts > 0  # spec rounds actually ran
+            return outs
+        finally:
+            await eng.stop()
+
+    with tempfile.TemporaryDirectory() as plain_dir:
+        for f in glob.glob(f"{qwen3_next_mtp_dir}/*"):
+            if "mtp_head" not in f:
+                shutil.copy(f, plain_dir)
+        ref = asyncio.run(run(plain_dir, expect_mtp=False))
+    got = asyncio.run(run(qwen3_next_mtp_dir, expect_mtp=True))
+    assert got == ref
+    assert len(got["a"]) == 16

@@ -575,6 +575,17 @@ class ModelRunner:
         )
 
     # --------------------------------------------------- speculative decoding
+    def _check_spec_hybrid_support(self) -> None:
+        """Speculation supports Mamba/DeltaNet hybrids via the two-pass
+        segment verify (recurrent state committed only over accepted
+        rows); lightning linear attention has no segment formulation
+        wired yet."""
+        if self.cfg.layer_types and "linear_attention" in self.cfg.layer_types:
+            raise ValueError(
+                "speculative decoding is not supported for "
+                "lightning-attention hybrids"
+            )
+
     def enable_speculative(self, draft_params, draft_cfg, k: int) -> None:
         """Attach a draft model (same tokenizer/vocab, same page geometry
         pool). The reference's MTP speculation is draft-1/verify-1 over
@@ -585,10 +596,10 @@ class ModelRunner:
         matters at ~30 ms/sync on this platform."""
         if draft_cfg.vocab_size != self.cfg.vocab_size:
             raise ValueError("draft/target vocab mismatch")
-        if self.has_ssm:
+        self._check_spec_hybrid_support()
+        if draft_cfg.has_recurrent:
             raise ValueError(
-                "speculative decoding is not supported for hybrid SSM "
-                "models (recurrent state cannot roll back)"
+                "speculative DRAFT models must be attention-only"
             )
         draft_pages = make_kv_pages(
             draft_cfg.num_hidden_layers,
@@ -631,11 +642,7 @@ class ModelRunner:
         hidden output across the k draft steps."""
         import dataclasses as _dc
 
-        if self.has_ssm:
-            raise ValueError(
-                "MTP-head speculation is not supported for hybrid SSM "
-                "models (recurrent state cannot roll back)"
-            )
+        self._check_spec_hybrid_support()
         dcfg = _dc.replace(
             self.cfg,
             num_hidden_layers=1,
@@ -711,11 +718,12 @@ class ModelRunner:
         if self.cfg.embed_scale:
             e = e * jnp.asarray(self.cfg.embed_scale, dtype=e.dtype)
         eps = self.cfg.rms_norm_eps
+        a1 = self.cfg.rms_add_one
         x = jnp.concatenate(
             [
-                rms_norm(e, mtp["pre_norm_emb"], eps),
+                rms_norm(e, mtp["pre_norm_emb"], eps, a1),
                 rms_norm(
-                    h_prev.astype(e.dtype), mtp["pre_norm_hidden"], eps
+                    h_prev.astype(e.dtype), mtp["pre_norm_hidden"], eps, a1
                 ),
             ],
             axis=-1,
@@ -821,7 +829,21 @@ class ModelRunner:
             jnp.take_along_axis(tables, idx, axis=1) * ps + row_pos % ps,
             oob,
         ).reshape(-1)
-        hidden, new_pages, new_ssm = decoder.unified_forward(
+        verify_ssm_ctx = None
+        if state.ssm_states is not None:
+            # hybrid target: pass 1 scans each slot's (k+1)-row segment
+            # from its carried recurrent state WITHOUT committing — the
+            # accepted-prefix outputs are causal, so they are exact
+            # (two-pass rollback; cf. reference scheduler _mtp_step)
+            verify_ssm_ctx = {
+                "mode": "segments",
+                "states": state.ssm_states,
+                "valid": (
+                    active[:, None] & (row_pos <= max_pos)
+                ).reshape(-1),
+                "commit": False,
+            }
+        hidden, new_pages, _ = decoder.unified_forward(
             params,
             self.cfg,
             flat_tokens,
@@ -835,6 +857,7 @@ class ModelRunner:
             self.sched_cfg.moe_top_k,
             kv_scale=self.kv_scale,
             mesh=self.mesh,
+            ssm_ctx=verify_ssm_ctx,
         )
         logits = decoder.compute_logits(params, self.cfg, hidden)
         preds = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(
@@ -860,6 +883,39 @@ class ModelRunner:
         bonus = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
         emitted = jnp.sum(out >= 0, axis=1)  # [S] tokens this round
 
+        new_ssm_states = state.ssm_states
+        if state.ssm_states is not None:
+            # pass 2: re-run the stack with only the accepted rows
+            # (+ the current token) valid, committing recurrent state
+            # exactly through position base+emitted-1. KV writes are
+            # suppressed (all-OOB dests) — pass 1 already wrote them.
+            keep = (
+                active[:, None]
+                & (row_pos <= max_pos)
+                & (jnp.arange(k + 1)[None, :] <= n_acc[:, None])
+            )
+            _, _, new_ssm_states = decoder.unified_forward(
+                params,
+                self.cfg,
+                flat_tokens,
+                flat_pos,
+                new_pages,
+                jnp.full_like(flat_dest, oob),
+                jnp.where(active, base + k + 1, 0),
+                tables,
+                cu * (k + 1),
+                n_act[None],
+                self.sched_cfg.moe_top_k,
+                kv_scale=self.kv_scale,
+                mesh=self.mesh,
+                ssm_ctx={
+                    "mode": "segments",
+                    "states": state.ssm_states,
+                    "valid": keep.reshape(-1),
+                    "commit": True,
+                },
+            )
+
         new_last_hidden = state.last_hidden
         if state.last_hidden is not None:
             # hidden at each slot's last ACCEPTED row pairs with the
@@ -873,6 +929,7 @@ class ModelRunner:
             state,
             kv_pages=new_pages,
             draft_pages=dpages,
+            ssm_states=new_ssm_states,
             device_tokens=jnp.where(active, bonus, state.device_tokens),
             kv_lens=jnp.where(active, base + emitted, base),
             step_count=state.step_count + 1,

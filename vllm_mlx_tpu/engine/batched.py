@@ -361,7 +361,9 @@ class BatchedEngine(BaseEngine):
             )
         elif (
             self._preloaded_params is None
-            and not cfg.has_recurrent
+            and not (
+                cfg.layer_types and "linear_attention" in cfg.layer_types
+            )
             and os.path.isdir(str(self.model_path))
         ):
             # in-checkpoint MTP head (reference patches/qwen3_5_mtp.py):

@@ -652,7 +652,46 @@ def unified_forward(
 
     ssm_fn = None
     new_ssm_states: Optional[List[Tuple]] = None
-    if ssm_ctx is not None:
+    if ssm_ctx is not None and ssm_ctx.get("mode") == "segments":
+        # speculative-verify mode: every slot contributes a FIXED-length
+        # segment of L = T / n_slots contiguous rows; each recurrent
+        # layer scans the segment from the slot's carried state (vmap
+        # over slots). ``valid`` [T] masks the rows that advance state;
+        # with commit=False the state write-back is skipped entirely
+        # (read-only logits pass — spec rollback support, reference
+        # scheduler.py _mtp_step semantics for hybrid targets).
+        states = ssm_ctx["states"]
+        seg_valid = ssm_ctx["valid"]  # [T] bool
+        commit = ssm_ctx.get("commit", True)
+        n_slots = states[0][0].shape[0]
+        new_ssm_states = [None] * len(states)
+
+        def ssm_fn(i, layer_p, h):
+            m = mamba_of[i]
+            conv, ssm = states[m]
+            seg = h.shape[0] // n_slots
+            hx = h.reshape(n_slots, seg, -1)
+            vx = seg_valid.reshape(n_slots, seg)
+            if cfg.layer_types[i] == "gdn":
+                from .gated_deltanet import DeltaNetConfig, gdn_sequence
+
+                dc = DeltaNetConfig(**cfg.gdn_cfg)
+                p = layer_p["gdn"]
+                fn = lambda x, v, c, s: gdn_sequence(p, dc, x, v, c, s)
+            else:
+                from .mamba2 import MambaMixerConfig, mixer_sequence
+
+                mcx = MambaMixerConfig(**cfg.mamba_cfg)
+                p = layer_p["mamba"]
+                fn = lambda x, v, c, s: mixer_sequence(p, mcx, x, v, c, s)
+            y, conv_n, ssm_n = jax.vmap(fn)(hx, vx, conv, ssm)
+            new_ssm_states[m] = (
+                (conv_n.astype(conv.dtype), ssm_n) if commit
+                else (conv, ssm)
+            )
+            return y.reshape(h.shape[0], -1).astype(h.dtype)
+
+    elif ssm_ctx is not None:
         mc = None
         if cfg.mamba_cfg is not None:
             from .mamba2 import MambaMixerConfig

@@ -55,6 +55,276 @@ def _strip(name: str) -> str:
     return name
 
 
+def _parse_layer_tensor(
+    cfg: ModelConfig,
+    ld: Params,
+    rest: str,
+    tensor: np.ndarray,
+    put,
+    stage: Dict[str, Dict[int, np.ndarray]],
+    lt: Optional[str],
+) -> None:
+    """Map one ``layers.{i}.<rest>`` checkpoint tensor into the layer
+    dict ``ld`` (shared by load_params and load_mtp_params; ``stage``
+    collects per-expert MoE weights for stacking, ``lt`` is the layer's
+    layer_types entry or None)."""
+    if rest in ("input_layernorm.weight", "norm.weight"):
+        # "norm.weight" = pure-Mamba2 block norm
+        ld["input_layernorm"] = put(tensor)
+    elif rest == "input_layernorm.bias":
+        ld["input_layernorm_bias"] = put(tensor)
+    elif rest == "post_attention_layernorm.bias":
+        ld["post_attention_layernorm_bias"] = put(tensor)
+    elif cfg.model_type == "glm4" and rest in (
+        # GLM-4 sandwich norms map onto the gemma-style slots:
+        # post_self_attn -> post_attention (scales attn out),
+        # post_attention -> pre_feedforward (pre-MLP norm),
+        # post_mlp -> post_feedforward (scales MLP out)
+        "post_self_attn_layernorm.weight",
+        "post_attention_layernorm.weight",
+        "post_mlp_layernorm.weight",
+    ):
+        key = {
+            "post_self_attn_layernorm.weight":
+                "post_attention_layernorm",
+            "post_attention_layernorm.weight":
+                "pre_feedforward_layernorm",
+            "post_mlp_layernorm.weight":
+                "post_feedforward_layernorm",
+        }[rest]
+        ld[key] = put(tensor)
+    elif rest in (
+        "post_attention_layernorm.weight",
+        "pre_ff_layernorm.weight",  # Bamba
+    ):
+        ld["post_attention_layernorm"] = put(tensor)
+    elif rest.startswith(("mixer.", "mamba.")):
+        # Mamba2 SSD mixer (kept float32: states/decays are
+        # precision-sensitive; matmul weights cast to jdt)
+        sub = rest.split(".", 1)[1]
+        md = ld.setdefault("mamba", {})
+        t = np.asarray(tensor)
+        key = {
+            "in_proj.weight": "in_w",
+            "in_proj.bias": "in_b",
+            "conv1d.bias": "conv_b",
+            "dt_bias": "dt_bias",
+            "A_log": "a_log",
+            "D": "d",
+            "norm.weight": "norm_w",
+            "out_proj.weight": "out_w",
+            "out_proj.bias": "out_b",
+        }.get(sub)
+        if sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
+            md["conv_w"] = jnp.asarray(
+                t.reshape(t.shape[0], t.shape[-1])
+            ).astype(jnp.float32)
+        elif key in ("in_w", "out_w"):
+            md[key] = put(t)
+        elif key is not None:
+            md[key] = jnp.asarray(t).astype(jnp.float32)
+    elif rest == "pre_feedforward_layernorm.weight":
+        ld["pre_feedforward_layernorm"] = put(tensor)
+    elif rest == "post_feedforward_layernorm.weight":
+        ld["post_feedforward_layernorm"] = put(tensor)
+    elif rest == "self_attn.sinks":
+        # GPT-OSS learned per-head attention sink logits (f32:
+        # they enter the softmax max/denominator directly)
+        ld["sinks"] = jnp.asarray(tensor).astype(jnp.float32)
+    elif (
+        cfg.model_type == "minimax"
+        and lt == "linear_attention"
+        and rest.startswith("self_attn.")
+    ):
+        # lightning layer: HEAD-MAJOR fused qkv stays fused
+        key = {
+            "self_attn.qkv_proj.weight": "qkv_w",
+            "self_attn.out_proj.weight": "out_w",
+            "self_attn.output_gate.weight": "gate_w",
+            "self_attn.norm.weight": "norm_w",
+        }.get(rest)
+        if key:
+            ld.setdefault("lightning", {})[key] = put(tensor)
+    elif rest.startswith("linear_attn."):
+        # Qwen3-Next gated DeltaNet. The checkpoint interleaves
+        # per-k-head groups in in_proj_qkvz/in_proj_ba (HF
+        # fix_query_key_value_ordering); canonicalize to
+        # [q | k | v | z] / [b | a] here so the runtime split is
+        # a plain slice (models/gated_deltanet.py _project)
+        sub = rest.split(".", 1)[1]
+        gd = ld.setdefault("gdn", {})
+        t = np.asarray(tensor)
+        g = cfg.gdn_cfg
+        nk, nv = g["num_k_heads"], g["num_v_heads"]
+        dk, dv = g["head_k_dim"], g["head_v_dim"]
+        r = nv // nk
+        if sub == "in_proj_qkvz.weight":
+            w = t.reshape(nk, 2 * dk + 2 * r * dv, -1)
+            gd["qkvz_w"] = put(np.concatenate([
+                w[:, :dk].reshape(nk * dk, -1),
+                w[:, dk : 2 * dk].reshape(nk * dk, -1),
+                w[:, 2 * dk : 2 * dk + r * dv].reshape(nv * dv, -1),
+                w[:, 2 * dk + r * dv :].reshape(nv * dv, -1),
+            ], axis=0))
+        elif sub == "in_proj_ba.weight":
+            w = t.reshape(nk, 2 * r, -1)
+            gd["ba_w"] = put(np.concatenate([
+                w[:, :r].reshape(nv, -1),
+                w[:, r:].reshape(nv, -1),
+            ], axis=0))
+        elif sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
+            gd["conv_w"] = jnp.asarray(
+                t.reshape(t.shape[0], t.shape[-1])
+            ).astype(jnp.float32)
+        elif sub == "out_proj.weight":
+            gd["out_w"] = put(t)
+        else:
+            key = {
+                "dt_bias": "dt_bias",
+                "A_log": "a_log",
+                "norm.weight": "norm_w",
+            }.get(sub)
+            if key is not None:
+                gd[key] = jnp.asarray(t).astype(jnp.float32)
+    elif (
+        cfg.attn_out_gate
+        and rest == "self_attn.q_proj.weight"
+    ):
+        # Qwen3-Next: q_proj rows are per-head [query(hd),
+        # gate(hd)] pairs — split into q_proj + attn_gate
+        t = np.asarray(tensor)
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        w = t.reshape(nh, 2 * hd, -1)
+        ld["q_proj"] = put(w[:, :hd].reshape(nh * hd, -1))
+        ld["attn_gate"] = put(w[:, hd:].reshape(nh * hd, -1))
+    elif rest.startswith("self_attn.qkv_proj."):
+        # Phi-3 fused qkv: split rows [q; k; v]
+        t = np.asarray(tensor)
+        nh = cfg.num_attention_heads * cfg.head_dim
+        nkv = cfg.num_key_value_heads * cfg.head_dim
+        kind = rest.rsplit(".", 1)[1]
+        names = (
+            ("q_proj", "k_proj", "v_proj")
+            if kind == "weight"
+            else ("q_bias", "k_bias", "v_bias")
+        )
+        ld[names[0]] = put(t[:nh])
+        ld[names[1]] = put(t[nh : nh + nkv])
+        ld[names[2]] = put(t[nh + nkv :])
+    elif rest.startswith("mlp.gate_up_proj."):
+        # GLM-4 / Phi-3 fused gate_up: gate rows first
+        t = np.asarray(tensor)
+        inter = cfg.intermediate_size
+        kind = rest.rsplit(".", 1)[1]
+        names = (
+            ("gate_proj", "up_proj")
+            if kind == "weight"
+            else ("gate_bias", "up_bias")
+        )
+        ld.setdefault("mlp", {})[names[0]] = put(t[:inter])
+        ld.setdefault("mlp", {})[names[1]] = put(t[inter:])
+    elif rest.startswith("self_attn."):
+        sub = rest[len("self_attn."):]
+        proj, kind = sub.rsplit(".", 1)
+        if proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            key = proj if kind == "weight" else proj[0] + "_bias"
+            if proj == "o_proj" and kind == "bias":
+                key = "o_bias"
+            ld[key] = put(tensor)
+        elif proj in ("q_norm", "k_norm") and kind == "weight":
+            ld[proj] = put(tensor)
+        elif proj in (
+            # DeepSeek MLA projections (HF modeling_deepseek_v3)
+            "q_a_proj",
+            "q_b_proj",
+            "q_a_layernorm",
+            "kv_a_layernorm",
+            "kv_b_proj",
+        ):
+            key = proj if kind == "weight" else proj[:-5] + "_bias"
+            ld[key] = put(tensor)
+        elif proj == "kv_a_proj_with_mqa":
+            ld["kv_a_proj" if kind == "weight" else "kv_a_bias"] = (
+                put(tensor)
+            )
+    elif rest.startswith("mlp.experts.") and rest.split(".")[2] in (
+        "gate_up_proj",
+        "gate_up_proj_bias",
+        "down_proj",
+        "down_proj_bias",
+    ):
+        # GPT-OSS experts ship pre-stacked: gate_up_proj
+        # [E, H, 2I] / down_proj [E, I, H] already in
+        # ragged_dot's [E, contract, out] layout; biases [E, .]
+        sub = rest.split(".")[2]
+        key = {
+            "gate_up_proj": "gate_up_w",
+            "gate_up_proj_bias": "gate_up_b",
+            "down_proj": "down_w",
+            "down_proj_bias": "down_b",
+        }[sub]
+        ld.setdefault("moe", {})[key] = put(tensor)
+    elif rest.startswith(("mlp.experts.", "block_sparse_moe.experts.")):
+        # mlp.experts.{e}.{gate,up,down}_proj.weight and the
+        # Mixtral naming block_sparse_moe.experts.{e}.w1/w2/w3
+        parts2 = rest.split(".")
+        e = int(parts2[2])
+        proj = {
+            "w1": "gate_proj",
+            "w2": "down_proj",
+            "w3": "up_proj",
+        }.get(parts2[3], parts2[3])
+        stage.setdefault(proj, {})[e] = tensor
+    elif rest in ("mlp.gate.weight", "block_sparse_moe.gate.weight"):
+        ld.setdefault("moe", {})["router"] = put(tensor)
+    elif rest == "mlp.gate.e_score_correction_bias":
+        # DeepSeek V3 selection bias (f32 like HF's buffer)
+        ld.setdefault("moe", {})["e_score_bias"] = jnp.asarray(
+            tensor
+        ).astype(jnp.float32)
+    elif rest == "mlp.router.weight":
+        ld.setdefault("moe", {})["router"] = put(tensor)
+    elif rest == "mlp.router.bias":
+        ld.setdefault("moe", {})["router_bias"] = put(tensor)
+    elif rest.startswith(("mlp.shared_experts.", "mlp.shared_expert.")):
+        # shared experts: a dense MLP beside the routed experts
+        # (DeepSeek plural / Qwen3-Next singular naming)
+        proj = rest.split(".")[2]
+        if proj in ("gate_proj", "up_proj", "down_proj"):
+            ld.setdefault("shared_mlp", {})[proj] = put(tensor)
+    elif rest == "mlp.shared_expert_gate.weight":
+        # Qwen3-Next: sigmoid gate scaling the shared expert
+        ld["shared_gate"] = put(tensor)
+    elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
+        ".weight"
+    ):
+        proj = rest.split(".")[1]
+        if proj in ("gate_proj", "up_proj", "down_proj"):
+            ld.setdefault("mlp", {})[proj] = put(tensor)
+    elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
+        ".bias"
+    ):
+        proj = rest.split(".")[1]
+        if proj in ("gate_proj", "up_proj", "down_proj"):
+            ld.setdefault("mlp", {})[proj.split("_")[0] + "_bias"] = put(tensor)
+
+
+def _stack_moe(ld: Params, projs: Dict[str, Dict[int, np.ndarray]], put) -> None:
+    """Stack staged per-expert weights: ragged_dot wants rhs
+    [E, K_contract, N_out]."""
+    if not projs:
+        return
+    moe = ld.setdefault("moe", {})
+    for proj, experts in projs.items():
+        stacked = np.stack([experts[e] for e in sorted(experts)], axis=0)
+        # HF expert weight is [out, in]; transpose to [E, in, out].
+        stacked = np.swapaxes(stacked, 1, 2)
+        key = {"gate_proj": "gate_w", "up_proj": "up_w", "down_proj": "down_w"}[
+            proj
+        ]
+        moe[key] = put(stacked)
+
+
 def load_params(
     model_path: str, cfg: ModelConfig, dtype: Optional[str] = None
 ) -> Params:
@@ -82,260 +352,18 @@ def load_params(
         elif n.startswith("layers."):
             parts = n.split(".")
             i = int(parts[1])
-            rest = ".".join(parts[2:])
-            ld = layers[i]
-            if rest in ("input_layernorm.weight", "norm.weight"):
-                # "norm.weight" = pure-Mamba2 block norm
-                ld["input_layernorm"] = put(tensor)
-            elif rest == "input_layernorm.bias":
-                ld["input_layernorm_bias"] = put(tensor)
-            elif rest == "post_attention_layernorm.bias":
-                ld["post_attention_layernorm_bias"] = put(tensor)
-            elif cfg.model_type == "glm4" and rest in (
-                # GLM-4 sandwich norms map onto the gemma-style slots:
-                # post_self_attn -> post_attention (scales attn out),
-                # post_attention -> pre_feedforward (pre-MLP norm),
-                # post_mlp -> post_feedforward (scales MLP out)
-                "post_self_attn_layernorm.weight",
-                "post_attention_layernorm.weight",
-                "post_mlp_layernorm.weight",
-            ):
-                key = {
-                    "post_self_attn_layernorm.weight":
-                        "post_attention_layernorm",
-                    "post_attention_layernorm.weight":
-                        "pre_feedforward_layernorm",
-                    "post_mlp_layernorm.weight":
-                        "post_feedforward_layernorm",
-                }[rest]
-                ld[key] = put(tensor)
-            elif rest in (
-                "post_attention_layernorm.weight",
-                "pre_ff_layernorm.weight",  # Bamba
-            ):
-                ld["post_attention_layernorm"] = put(tensor)
-            elif rest.startswith(("mixer.", "mamba.")):
-                # Mamba2 SSD mixer (kept float32: states/decays are
-                # precision-sensitive; matmul weights cast to jdt)
-                sub = rest.split(".", 1)[1]
-                md = ld.setdefault("mamba", {})
-                t = np.asarray(tensor)
-                key = {
-                    "in_proj.weight": "in_w",
-                    "in_proj.bias": "in_b",
-                    "conv1d.bias": "conv_b",
-                    "dt_bias": "dt_bias",
-                    "A_log": "a_log",
-                    "D": "d",
-                    "norm.weight": "norm_w",
-                    "out_proj.weight": "out_w",
-                    "out_proj.bias": "out_b",
-                }.get(sub)
-                if sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
-                    md["conv_w"] = jnp.asarray(
-                        t.reshape(t.shape[0], t.shape[-1])
-                    ).astype(jnp.float32)
-                elif key in ("in_w", "out_w"):
-                    md[key] = put(t)
-                elif key is not None:
-                    md[key] = jnp.asarray(t).astype(jnp.float32)
-            elif rest == "pre_feedforward_layernorm.weight":
-                ld["pre_feedforward_layernorm"] = put(tensor)
-            elif rest == "post_feedforward_layernorm.weight":
-                ld["post_feedforward_layernorm"] = put(tensor)
-            elif rest == "self_attn.sinks":
-                # GPT-OSS learned per-head attention sink logits (f32:
-                # they enter the softmax max/denominator directly)
-                ld["sinks"] = jnp.asarray(tensor).astype(jnp.float32)
-            elif (
-                cfg.model_type == "minimax"
-                and cfg.layer_types
-                and cfg.layer_types[i] == "linear_attention"
-                and rest.startswith("self_attn.")
-            ):
-                # lightning layer: HEAD-MAJOR fused qkv stays fused
-                key = {
-                    "self_attn.qkv_proj.weight": "qkv_w",
-                    "self_attn.out_proj.weight": "out_w",
-                    "self_attn.output_gate.weight": "gate_w",
-                    "self_attn.norm.weight": "norm_w",
-                }.get(rest)
-                if key:
-                    ld.setdefault("lightning", {})[key] = put(tensor)
-            elif rest.startswith("linear_attn."):
-                # Qwen3-Next gated DeltaNet. The checkpoint interleaves
-                # per-k-head groups in in_proj_qkvz/in_proj_ba (HF
-                # fix_query_key_value_ordering); canonicalize to
-                # [q | k | v | z] / [b | a] here so the runtime split is
-                # a plain slice (models/gated_deltanet.py _project)
-                sub = rest.split(".", 1)[1]
-                gd = ld.setdefault("gdn", {})
-                t = np.asarray(tensor)
-                g = cfg.gdn_cfg
-                nk, nv = g["num_k_heads"], g["num_v_heads"]
-                dk, dv = g["head_k_dim"], g["head_v_dim"]
-                r = nv // nk
-                if sub == "in_proj_qkvz.weight":
-                    w = t.reshape(nk, 2 * dk + 2 * r * dv, -1)
-                    gd["qkvz_w"] = put(np.concatenate([
-                        w[:, :dk].reshape(nk * dk, -1),
-                        w[:, dk : 2 * dk].reshape(nk * dk, -1),
-                        w[:, 2 * dk : 2 * dk + r * dv].reshape(nv * dv, -1),
-                        w[:, 2 * dk + r * dv :].reshape(nv * dv, -1),
-                    ], axis=0))
-                elif sub == "in_proj_ba.weight":
-                    w = t.reshape(nk, 2 * r, -1)
-                    gd["ba_w"] = put(np.concatenate([
-                        w[:, :r].reshape(nv, -1),
-                        w[:, r:].reshape(nv, -1),
-                    ], axis=0))
-                elif sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
-                    gd["conv_w"] = jnp.asarray(
-                        t.reshape(t.shape[0], t.shape[-1])
-                    ).astype(jnp.float32)
-                elif sub == "out_proj.weight":
-                    gd["out_w"] = put(t)
-                else:
-                    key = {
-                        "dt_bias": "dt_bias",
-                        "A_log": "a_log",
-                        "norm.weight": "norm_w",
-                    }.get(sub)
-                    if key is not None:
-                        gd[key] = jnp.asarray(t).astype(jnp.float32)
-            elif (
-                cfg.attn_out_gate
-                and rest == "self_attn.q_proj.weight"
-            ):
-                # Qwen3-Next: q_proj rows are per-head [query(hd),
-                # gate(hd)] pairs — split into q_proj + attn_gate
-                t = np.asarray(tensor)
-                nh, hd = cfg.num_attention_heads, cfg.head_dim
-                w = t.reshape(nh, 2 * hd, -1)
-                ld["q_proj"] = put(w[:, :hd].reshape(nh * hd, -1))
-                ld["attn_gate"] = put(w[:, hd:].reshape(nh * hd, -1))
-            elif rest.startswith("self_attn.qkv_proj."):
-                # Phi-3 fused qkv: split rows [q; k; v]
-                t = np.asarray(tensor)
-                nh = cfg.num_attention_heads * cfg.head_dim
-                nkv = cfg.num_key_value_heads * cfg.head_dim
-                kind = rest.rsplit(".", 1)[1]
-                names = (
-                    ("q_proj", "k_proj", "v_proj")
-                    if kind == "weight"
-                    else ("q_bias", "k_bias", "v_bias")
-                )
-                ld[names[0]] = put(t[:nh])
-                ld[names[1]] = put(t[nh : nh + nkv])
-                ld[names[2]] = put(t[nh + nkv :])
-            elif rest.startswith("mlp.gate_up_proj."):
-                # GLM-4 / Phi-3 fused gate_up: gate rows first
-                t = np.asarray(tensor)
-                inter = cfg.intermediate_size
-                kind = rest.rsplit(".", 1)[1]
-                names = (
-                    ("gate_proj", "up_proj")
-                    if kind == "weight"
-                    else ("gate_bias", "up_bias")
-                )
-                ld.setdefault("mlp", {})[names[0]] = put(t[:inter])
-                ld.setdefault("mlp", {})[names[1]] = put(t[inter:])
-            elif rest.startswith("self_attn."):
-                sub = rest[len("self_attn."):]
-                proj, kind = sub.rsplit(".", 1)
-                if proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
-                    key = proj if kind == "weight" else proj[0] + "_bias"
-                    if proj == "o_proj" and kind == "bias":
-                        key = "o_bias"
-                    ld[key] = put(tensor)
-                elif proj in ("q_norm", "k_norm") and kind == "weight":
-                    ld[proj] = put(tensor)
-                elif proj in (
-                    # DeepSeek MLA projections (HF modeling_deepseek_v3)
-                    "q_a_proj",
-                    "q_b_proj",
-                    "q_a_layernorm",
-                    "kv_a_layernorm",
-                    "kv_b_proj",
-                ):
-                    key = proj if kind == "weight" else proj[:-5] + "_bias"
-                    ld[key] = put(tensor)
-                elif proj == "kv_a_proj_with_mqa":
-                    ld["kv_a_proj" if kind == "weight" else "kv_a_bias"] = (
-                        put(tensor)
-                    )
-            elif rest.startswith("mlp.experts.") and rest.split(".")[2] in (
-                "gate_up_proj",
-                "gate_up_proj_bias",
-                "down_proj",
-                "down_proj_bias",
-            ):
-                # GPT-OSS experts ship pre-stacked: gate_up_proj
-                # [E, H, 2I] / down_proj [E, I, H] already in
-                # ragged_dot's [E, contract, out] layout; biases [E, .]
-                sub = rest.split(".")[2]
-                key = {
-                    "gate_up_proj": "gate_up_w",
-                    "gate_up_proj_bias": "gate_up_b",
-                    "down_proj": "down_w",
-                    "down_proj_bias": "down_b",
-                }[sub]
-                ld.setdefault("moe", {})[key] = put(tensor)
-            elif rest.startswith(("mlp.experts.", "block_sparse_moe.experts.")):
-                # mlp.experts.{e}.{gate,up,down}_proj.weight and the
-                # Mixtral naming block_sparse_moe.experts.{e}.w1/w2/w3
-                parts2 = rest.split(".")
-                e = int(parts2[2])
-                proj = {
-                    "w1": "gate_proj",
-                    "w2": "down_proj",
-                    "w3": "up_proj",
-                }.get(parts2[3], parts2[3])
-                moe_stage.setdefault(i, {}).setdefault(proj, {})[e] = tensor
-            elif rest in ("mlp.gate.weight", "block_sparse_moe.gate.weight"):
-                ld.setdefault("moe", {})["router"] = put(tensor)
-            elif rest == "mlp.gate.e_score_correction_bias":
-                # DeepSeek V3 selection bias (f32 like HF's buffer)
-                ld.setdefault("moe", {})["e_score_bias"] = jnp.asarray(
-                    tensor
-                ).astype(jnp.float32)
-            elif rest == "mlp.router.weight":
-                ld.setdefault("moe", {})["router"] = put(tensor)
-            elif rest == "mlp.router.bias":
-                ld.setdefault("moe", {})["router_bias"] = put(tensor)
-            elif rest.startswith(("mlp.shared_experts.", "mlp.shared_expert.")):
-                # shared experts: a dense MLP beside the routed experts
-                # (DeepSeek plural / Qwen3-Next singular naming)
-                proj = rest.split(".")[2]
-                if proj in ("gate_proj", "up_proj", "down_proj"):
-                    ld.setdefault("shared_mlp", {})[proj] = put(tensor)
-            elif rest == "mlp.shared_expert_gate.weight":
-                # Qwen3-Next: sigmoid gate scaling the shared expert
-                ld["shared_gate"] = put(tensor)
-            elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
-                ".weight"
-            ):
-                proj = rest.split(".")[1]
-                if proj in ("gate_proj", "up_proj", "down_proj"):
-                    ld.setdefault("mlp", {})[proj] = put(tensor)
-            elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
-                ".bias"
-            ):
-                proj = rest.split(".")[1]
-                if proj in ("gate_proj", "up_proj", "down_proj"):
-                    ld.setdefault("mlp", {})[proj.split("_")[0] + "_bias"] = put(tensor)
+            _parse_layer_tensor(
+                cfg,
+                layers[i],
+                ".".join(parts[2:]),
+                tensor,
+                put,
+                moe_stage.setdefault(i, {}),
+                cfg.layer_types[i] if cfg.layer_types else None,
+            )
 
-    # Stack MoE experts: ragged_dot wants rhs [E, K_contract, N_out].
     for i, projs in moe_stage.items():
-        moe = layers[i].setdefault("moe", {})
-        for proj, experts in projs.items():
-            stacked = np.stack([experts[e] for e in sorted(experts)], axis=0)
-            # HF expert weight is [out, in]; transpose to [E, in, out].
-            stacked = np.swapaxes(stacked, 1, 2)
-            key = {"gate_proj": "gate_w", "up_proj": "up_w", "down_proj": "down_w"}[
-                proj
-            ]
-            moe[key] = put(stacked)
+        _stack_moe(layers[i], projs, put)
 
     if cfg.tie_word_embeddings:
         params.pop("lm_head", None)
@@ -351,15 +379,20 @@ def load_mtp_params(
 
     Expected names (relative): mtp.fc.weight [H, 2H],
     mtp.pre_fc_norm_embedding.weight, mtp.pre_fc_norm_hidden.weight,
-    mtp.norm.weight, mtp.layers.0.{input_layernorm, self_attn.*,
-    post_attention_layernorm, mlp.*} — embeddings and lm_head are
-    shared with the target model."""
+    mtp.norm.weight, mtp.layers.0.* — a FULL decoder layer parsed by
+    the same mapping as the target model's layers (qwen3_next MTP
+    layers carry gated attention + MoE with a shared expert; reference
+    qwen3_next_mtp.py builds a full Qwen3NextDecoderLayer at a
+    full-attention index). Embeddings and lm_head are shared with the
+    target model."""
     jdt = _DTYPES[dtype or cfg.dtype]
     layer: Params = {}
     out: Params = {"layer": layer}
+    stage: Dict[str, Dict[int, np.ndarray]] = {}
 
-    def put(t):
-        return jnp.asarray(np.asarray(t)).astype(jdt)
+    def put(arr, *, cast: bool = True):
+        a = jnp.asarray(np.asarray(arr))
+        return a.astype(jdt) if cast else a
 
     import glob as _glob
 
@@ -386,24 +419,11 @@ def load_mtp_params(
         elif rest in ("norm.weight", "final_layernorm.weight"):
             out["norm"] = put(tensor)
         elif rest.startswith("layers."):
-            sub = rest.split(".", 2)[2]
-            if sub in ("input_layernorm.weight",):
-                layer["input_layernorm"] = put(tensor)
-            elif sub == "post_attention_layernorm.weight":
-                layer["post_attention_layernorm"] = put(tensor)
-            elif sub.startswith("self_attn."):
-                proj, kind = sub[len("self_attn."):].rsplit(".", 1)
-                if proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
-                    key = proj if kind == "weight" else (
-                        "o_bias" if proj == "o_proj" else proj[0] + "_bias"
-                    )
-                    layer[key] = put(tensor)
-                elif proj in ("q_norm", "k_norm") and kind == "weight":
-                    layer[proj] = put(tensor)
-            elif sub.startswith("mlp."):
-                mp = sub.split(".")[1]
-                if mp in ("gate_proj", "up_proj", "down_proj"):
-                    layer.setdefault("mlp", {})[mp] = put(tensor)
+            _parse_layer_tensor(
+                cfg, layer, rest.split(".", 2)[2], tensor, put, stage,
+                None,
+            )
+    _stack_moe(layer, stage, put)
     if not found:
         return None
     required = {"fc", "pre_norm_emb", "pre_norm_hidden", "norm"}

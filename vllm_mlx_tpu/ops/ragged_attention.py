@@ -42,6 +42,17 @@ _BLOCK_CFG = {
 }
 
 
+# timing-only ablation switches (bench_8b ablation args; NEVER set in
+# serving — outputs become wrong): skip the per-layer KV scatter /
+# replace the attention kernel with zeros, to attribute step time
+_ABLATE = {"skip_kv_writes": False, "skip_attention": False}
+
+
+def set_ablation(skip_kv_writes: bool = False, skip_attention: bool = False):
+    _ABLATE["skip_kv_writes"] = skip_kv_writes
+    _ABLATE["skip_attention"] = skip_attention
+
+
 def set_attention_block_config(
     num_kv_pages_per_block: Optional[int] = None,
     num_queries_per_block: Optional[int] = None,
@@ -80,6 +91,8 @@ def write_kv_pages(
     kv_scale: Optional[float] = None,  # int8 pools: value = stored * scale
 ) -> jax.Array:
     np_, ps, ch, hd = pages.shape
+    if _ABLATE["skip_kv_writes"]:
+        return pages
     flat = pages.reshape(np_ * ps, ch, hd)
     if pages.dtype == jnp.int8:
         scaled = kv_new.astype(jnp.float32) * (1.0 / (kv_scale or 1.0))
@@ -179,6 +192,8 @@ def _ragged_attention_local(
     v_scale: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
+    if _ABLATE["skip_attention"]:
+        return jnp.zeros_like(q)
     if jax.default_backend() == "tpu":
         if sinks is not None:
             # sink-aware fork of the pallas kernel (ops/ragged_sink_kernel)
