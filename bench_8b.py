@@ -24,6 +24,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+QUANT = "int8"
+
+
 def init_quantized_params(cfg, seed=0):
     """Random-init directly to int8 QuantizedTensors (leafwise)."""
     import jax.numpy as jnp
@@ -54,6 +57,26 @@ def init_quantized_params(cfg, seed=0):
             row = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
             return ((iota * 31 + row * 7 + s) % 255 - 127).astype(jnp.int8)
 
+        if QUANT == "int4":
+            # nibble-packed uint8 [O, K/2] + per-group scales (the
+            # fused dequant-matmul kernel's layout, ops/quant.py)
+            o, k = shape
+            g = 128
+
+            @functools.partial(jax.jit, static_argnums=(0, 1))
+            def gen4(shp, s):
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, shp, len(shp) - 1
+                )
+                row = jax.lax.broadcasted_iota(jnp.int32, shp, 0)
+                return ((iota * 31 + row * 7 + s) % 256).astype(jnp.uint8)
+
+            return QuantizedTensor(
+                w_q=gen4((o, k // 2), salt[0]),
+                scale=jnp.full((o, k // g), 4e-3, jnp.bfloat16),
+                bits=4,
+                group_size=g,
+            )
         codes = gen(shape, salt[0])
         scale = jnp.full((shape[0], 1), 2e-4, jnp.bfloat16)
         return QuantizedTensor(w_q=codes, scale=scale, bits=8)
@@ -120,6 +143,11 @@ def main():
         )
         log(f"ABLATION (timing-only): {[a for a in argv if a.startswith('no')]}")
         argv = [a for a in argv if not a.startswith("no")]
+    if "int4" in argv:
+        global QUANT
+        QUANT = "int4"
+        log("weights: packed-int4 (fused dequant-matmul kernel)")
+        argv = [a for a in argv if a != "int4"]
     if len(argv) >= 2:
         set_attention_block_config(int(argv[0]), int(argv[1]))
         log(f"attention blocks: kv_pages={argv[0]} q_block={argv[1]}")

@@ -162,22 +162,109 @@ def gdn_sequence(
     g = jnp.where(valid[:, None], g, 0.0)
     beta = jnp.where(valid[:, None], beta, 0.0)
 
-    def step(s, inputs):
-        q_t, k_t, v_t, g_t, beta_t = inputs
-        s = s * jnp.exp(g_t)[:, None, None]
-        kv_mem = jnp.einsum("hkv,hk->hv", s, k_t)
-        delta = (v_t - kv_mem) * beta_t[:, None]
-        s = s + k_t[:, :, None] * delta[:, None, :]
-        y_t = jnp.einsum("hkv,hk->hv", s, q_t)
-        return s, y_t
+    if length >= 32:
+        # prefill-sized chunks: chunk-parallel WY form (one scan step
+        # per 64 tokens, MXU-shaped matmuls)
+        ys, new_rec = _gdn_core_chunked(
+            q, k, v.astype(jnp.float32), g, beta,
+            rec_state.astype(jnp.float32),
+        )
+    else:
 
-    new_rec, ys = jax.lax.scan(
-        step,
-        rec_state.astype(jnp.float32),
-        (q, k, v.astype(jnp.float32), g, beta),
-    )
+        def step(s, inputs):
+            q_t, k_t, v_t, g_t, beta_t = inputs
+            s = s * jnp.exp(g_t)[:, None, None]
+            kv_mem = jnp.einsum("hkv,hk->hv", s, k_t)
+            delta = (v_t - kv_mem) * beta_t[:, None]
+            s = s + k_t[:, :, None] * delta[:, None, :]
+            y_t = jnp.einsum("hkv,hk->hv", s, q_t)
+            return s, y_t
+
+        new_rec, ys = jax.lax.scan(
+            step,
+            rec_state.astype(jnp.float32),
+            (q, k, v.astype(jnp.float32), g, beta),
+        )
     out = _gated_out(p, dc, ys, z, x.dtype)
     return jnp.where(valid[:, None], out, 0.0), new_conv, new_rec
+
+
+def _gdn_core_chunked(
+    q: jax.Array,  # [L, nh, dk] f32 (l2-normed, scaled)
+    k: jax.Array,  # [L, nh, dk] f32 (l2-normed)
+    v: jax.Array,  # [L, nh, dv] f32
+    g: jax.Array,  # [L, nh] f32 log-decay (0 for invalid rows)
+    beta: jax.Array,  # [L, nh] f32 (0 for invalid rows)
+    rec_state: jax.Array,  # [nh, dk, dv] f32
+    chunk: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunk-parallel gated delta rule (WY/UT representation): within a
+    chunk the sequential delta-rule updates collapse into a unit-lower
+    triangular solve + batched matmuls; only a length/chunk scan over
+    chunk boundaries remains. Mirrors HF torch_chunk_gated_delta_rule
+    (modeling_qwen3_next.py:442-519) with the O(C^2) substitution loop
+    replaced by ``triangular_solve`` — MXU-shaped work instead of a
+    per-token scan (SURVEY §7 design translation; chunked-prefill TTFT).
+    Exact (same recurrence, reassociated); f32 throughout."""
+    length, nh, dk = k.shape
+    dv = v.shape[-1]
+    pad = (-length) % chunk
+    if pad:
+        zf = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        q, k, v, g, beta = zf(q), zf(k), zf(v), zf(g), zf(beta)
+    n = (length + pad) // chunk
+
+    def cshape(x):  # [L, nh, ...] -> [n, nh, C, ...]
+        return x.reshape(n, chunk, nh, *x.shape[2:]).swapaxes(1, 2)
+
+    qc, kc, vc = cshape(q), cshape(k), cshape(v)  # [n, nh, C, d]
+    gc, bc = cshape(g), cshape(beta)  # [n, nh, C]
+    k_beta = kc * bc[..., None]
+    v_beta = vc * bc[..., None]
+    g_cum = jnp.cumsum(gc, axis=-1)  # [n, nh, C]
+    # decay_mask[i,j] = exp(g_cum_i - g_cum_j) on the lower triangle
+    tril = jnp.tril(jnp.ones((chunk, chunk), bool))
+    decay = jnp.where(
+        tril, jnp.exp(g_cum[..., :, None] - g_cum[..., None, :]), 0.0
+    )
+    # A = strictly-lower (k_beta k^T * decay); T = (I - A)^{-1}
+    a = -jnp.einsum("nhik,nhjk->nhij", k_beta, kc) * decay
+    a = jnp.where(jnp.tril(jnp.ones((chunk, chunk), bool), -1), a, 0.0)
+    eye = jnp.eye(chunk, dtype=a.dtype)
+    t_mat = jax.lax.linalg.triangular_solve(
+        eye - a, jnp.broadcast_to(eye, a.shape),
+        left_side=True, lower=True, unit_diagonal=True,
+    )
+    u = jnp.einsum("nhij,nhjd->nhid", t_mat, v_beta)  # pseudo values
+    w = jnp.einsum(
+        "nhij,nhjd->nhid", t_mat, k_beta * jnp.exp(g_cum)[..., None]
+    )  # k_cumdecay
+    # within-chunk attention of q against pseudo-values
+    qk = jnp.einsum("nhik,nhjk->nhij", qc, kc) * decay
+    qk = jnp.where(tril, qk, 0.0)
+    g_last = g_cum[..., -1]  # [n, nh]
+    k_rescale = kc * jnp.exp(g_last[..., None, None] - g_cum[..., None])
+
+    def chunk_step(s, inp):
+        q_i, u_i, w_i, qk_i, g_cum_i, g_last_i, k_r_i = inp
+        # s: [nh, dk, dv]
+        v_new = u_i - jnp.einsum("hid,hdv->hiv", w_i, s)
+        y = (
+            jnp.einsum("hid,hdv->hiv", q_i * jnp.exp(g_cum_i)[..., None], s)
+            + jnp.einsum("hij,hjv->hiv", qk_i, v_new)
+        )
+        s_new = s * jnp.exp(g_last_i)[:, None, None] + jnp.einsum(
+            "hik,hiv->hkv", k_r_i, v_new
+        )
+        return s_new, y
+
+    final, ys = jax.lax.scan(
+        chunk_step,
+        rec_state.astype(jnp.float32),
+        (qc, u, w, qk, g_cum, g_last, k_rescale),
+    )  # ys: [n, nh, C, dv]
+    y = ys.swapaxes(1, 2).reshape(n * chunk, nh, dv)[:length]
+    return y, final
 
 
 def gdn_step(

@@ -80,6 +80,65 @@ def _expand_groups(v: jax.Array, mc: MambaMixerConfig) -> jax.Array:
     return jnp.repeat(v, mc.num_heads // mc.n_groups, axis=-2)
 
 
+def _mamba_core_chunked(
+    xs: jax.Array,  # [L, nh, hd] f32
+    b: jax.Array,  # [L, nh, ds] f32
+    c: jax.Array,  # [L, nh, ds] f32
+    dt: jax.Array,  # [L, nh] f32 (0 for invalid rows)
+    a: jax.Array,  # [nh] f32 (negative)
+    ssm_state: jax.Array,  # [nh, hd, ds] f32
+    chunk: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Chunk-parallel SSD scan (segment-sum formulation, HF
+    modeling_mamba2.py torch_forward / Mamba2 paper listing 1): the
+    per-token recurrence reassociates into within-chunk attention-like
+    matmuls + one scan step per chunk — MXU-shaped prefill instead of a
+    per-token scan. Exact (same recurrence, reassociated); f32."""
+    length, nh, hd = xs.shape
+    ds = b.shape[-1]
+    pad = (-length) % chunk
+    if pad:
+        zf = lambda t: jnp.pad(t, [(0, pad)] + [(0, 0)] * (t.ndim - 1))
+        xs, b, c, dt = zf(xs), zf(b), zf(c), zf(dt)
+    n = (length + pad) // chunk
+
+    def cshape(t):  # [L, nh, ...] -> [n, nh, C, ...]
+        return t.reshape(n, chunk, nh, *t.shape[2:]).swapaxes(1, 2)
+
+    xc, bc, cc = cshape(xs), cshape(b), cshape(c)  # [n, nh, C, d]
+    da = cshape(dt) * a[None, :, None]  # [n, nh, C] log-decay
+    cum = jnp.cumsum(da, axis=-1)
+    tril = jnp.tril(jnp.ones((chunk, chunk), bool))
+    decay = jnp.where(
+        tril, jnp.exp(cum[..., :, None] - cum[..., None, :]), 0.0
+    )
+    xdt = xc * cshape(dt)[..., None]  # dt-weighted inputs
+    scores = jnp.einsum("nhis,nhjs->nhij", cc, bc) * decay
+    y_diag = jnp.einsum("nhij,nhjd->nhid", scores, xdt)
+    # per-chunk state contribution: sum_j (dt_j x_j) (x) b_j decayed to
+    # the chunk end
+    b_dec = bc * jnp.exp(cum[..., -1:, None] - cum[..., None])
+    s_chunk = jnp.einsum("nhjd,nhjs->nhds", xdt, b_dec)
+    cum_last = cum[..., -1]  # [n, nh]
+
+    def chunk_step(s, inp):
+        c_i, cum_i, y_d, s_c, last = inp
+        # s: [nh, hd, ds]
+        y_off = jnp.einsum(
+            "hds,his->hid", s, c_i * jnp.exp(cum_i)[..., None]
+        )
+        s_new = s * jnp.exp(last)[:, None, None] + s_c
+        return s_new, y_d + y_off
+
+    final, ys = jax.lax.scan(
+        chunk_step,
+        ssm_state.astype(jnp.float32),
+        (cc, cum, y_diag, s_chunk, cum_last),
+    )  # ys: [n, nh, C, hd]
+    y = ys.swapaxes(1, 2).reshape(n * chunk, nh, hd)[:length]
+    return y, final
+
+
 def mixer_sequence(
     p: Params,
     mc: MambaMixerConfig,
@@ -129,20 +188,31 @@ def mixer_sequence(
     dt = jnp.where(valid[:, None], dt, 0.0)  # no-op rows
     a = -jnp.exp(p["a_log"].astype(jnp.float32))  # [nh]
 
-    def step(h, inputs):
-        xs_t, b_t, c_t, dt_t = inputs
-        da = jnp.exp(dt_t * a)  # [nh]
-        h = h * da[:, None, None] + (
-            (dt_t[:, None] * b_t)[:, None, :] * xs_t[:, :, None]
+    if length >= 32:
+        # prefill-sized chunks: segment-sum SSD form (one scan step per
+        # 64 tokens, MXU-shaped matmuls)
+        ys, new_ssm = _mamba_core_chunked(
+            xs.astype(jnp.float32), b.astype(jnp.float32),
+            c.astype(jnp.float32), dt, a,
+            ssm_state.astype(jnp.float32),
         )
-        y_t = jnp.einsum("hds,hs->hd", h, c_t) + p["d"][:, None] * xs_t
-        return h, y_t
+        ys = ys + p["d"][None, :, None] * xs.astype(jnp.float32)
+    else:
 
-    new_ssm, ys = jax.lax.scan(
-        step, ssm_state.astype(jnp.float32),
-        (xs.astype(jnp.float32), b.astype(jnp.float32),
-         c.astype(jnp.float32), dt),
-    )
+        def step(h, inputs):
+            xs_t, b_t, c_t, dt_t = inputs
+            da = jnp.exp(dt_t * a)  # [nh]
+            h = h * da[:, None, None] + (
+                (dt_t[:, None] * b_t)[:, None, :] * xs_t[:, :, None]
+            )
+            y_t = jnp.einsum("hds,hs->hd", h, c_t) + p["d"][:, None] * xs_t
+            return h, y_t
+
+        new_ssm, ys = jax.lax.scan(
+            step, ssm_state.astype(jnp.float32),
+            (xs.astype(jnp.float32), b.astype(jnp.float32),
+             c.astype(jnp.float32), dt),
+        )
     y = ys.reshape(length, nh * hd)
     out = _gated_rms_norm(y, gate, p["norm_w"], mc.norm_eps)
     out = out.astype(x.dtype) @ p["out_w"].T
