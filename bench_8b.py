@@ -148,6 +148,12 @@ def main():
         QUANT = "int4"
         log("weights: packed-int4 (fused dequant-matmul kernel)")
         argv = [a for a in argv if a != "int4"]
+    block_size = 32
+    for a in list(argv):
+        if a.startswith("block="):
+            block_size = int(a.split("=")[1])
+            log(f"kv block_size: {block_size}")
+            argv.remove(a)
     if len(argv) >= 2:
         set_attention_block_config(int(argv[0]), int(argv[1]))
         log(f"attention blocks: kv_pages={argv[0]} q_block={argv[1]}")
@@ -175,7 +181,11 @@ def main():
         ModelRunner(
             cfg,
             params,
-            CacheConfig(block_size=32, num_blocks=512, kv_dtype=kv_dtype),
+            CacheConfig(
+                block_size=block_size,
+                num_blocks=512 * 32 // block_size,
+                kv_dtype=kv_dtype,
+            ),
             SchedulerConfig(
                 max_num_seqs=32,
                 max_prefill_tokens=2048,

@@ -567,3 +567,49 @@ class TestQwen3Next:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestStarcoder2:
+    """Starcoder2 (HF Starcoder2ForCausalLM): plain LayerNorm norms,
+    biased qkv + gateless gelu MLP (c_fc/c_proj), tied embeddings —
+    exercises the 'layernorm' norm type (reference serves it via
+    mlx-lm, models/llm.py:40)."""
+
+    def _model(self):
+        from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+        torch.manual_seed(21)
+        cfg = Starcoder2Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+            sliding_window=None,
+            use_bias=True,
+            tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        return Starcoder2ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.norm_type == "layernorm"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model,
+            path,
+            cfg,
+            params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

@@ -330,6 +330,18 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "starcoder2":
+            # Starcoder2 (HF Starcoder2ForCausalLM): plain LayerNorm
+            # norms (with bias), biased qkv/mlp, gateless
+            # gelu_pytorch_tanh MLP (c_fc/c_proj), tied embeddings
+            kw.update(
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("norm_epsilon", 1e-5),
+                attention_bias=cfg.get("use_bias", True),
+                mlp_bias=cfg.get("use_bias", True),
+                hidden_act=cfg.get("hidden_act", "gelu_pytorch_tanh"),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
         if model_type == "nemotron":
             # Nemotron (HF NemotronForCausalLM): LayerNorm1P norms,
             # gateless relu^2 MLP, partial rotary

@@ -41,13 +41,15 @@ Params = Dict[str, Any]
 
 
 def _bnorm(cfg: ModelConfig, x, p: Params, name: str):
-    """Block norm dispatch: RMSNorm (default) or Nemotron LayerNorm1P
-    ((1 + weight) scale with bias)."""
-    if cfg.norm_type == "layernorm1p":
+    """Block norm dispatch: RMSNorm (default), plain LayerNorm
+    (Starcoder2-class), or Nemotron LayerNorm1P ((1 + weight) scale)."""
+    if cfg.norm_type in ("layernorm", "layernorm1p"):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
-        w = 1.0 + p[name].astype(jnp.float32)
+        w = p[name].astype(jnp.float32)
+        if cfg.norm_type == "layernorm1p":
+            w = 1.0 + w
         b = p[name + "_bias"].astype(jnp.float32)
         return (
             (xf - mean) * jax.lax.rsqrt(var + cfg.rms_norm_eps) * w + b
@@ -384,6 +386,8 @@ def _mlp_block(
         )
         if cfg.hidden_act == "relu2":
             y = jnp.square(jax.nn.relu(y))
+        elif cfg.hidden_act in ("gelu", "gelu_pytorch_tanh"):
+            y = jax.nn.gelu(y, approximate=cfg.hidden_act != "gelu")
         else:
             y = jax.nn.silu(y)
         return linear(

@@ -295,6 +295,12 @@ def _parse_layer_tensor(
     elif rest == "mlp.shared_expert_gate.weight":
         # Qwen3-Next: sigmoid gate scaling the shared expert
         ld["shared_gate"] = put(tensor)
+    elif rest.startswith(("mlp.c_fc.", "mlp.c_proj.")):
+        # Starcoder2 gateless MLP naming -> up/down
+        proj = "up_proj" if ".c_fc." in rest else "down_proj"
+        kind = rest.rsplit(".", 1)[1]
+        key = proj if kind == "weight" else proj.split("_")[0] + "_bias"
+        ld.setdefault("mlp", {})[key] = put(tensor)
     elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
         ".weight"
     ):
