@@ -38,6 +38,12 @@ def build():
     from vllm_mlx_tpu.models import loader
 
     enable_persistent_compilation_cache()
+    for a in sys.argv[1:]:
+        if a.startswith("unroll="):
+            from vllm_mlx_tpu.core import model_runner as _mr
+
+            _mr.set_decode_unroll(int(a.split("=")[1]))
+            log(f"decode unroll: {a.split('=')[1]}")
     # True Qwen3-0.6B geometry (Qwen/Qwen3-0.6B config.json)
     cfg = ModelConfig(
         model_type="qwen3",

@@ -613,3 +613,88 @@ class TestStarcoder2:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestPhi2:
+    """Phi-1/2 (HF PhiForCausalLM): parallel-residual blocks with one
+    shared LayerNorm, biased projections + lm_head, gelu_new fc1/fc2
+    MLP, partial rotary."""
+
+    def _model(self):
+        from transformers import PhiConfig, PhiForCausalLM
+
+        torch.manual_seed(23)
+        cfg = PhiConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            partial_rotary_factor=0.5,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return PhiForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, params = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.parallel_residual and cfg.norm_type == "layernorm"
+        assert "lm_head_bias" in params
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )
+
+
+class TestCohere:
+    """Cohere Command-R (HF CohereForCausalLM): parallel residual,
+    mean-centered bias-free LayerNorm, interleaved rotary, per-head qk
+    LayerNorm, logit_scale, tied embeddings."""
+
+    def _model(self):
+        from transformers import CohereConfig, CohereForCausalLM
+
+        torch.manual_seed(24)
+        cfg = CohereConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            logit_scale=0.25,
+            use_qk_norm=True,
+            max_position_embeddings=512,
+            tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        return CohereForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.parallel_residual and cfg.norm_type == "layernorm_nobias"
+        assert cfg.logit_scale == 0.25 and cfg.rope_glm
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

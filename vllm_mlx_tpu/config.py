@@ -80,9 +80,16 @@ class ModelConfig:
     embed_scale: Optional[float] = None  # sqrt(hidden) input scaling
     hidden_act: str = "silu"
     rms_add_one: bool = False  # RMSNorm uses (1 + weight)
-    # Block norm type: "rms" | "layernorm1p" (Nemotron: LayerNorm with
-    # (1 + weight) scale and bias)
+    # Block norm type: "rms" | "layernorm" (Starcoder2/Phi: weight +
+    # bias) | "layernorm_nobias" (Cohere: mean-centered, weight only) |
+    # "layernorm1p" (Nemotron: (1 + weight) scale and bias)
     norm_type: str = "rms"
+    # Parallel residual block (Phi/Cohere): ONE shared input_layernorm;
+    # x = x + attn(norm(x)) + mlp(norm(x)) (HF PhiDecoderLayer /
+    # CohereDecoderLayer forward)
+    parallel_residual: bool = False
+    # Cohere: logits multiplied by logit_scale (HF CohereForCausalLM)
+    logit_scale: Optional[float] = None
     sandwich_norms: bool = False  # post-sublayer norms (gemma2/3)
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
@@ -330,6 +337,39 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "phi":
+            # Phi-1/2 (HF PhiForCausalLM): parallel residual with one
+            # shared LayerNorm, biased projections (o_proj named
+            # "dense"), gelu_new fc1/fc2 MLP, partial rotary, biased
+            # lm_head
+            kw.update(
+                norm_type="layernorm",
+                parallel_residual=True,
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                attention_bias=True,
+                mlp_bias=True,
+                hidden_act=cfg.get("hidden_act", "gelu_new"),
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+            )
+        if model_type == "cohere":
+            # Cohere Command-R (HF CohereForCausalLM): parallel residual,
+            # mean-centered bias-free LayerNorm, INTERLEAVED rotary
+            # (adjacent pairs share an angle — the GLM-4 map at full
+            # width), logits scaled by logit_scale, tied embeddings;
+            # optional per-head qk LayerNorm ([heads, head_dim] weights)
+            kw.update(
+                norm_type="layernorm_nobias",
+                parallel_residual=True,
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                rope_glm=True,
+                partial_rotary_factor=1.0,
+                logit_scale=float(cfg.get("logit_scale", 1.0)),
+                use_qk_norm=cfg.get("use_qk_norm", False),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attention_bias=cfg.get("attention_bias", False),
+            )
         if model_type == "starcoder2":
             # Starcoder2 (HF Starcoder2ForCausalLM): plain LayerNorm
             # norms (with bias), biased qkv/mlp, gateless

@@ -52,6 +52,17 @@ Params = Dict[str, Any]
 _MASK_BUCKETS = (8, 32)
 _MASK_BUCKET = _MASK_BUCKETS[-1]
 
+# lax.scan carries real per-iteration overhead on this platform
+# (NOTES_TPU_ENV.md): decode bundles unroll this many steps per scan
+# iteration. 8 measured best for int8 (16 regressed — see STATUS r3);
+# bench.py can override via set_decode_unroll for sweeps.
+DECODE_UNROLL = 8
+
+
+def set_decode_unroll(n: int) -> None:
+    global DECODE_UNROLL
+    DECODE_UNROLL = max(1, int(n))
+
 
 def enable_persistent_compilation_cache(path: Optional[str] = None) -> None:
     path = path or os.path.expanduser("~/.cache/vllm_mlx_tpu/jax_cache")
@@ -1095,7 +1106,7 @@ class ModelRunner:
 
         state, (tokens, logprobs) = jax.lax.scan(
             body, state, None, length=steps,
-            unroll=min(8, steps),
+            unroll=min(DECODE_UNROLL, steps),
         )
         packed = jnp.stack(
             [

@@ -43,17 +43,17 @@ Params = Dict[str, Any]
 def _bnorm(cfg: ModelConfig, x, p: Params, name: str):
     """Block norm dispatch: RMSNorm (default), plain LayerNorm
     (Starcoder2-class), or Nemotron LayerNorm1P ((1 + weight) scale)."""
-    if cfg.norm_type in ("layernorm", "layernorm1p"):
+    if cfg.norm_type in ("layernorm", "layernorm1p", "layernorm_nobias"):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.var(xf, axis=-1, keepdims=True)
         w = p[name].astype(jnp.float32)
         if cfg.norm_type == "layernorm1p":
             w = 1.0 + w
-        b = p[name + "_bias"].astype(jnp.float32)
-        return (
-            (xf - mean) * jax.lax.rsqrt(var + cfg.rms_norm_eps) * w + b
-        ).astype(x.dtype)
+        y = (xf - mean) * jax.lax.rsqrt(var + cfg.rms_norm_eps) * w
+        if cfg.norm_type != "layernorm_nobias":
+            y = y + p[name + "_bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
     return rms_norm(x, p[name], cfg.rms_norm_eps, cfg.rms_add_one)
 
 
@@ -166,8 +166,23 @@ def _qkv(
         k = linear(x, p["k_proj"], p.get("k_bias")).reshape(t, cfg.num_key_value_heads, hd)
         v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
     if cfg.use_qk_norm:
-        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
-        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+        if cfg.norm_type == "layernorm_nobias":
+            # Cohere per-head qk LayerNorm: mean-centered, weights
+            # shaped [num_heads, head_dim] (HF CohereLayerNorm tuple)
+            def _ln(v, w):
+                vf = v.astype(jnp.float32)
+                mu = jnp.mean(vf, axis=-1, keepdims=True)
+                var = jnp.var(vf, axis=-1, keepdims=True)
+                return (
+                    (vf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+                    * w.astype(jnp.float32)[None]
+                ).astype(v.dtype)
+
+            q = _ln(q, p["q_norm"])
+            k = _ln(k, p["k_norm"])
+        else:
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
     if cfg.rope_glm:
         # GLM-4: rotary over the leading rd channels with PAIR-shared
         # angles and a full-width rotate_half (HF modeling_glm4.py
@@ -386,7 +401,7 @@ def _mlp_block(
         )
         if cfg.hidden_act == "relu2":
             y = jnp.square(jax.nn.relu(y))
-        elif cfg.hidden_act in ("gelu", "gelu_pytorch_tanh"):
+        elif cfg.hidden_act in ("gelu", "gelu_pytorch_tanh", "gelu_new"):
             y = jax.nn.gelu(y, approximate=cfg.hidden_act != "gelu")
         else:
             y = jax.nn.silu(y)
@@ -489,7 +504,11 @@ def _stack(
                 linear(h, p["attn_gate"]).astype(jnp.float32)
             ).astype(attn_out.dtype)
         attn_out = linear(attn_out, p["o_proj"], p.get("o_bias"))
-        if rc is not None:
+        if cfg.parallel_residual:
+            # Phi/Cohere: attention and MLP both read the SAME normed
+            # input; one residual add (HF PhiDecoderLayer.forward)
+            x = x + attn_out + _mlp_block(cfg, i, p, h, moe_top_k)
+        elif rc is not None:
             # MiniMax norm-as-residual (see recurrent branch above)
             x = h * rc["full_alpha"] + attn_out * rc["full_beta"]
             h = _bnorm(cfg, x, p, "post_attention_layernorm")
@@ -801,6 +820,10 @@ def compute_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.A
     if head is None:
         head = params["embed_tokens"]
     logits = lm_head_logits(hidden, head)
+    if "lm_head_bias" in params:  # Phi-2 biased lm_head
+        logits = logits + params["lm_head_bias"].astype(logits.dtype)
+    if cfg.logit_scale is not None:  # Cohere
+        logits = logits * jnp.asarray(cfg.logit_scale, logits.dtype)
     if cfg.final_softcap:
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits

@@ -247,6 +247,8 @@ def _parse_layer_tensor(
             ld["kv_a_proj" if kind == "weight" else "kv_a_bias"] = (
                 put(tensor)
             )
+        elif proj == "dense":  # Phi names o_proj "dense"
+            ld["o_proj" if kind == "weight" else "o_bias"] = put(tensor)
     elif rest.startswith("mlp.experts.") and rest.split(".")[2] in (
         "gate_up_proj",
         "gate_up_proj_bias",
@@ -295,9 +297,9 @@ def _parse_layer_tensor(
     elif rest == "mlp.shared_expert_gate.weight":
         # Qwen3-Next: sigmoid gate scaling the shared expert
         ld["shared_gate"] = put(tensor)
-    elif rest.startswith(("mlp.c_fc.", "mlp.c_proj.")):
-        # Starcoder2 gateless MLP naming -> up/down
-        proj = "up_proj" if ".c_fc." in rest else "down_proj"
+    elif rest.startswith(("mlp.c_fc.", "mlp.c_proj.", "mlp.fc1.", "mlp.fc2.")):
+        # gateless MLP namings: Starcoder2 c_fc/c_proj, Phi fc1/fc2
+        proj = "up_proj" if (".c_fc." in rest or ".fc1." in rest) else "down_proj"
         kind = rest.rsplit(".", 1)[1]
         key = proj if kind == "weight" else proj.split("_")[0] + "_bias"
         ld.setdefault("mlp", {})[key] = put(tensor)
@@ -355,6 +357,8 @@ def load_params(
             params["norm_bias"] = put(tensor)  # Nemotron LayerNorm1P
         elif n in ("lm_head.weight",):
             params["lm_head"] = put(tensor)
+        elif n == "lm_head.bias":  # Phi-2 biased lm_head
+            params["lm_head_bias"] = put(tensor)
         elif n.startswith("layers."):
             parts = n.split(".")
             i = int(parts[1])
