@@ -698,3 +698,76 @@ class TestCohere:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestGranite:
+    """IBM Granite (HF GraniteForCausalLM): llama-shaped with mup-style
+    scalar multipliers (embeddings, attention scale, residual branches,
+    logits divisor). The repo already ships the granite tool parser;
+    this makes the models themselves servable."""
+
+    def _model(self):
+        from transformers import GraniteConfig, GraniteForCausalLM
+
+        torch.manual_seed(25)
+        cfg = GraniteConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            embedding_multiplier=6.0,
+            attention_multiplier=0.1,
+            residual_multiplier=0.5,
+            logits_scaling=2.0,
+            max_position_embeddings=512,
+            tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        return GraniteForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.residual_multiplier == 0.5
+        assert cfg.attn_scale == 0.1 and cfg.logit_scale == 0.5
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )
+
+
+class TestMistral:
+    """Mistral (HF MistralForCausalLM): llama-shaped + sliding window —
+    covered by the default config mapping; pinned here so the family
+    stays served (reference serves it via mlx-lm)."""
+
+    def _model(self):
+        from transformers import MistralConfig, MistralForCausalLM
+
+        torch.manual_seed(26)
+        cfg = MistralConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            sliding_window=8,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return MistralForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        _assert_parity(self._model(), tmp_path, token_ids)

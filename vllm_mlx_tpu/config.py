@@ -88,8 +88,12 @@ class ModelConfig:
     # x = x + attn(norm(x)) + mlp(norm(x)) (HF PhiDecoderLayer /
     # CohereDecoderLayer forward)
     parallel_residual: bool = False
-    # Cohere: logits multiplied by logit_scale (HF CohereForCausalLM)
+    # Cohere: logits multiplied by logit_scale (HF CohereForCausalLM);
+    # Granite folds 1/logits_scaling into this
     logit_scale: Optional[float] = None
+    # Granite: sublayer outputs scaled before the residual add
+    # (HF GraniteDecoderLayer residual_multiplier)
+    residual_multiplier: float = 1.0
     sandwich_norms: bool = False  # post-sublayer norms (gemma2/3)
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
@@ -337,6 +341,19 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "granite":
+            # IBM Granite (HF GraniteForCausalLM): llama-shaped with
+            # four scalar multipliers (mup-style) — embeddings,
+            # attention scale, residual branches, logits divisor
+            kw.update(
+                embed_scale=float(cfg.get("embedding_multiplier", 1.0)),
+                attn_scale=float(cfg.get("attention_multiplier", 1.0)),
+                residual_multiplier=float(
+                    cfg.get("residual_multiplier", 1.0)
+                ),
+                logit_scale=1.0 / float(cfg.get("logits_scaling", 1.0)),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
         if model_type == "phi":
             # Phi-1/2 (HF PhiForCausalLM): parallel residual with one
             # shared LayerNorm, biased projections (o_proj named

@@ -522,9 +522,16 @@ def _stack(
             mlp_out = _bnorm(cfg, mlp_out, p, "post_feedforward_layernorm")
             x = x + mlp_out
         else:
+            rm = cfg.residual_multiplier
+            if rm != 1.0:
+                # Granite mup-style residual scaling
+                attn_out = attn_out * jnp.asarray(rm, attn_out.dtype)
             x = x + attn_out
             h = _bnorm(cfg, x, p, "post_attention_layernorm")
-            x = x + _mlp_block(cfg, i, p, h, moe_top_k)
+            mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
+            if rm != 1.0:
+                mlp_out = mlp_out * jnp.asarray(rm, mlp_out.dtype)
+            x = x + mlp_out
         if deepstack_embeds is not None and i < deepstack_embeds.shape[0]:
             # Qwen3-VL deepstack: intermediate-ViT features add to the
             # hidden states after early layers (rows are pre-zeroed for
