@@ -771,3 +771,42 @@ class TestMistral:
 
     def test_logits_parity(self, tmp_path, token_ids):
         _assert_parity(self._model(), tmp_path, token_ids)
+
+
+class TestOlmo2:
+    """OLMo2 (HF Olmo2ForCausalLM): post-norm blocks (raw-stream
+    sublayer inputs, normed outputs) + full-width q/k RMSNorm."""
+
+    def _model(self):
+        from transformers import Olmo2Config, Olmo2ForCausalLM
+
+        torch.manual_seed(27)
+        cfg = Olmo2Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return Olmo2ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.post_norm_blocks and cfg.qk_norm_flat
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

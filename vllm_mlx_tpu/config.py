@@ -41,6 +41,12 @@ class ModelConfig:
     mlp_bias: bool = False
     # Qwen3: q/k per-head RMSNorm
     use_qk_norm: bool = False
+    # OLMo2: q/k norm over the FULL projection width (before head
+    # reshape) instead of per head
+    qk_norm_flat: bool = False
+    # OLMo2 block: attention/MLP read the RAW residual stream; norms
+    # apply to the sublayer OUTPUTS before the residual add
+    post_norm_blocks: bool = False
     # Sliding-window attention (None = full attention on every layer)
     sliding_window: Optional[int] = None
     layer_types: Optional[List[str]] = None  # "full_attention" | "sliding_attention"
@@ -341,6 +347,15 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "olmo2":
+            # OLMo2 (HF Olmo2ForCausalLM): post-norm blocks (sublayer
+            # outputs normed before the residual add, raw-stream
+            # inputs), full-width q/k RMSNorm
+            kw.update(
+                use_qk_norm=True,
+                qk_norm_flat=True,
+                post_norm_blocks=True,
+            )
         if model_type == "granite":
             # IBM Granite (HF GraniteForCausalLM): llama-shaped with
             # four scalar multipliers (mup-style) — embeddings,

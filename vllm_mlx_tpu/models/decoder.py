@@ -162,10 +162,16 @@ def _qkv(
         k = qkv[:, qo : qo + ko].reshape(t, cfg.num_key_value_heads, hd)
         v = qkv[:, qo + ko :].reshape(t, cfg.num_key_value_heads, hd)
     else:
-        q = linear(x, p["q_proj"], p.get("q_bias")).reshape(t, cfg.num_attention_heads, hd)
-        k = linear(x, p["k_proj"], p.get("k_bias")).reshape(t, cfg.num_key_value_heads, hd)
+        q = linear(x, p["q_proj"], p.get("q_bias"))
+        k = linear(x, p["k_proj"], p.get("k_bias"))
+        if cfg.use_qk_norm and cfg.qk_norm_flat:
+            # OLMo2: RMSNorm over the FULL projection before reshape
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps)
+        q = q.reshape(t, cfg.num_attention_heads, hd)
+        k = k.reshape(t, cfg.num_key_value_heads, hd)
         v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
-    if cfg.use_qk_norm:
+    if cfg.use_qk_norm and not cfg.qk_norm_flat:
         if cfg.norm_type == "layernorm_nobias":
             # Cohere per-head qk LayerNorm: mean-centered, weights
             # shaped [num_heads, head_dim] (HF CohereLayerNorm tuple)
@@ -464,7 +470,10 @@ def _stack(
     a1 = cfg.rms_add_one
     rc = cfg.residual_cfg
     for i, p in enumerate(params["layers"]):
-        h = _bnorm(cfg, x, p, "input_layernorm")
+        # OLMo2 post-norm blocks: sublayers read the raw stream
+        h = x if cfg.post_norm_blocks else _bnorm(
+            cfg, x, p, "input_layernorm"
+        )
         if cfg.layer_types is not None and cfg.layer_types[i] in (
             "mamba",
             "linear_attention",
@@ -514,6 +523,11 @@ def _stack(
             h = _bnorm(cfg, x, p, "post_attention_layernorm")
             mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
             x = h * rc["mlp_alpha"] + mlp_out * rc["mlp_beta"]
+        elif cfg.post_norm_blocks:
+            # OLMo2: norm the sublayer OUTPUTS, raw-stream inputs
+            x = x + _bnorm(cfg, attn_out, p, "post_attention_layernorm")
+            mlp_out = _mlp_block(cfg, i, p, x, moe_top_k)
+            x = x + _bnorm(cfg, mlp_out, p, "post_feedforward_layernorm")
         elif cfg.sandwich_norms:
             attn_out = _bnorm(cfg, attn_out, p, "post_attention_layernorm")
             x = x + attn_out
