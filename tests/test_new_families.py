@@ -810,3 +810,57 @@ class TestOlmo2:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestGlm4Moe:
+    """GLM-4.5/4.6 (HF Glm4MoeForCausalLM — the glm47 tool parser's
+    model family): DeepSeek-V3-style routing (sigmoid + correction
+    bias, group-limited, shared experts) over standard GQA attention
+    with partial rotary and per-head qk-norm."""
+
+    def _model(self):
+        from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+        torch.manual_seed(28)
+        cfg = Glm4MoeConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            partial_rotary_factor=0.5,
+            use_qk_norm=True,
+            n_routed_experts=8,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            n_shared_experts=1,
+            n_group=2,
+            topk_group=1,
+            first_k_dense_replace=1,
+            routed_scaling_factor=1.5,
+            norm_topk_prob=True,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return Glm4MoeForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.moe_style == "deepseek_v3" and cfg.mla is None
+        assert cfg.first_k_dense == 1 and cfg.use_qk_norm
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

@@ -347,6 +347,32 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "glm4_moe":
+            # GLM-4.5/4.6 (HF Glm4MoeForCausalLM, served by the glm47
+            # tool parser): DeepSeek-V3-style sigmoid+bias group-limited
+            # routing with shared experts, but standard GQA attention
+            # with half-style partial rotary and optional per-head
+            # qk-norm (no MLA)
+            kw.update(
+                num_experts=cfg.get("n_routed_experts", 128),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 8),
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                first_k_dense=cfg.get("first_k_dense_replace", 1),
+                n_group=cfg.get("n_group") or 1,
+                topk_group=cfg.get("topk_group") or 1,
+                routed_scaling_factor=float(
+                    cfg.get("routed_scaling_factor", 1.0)
+                ),
+                norm_topk_prob=cfg.get("norm_topk_prob", True),
+                moe_shared_intermediate=(cfg.get("n_shared_experts") or 0)
+                * (cfg.get("moe_intermediate_size") or 0),
+                moe_style="deepseek_v3",
+                moe_topk_method="noaux_tc",
+                use_qk_norm=cfg.get("use_qk_norm", False),
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+            )
         if model_type == "olmo2":
             # OLMo2 (HF Olmo2ForCausalLM): post-norm blocks (sublayer
             # outputs normed before the residual add, raw-stream
