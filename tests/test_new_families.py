@@ -864,3 +864,39 @@ class TestGlm4Moe:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestErnie45:
+    """Baidu ERNIE 4.5 (HF Ernie4_5ForCausalLM): llama-shaped with a
+    single use_bias switch across projections."""
+
+    def _model(self):
+        from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+        torch.manual_seed(29)
+        cfg = Ernie4_5Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            use_bias=True,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+        )
+        return Ernie4_5ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.attention_bias and cfg.mlp_bias
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

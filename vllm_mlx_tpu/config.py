@@ -347,6 +347,13 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "ernie4_5":
+            # Baidu ERNIE 4.5 (HF Ernie4_5ForCausalLM): llama-shaped
+            # with a single use_bias switch for qkv/o/mlp biases
+            kw.update(
+                attention_bias=cfg.get("use_bias", False),
+                mlp_bias=cfg.get("use_bias", False),
+            )
         if model_type == "glm4_moe":
             # GLM-4.5/4.6 (HF Glm4MoeForCausalLM, served by the glm47
             # tool parser): DeepSeek-V3-style sigmoid+bias group-limited
