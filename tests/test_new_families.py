@@ -900,3 +900,65 @@ class TestErnie45:
             model, path, cfg, params,
             {"a": rng.integers(2, 250, size=21).tolist()},
         )
+
+
+class TestSeedOss:
+    """ByteDance Seed-OSS (HF SeedOssForCausalLM): llama-shaped with
+    biased qkv + explicit head_dim — pinned (generic mapping covers it)."""
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        from transformers import SeedOssConfig, SeedOssForCausalLM
+
+        torch.manual_seed(30)
+        cfg = SeedOssConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+        )
+        _assert_parity(SeedOssForCausalLM(cfg).eval(), tmp_path, token_ids)
+
+
+class TestExaone4:
+    """LG EXAONE 4.0 (HF Exaone4ForCausalLM): post-norm blocks, per-head
+    qk-norm, hybrid sliding pattern with NoPE on global layers."""
+
+    def _model(self):
+        from transformers import Exaone4Config, Exaone4ForCausalLM
+
+        torch.manual_seed(31)
+        cfg = Exaone4Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            sliding_window=8,
+            sliding_window_pattern=4,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return Exaone4ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.post_norm_blocks and cfg.nope_full_layers
+        assert cfg.layer_types[3] == "full_attention"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

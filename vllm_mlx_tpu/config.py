@@ -47,6 +47,9 @@ class ModelConfig:
     # OLMo2 block: attention/MLP read the RAW residual stream; norms
     # apply to the sublayer OUTPUTS before the residual add
     post_norm_blocks: bool = False
+    # EXAONE4 hybrids: global (full-attention) layers use NoPE — rope
+    # applies only on sliding layers (HF Exaone4Attention.forward)
+    nope_full_layers: bool = False
     # Sliding-window attention (None = full attention on every layer)
     sliding_window: Optional[int] = None
     layer_types: Optional[List[str]] = None  # "full_attention" | "sliding_attention"
@@ -347,6 +350,15 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "exaone4":
+            # LG EXAONE 4.0 (HF Exaone4ForCausalLM): post-norm blocks,
+            # per-head qk-norm, hybrid sliding pattern with NoPE on
+            # global layers
+            kw.update(
+                post_norm_blocks=True,
+                use_qk_norm=True,
+                nope_full_layers=True,
+            )
         if model_type == "ernie4_5":
             # Baidu ERNIE 4.5 (HF Ernie4_5ForCausalLM): llama-shaped
             # with a single use_bias switch for qkv/o/mlp biases

@@ -147,7 +147,8 @@ def _apply_rope_glm(
 
 
 def _qkv(
-    cfg: ModelConfig, p: Params, x: jax.Array, cos: jax.Array, sin: jax.Array
+    cfg: ModelConfig, p: Params, x: jax.Array, cos: jax.Array,
+    sin: jax.Array, use_rope: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     if cfg.mla is not None:
         return _mla_qkv(cfg, p, x, cos, sin)
@@ -189,7 +190,11 @@ def _qkv(
         else:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
-    if cfg.rope_glm:
+    if not use_rope:
+        # EXAONE4 NoPE global layers: positions come from the cache
+        # ordering only
+        pass
+    elif cfg.rope_glm:
         # GLM-4: rotary over the leading rd channels with PAIR-shared
         # angles and a full-width rotate_half (HF modeling_glm4.py
         # apply_rotary_pos_emb) — a different linear map from standard
@@ -497,7 +502,12 @@ def _stack(
             else:  # pure Mamba2: block = norm -> mixer only
                 x = x + mix_out
             continue
-        q, k, v = _qkv(cfg, p, h, cos, sin)
+        use_rope = not (
+            cfg.nope_full_layers
+            and cfg.sliding_window is not None
+            and _layer_window(cfg, i) is None
+        )
+        q, k, v = _qkv(cfg, p, h, cos, sin, use_rope=use_rope)
         attn_out, kv_pool = attend(kv_pool, i, q, k, v, p.get("sinks"))
         t = attn_out.shape[0]
         if cfg.mla is not None:
