@@ -962,3 +962,43 @@ class TestExaone4:
             model, path, cfg, params,
             {"a": rng.integers(2, 250, size=21).tolist()},
         )
+
+
+class TestHunyuan:
+    """Tencent Hunyuan dense (HF HunYuanDenseV1ForCausalLM): llama-shaped
+    with per-head qk LayerNorm applied AFTER rope."""
+
+    def _model(self):
+        from transformers.models.hunyuan_v1_dense import (
+            HunYuanDenseV1Config,
+            HunYuanDenseV1ForCausalLM,
+        )
+
+        torch.manual_seed(32)
+        cfg = HunYuanDenseV1Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return HunYuanDenseV1ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.use_qk_norm and cfg.qk_norm_after_rope
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

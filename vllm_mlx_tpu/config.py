@@ -44,6 +44,9 @@ class ModelConfig:
     # OLMo2: q/k norm over the FULL projection width (before head
     # reshape) instead of per head
     qk_norm_flat: bool = False
+    # Hunyuan: per-head qk-norm applied AFTER rope (HF
+    # HunYuanDenseV1Attention.forward order)
+    qk_norm_after_rope: bool = False
     # OLMo2 block: attention/MLP read the RAW residual stream; norms
     # apply to the sublayer OUTPUTS before the residual add
     post_norm_blocks: bool = False
@@ -350,6 +353,10 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type in ("hunyuan_v1_dense", "hunyuan"):
+            # Tencent Hunyuan dense (HF HunYuanDenseV1ForCausalLM):
+            # llama-shaped with per-head qk LayerNorm applied AFTER rope
+            kw.update(use_qk_norm=True, qk_norm_after_rope=True)
         if model_type == "exaone4":
             # LG EXAONE 4.0 (HF Exaone4ForCausalLM): post-norm blocks,
             # per-head qk-norm, hybrid sliding pattern with NoPE on

@@ -172,7 +172,11 @@ def _qkv(
         q = q.reshape(t, cfg.num_attention_heads, hd)
         k = k.reshape(t, cfg.num_key_value_heads, hd)
         v = linear(x, p["v_proj"], p.get("v_bias")).reshape(t, cfg.num_key_value_heads, hd)
-    if cfg.use_qk_norm and not cfg.qk_norm_flat:
+    if (
+        cfg.use_qk_norm
+        and not cfg.qk_norm_flat
+        and not cfg.qk_norm_after_rope
+    ):
         if cfg.norm_type == "layernorm_nobias":
             # Cohere per-head qk LayerNorm: mean-centered, weights
             # shaped [num_heads, head_dim] (HF CohereLayerNorm tuple)
@@ -218,6 +222,10 @@ def _qkv(
     else:
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+    if cfg.use_qk_norm and cfg.qk_norm_after_rope:
+        # Hunyuan: per-head norm AFTER rotary
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
     return q, k, v
 
 

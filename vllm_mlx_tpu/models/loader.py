@@ -233,6 +233,9 @@ def _parse_layer_tensor(
             ld[key] = put(tensor)
         elif proj in ("q_norm", "k_norm") and kind == "weight":
             ld[proj] = put(tensor)
+        elif proj in ("query_layernorm", "key_layernorm") and kind == "weight":
+            # Hunyuan naming for the post-rope per-head norms
+            ld[proj[0] + "_norm"] = put(tensor)
         elif proj in (
             # DeepSeek MLA projections (HF modeling_deepseek_v3)
             "q_a_proj",
