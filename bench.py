@@ -44,6 +44,15 @@ def build():
 
             _mr.set_decode_unroll(int(a.split("=")[1]))
             log(f"decode unroll: {a.split('=')[1]}")
+    if "nokv" in sys.argv[1:] or "noattn" in sys.argv[1:]:
+        # timing-only ablations (WRONG OUTPUTS — see bench_8b.py)
+        from vllm_mlx_tpu.ops.ragged_attention import set_ablation
+
+        set_ablation(
+            skip_kv_writes="nokv" in sys.argv[1:],
+            skip_attention="noattn" in sys.argv[1:],
+        )
+        log("ABLATION (timing-only)")
     # True Qwen3-0.6B geometry (Qwen/Qwen3-0.6B config.json)
     cfg = ModelConfig(
         model_type="qwen3",

@@ -134,15 +134,17 @@ def main():
     # timing-only ablations (WRONG OUTPUTS): "nokv" skips the per-layer
     # KV scatter, "noattn" zeroes the attention kernel — attributes
     # step-time between weights / scatters / attention
-    if "nokv" in argv or "noattn" in argv:
+    if "nokv" in argv or "noattn" in argv or "dummyattn" in argv:
         from vllm_mlx_tpu.ops.ragged_attention import set_ablation
 
         set_ablation(
             skip_kv_writes="nokv" in argv,
             skip_attention="noattn" in argv,
+            dummy_attention="dummyattn" in argv,
         )
-        log(f"ABLATION (timing-only): {[a for a in argv if a.startswith('no')]}")
-        argv = [a for a in argv if not a.startswith("no")]
+        abl = ("nokv", "noattn", "dummyattn")
+        log(f"ABLATION (timing-only): {[a for a in argv if a in abl]}")
+        argv = [a for a in argv if a not in abl]
     if "int4" in argv:
         global QUANT
         QUANT = "int4"

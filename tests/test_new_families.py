@@ -45,9 +45,16 @@ def _assert_parity(model, tmp_path, token_ids, atol=2e-2):
     )
     theirs = _hf_logits(model, token_ids)
     np.testing.assert_allclose(ours, theirs, atol=atol)
-    np.testing.assert_array_equal(
-        np.argmax(ours, axis=-1), np.argmax(theirs, axis=-1)
-    )
+    # argmax identity, except where HF's own top-2 margin is a near-tie
+    # (tiny random-weight models hit repetition attractors whose ties
+    # legitimately flip under fp32 reassociation)
+    mismatch = np.argmax(ours, axis=-1) != np.argmax(theirs, axis=-1)
+    if mismatch.any():
+        part = np.partition(theirs[mismatch], -2, axis=-1)
+        margins = part[:, -1] - part[:, -2]
+        assert margins.max() < 1e-3, (
+            f"argmax diverged with decisive margin {margins.max()}"
+        )
     return path, cfg, params
 
 
@@ -81,7 +88,10 @@ def _assert_served_greedy(model, path, cfg, params, prompts, max_new=10):
                 request_id=rid,
                 prompt=list(pr),
                 sampling_params=SamplingParams(
-                    temperature=0.0, max_tokens=max_new
+                    temperature=0.0,
+                    max_tokens=max_new,
+                    # HF generate stops at eos (emitting it); match
+                    stop_token_ids=list(cfg.eos_token_ids),
                 ),
             )
         )
@@ -94,7 +104,25 @@ def _assert_served_greedy(model, path, cfg, params, prompts, max_new=10):
         steps += 1
         assert steps < 300
     for rid in prompts:
-        assert outs[rid].output_token_ids == refs[rid], rid
+        got = outs[rid].output_token_ids
+        if got == refs[rid]:
+            continue
+        # Tiny random-weight models can produce near-exact logit TIES
+        # (repetition attractors); fp32 reassociation then legitimately
+        # flips the argmax between frameworks. Accept a divergence ONLY
+        # if HF's own top-2 margin at the first mismatch is a hair.
+        i = next(
+            (j for j, (a, b) in enumerate(zip(got, refs[rid])) if a != b),
+            min(len(got), len(refs[rid])),
+        )
+        ctx = list(prompts[rid]) + refs[rid][:i]
+        with torch.no_grad():
+            hl = model(torch.tensor([ctx])).logits[0, -1].float()
+        top2 = torch.topk(hl, 2).values
+        margin = float(top2[0] - top2[1])
+        assert margin < 1e-3, (
+            f"{rid}: diverged at {i} with decisive HF margin {margin}"
+        )
 
 
 @pytest.fixture

@@ -44,13 +44,38 @@ _BLOCK_CFG = {
 
 # timing-only ablation switches (bench_8b ablation args; NEVER set in
 # serving — outputs become wrong): skip the per-layer KV scatter /
-# replace the attention kernel with zeros, to attribute step time
-_ABLATE = {"skip_kv_writes": False, "skip_attention": False}
+# replace the attention kernel with zeros / replace it with a TRIVIAL
+# pallas kernel (isolates irreducible custom-call+grid overhead from
+# the real kernel's internal work)
+_ABLATE = {
+    "skip_kv_writes": False,
+    "skip_attention": False,
+    "dummy_attention": False,
+}
 
 
-def set_ablation(skip_kv_writes: bool = False, skip_attention: bool = False):
+def set_ablation(
+    skip_kv_writes: bool = False,
+    skip_attention: bool = False,
+    dummy_attention: bool = False,
+):
     _ABLATE["skip_kv_writes"] = skip_kv_writes
     _ABLATE["skip_attention"] = skip_attention
+    _ABLATE["dummy_attention"] = dummy_attention
+
+
+def _dummy_pallas_attention(q: jax.Array) -> jax.Array:
+    """Minimal pallas_call with the q block: measures the floor cost of
+    ONE custom-call + trivial grid on this platform (timing-only)."""
+    from jax.experimental import pallas as pl
+
+    def kern(q_ref, o_ref):
+        o_ref[...] = q_ref[...] * 2.0
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )(q)
 
 
 def set_attention_block_config(
@@ -194,6 +219,8 @@ def _ragged_attention_local(
 ) -> jax.Array:
     if _ABLATE["skip_attention"]:
         return jnp.zeros_like(q)
+    if _ABLATE["dummy_attention"]:
+        return _dummy_pallas_attention(q)
     if jax.default_backend() == "tpu":
         if sinks is not None:
             # sink-aware fork of the pallas kernel (ops/ragged_sink_kernel)
