@@ -1030,3 +1030,48 @@ class TestHunyuan:
             model, path, cfg, params,
             {"a": rng.integers(2, 250, size=21).tolist()},
         )
+
+
+class TestLfm2:
+    """Liquid LFM2 (HF Lfm2ForCausalLM): gated short-conv layers
+    interleaved with full attention — the conv window rides the same
+    per-slot recurrent-state plumbing as Mamba/DeltaNet
+    (models/short_conv.py)."""
+
+    def _model(self):
+        from transformers import Lfm2Config, Lfm2ForCausalLM
+
+        torch.manual_seed(33)
+        cfg = Lfm2Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            conv_L_cache=3,
+            full_attn_idxs=[1, 3],
+            block_auto_adjust_ff_dim=False,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return Lfm2ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.has_recurrent and cfg.layer_types[0] == "short_conv"
+        assert cfg.layer_types[1] == "full_attention"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {
+                "a": rng.integers(2, 250, size=21).tolist(),
+                "b": rng.integers(2, 250, size=9).tolist(),
+            },
+        )

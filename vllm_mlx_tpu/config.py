@@ -141,6 +141,9 @@ class ModelConfig:
     # delta-rule fast-weight mixer; gdn_cfg holds its geometry
     # (models/gated_deltanet.py DeltaNetConfig kwargs).
     gdn_cfg: Optional[Dict[str, Any]] = None
+    # LFM2 gated short conv: layer_types entries "short_conv" use the
+    # K-tap FIR mixer; conv_cfg = {"kernel": K} (models/short_conv.py)
+    conv_cfg: Optional[Dict[str, Any]] = None
     # Qwen3-Next full-attention layers: q_proj emits [query | gate] per
     # head and the attention output is gated by sigmoid(gate) before
     # o_proj (HF Qwen3NextAttention.forward)
@@ -176,6 +179,7 @@ class ModelConfig:
         return (
             self.mamba_cfg is not None
             or self.gdn_cfg is not None
+            or self.conv_cfg is not None
             or (
                 self.layer_types is not None
                 and "linear_attention" in self.layer_types
@@ -353,6 +357,28 @@ class ModelConfig:
                     "beyond original_max_position_embeddings will be "
                     "wrong"
                 )
+        if model_type == "lfm2":
+            # Liquid LFM2 (HF Lfm2ForCausalLM): gated short-conv layers
+            # interleaved with full attention (per-head qk RMSNorm,
+            # out_proj naming); final norm is "embedding_norm"
+            n_layers = cfg.get("num_hidden_layers", 16)
+            hf_types = cfg.get("layer_types")
+            if hf_types is None:
+                attn = set(cfg.get("full_attn_idxs") or [])
+                hf_types = [
+                    "full_attention" if i in attn else "conv"
+                    for i in range(n_layers)
+                ]
+            kw.update(
+                layer_types=[
+                    "short_conv" if lt == "conv" else lt
+                    for lt in hf_types
+                ],
+                use_qk_norm=True,
+                rms_norm_eps=cfg.get("norm_eps", 1e-5),
+                conv_cfg=dict(kernel=cfg.get("conv_L_cache", 3)),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
         if model_type in ("hunyuan_v1_dense", "hunyuan"):
             # Tencent Hunyuan dense (HF HunYuanDenseV1ForCausalLM):
             # llama-shaped with per-head qk LayerNorm applied AFTER rope

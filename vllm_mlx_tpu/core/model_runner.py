@@ -249,7 +249,7 @@ class ModelRunner:
         return sum(
             1
             for lt in self.cfg.layer_types
-            if lt not in ("mamba", "linear_attention", "gdn")
+            if lt not in ("mamba", "linear_attention", "gdn", "short_conv")
         )
 
     def _init_state(self) -> RunnerState:
@@ -281,6 +281,16 @@ class ModelRunner:
                 elif lt == "gdn":
                     ssm_states.append(
                         init_gdn_states(dc, self.max_num_seqs)
+                    )
+                elif lt == "short_conv":
+                    from ..models.short_conv import init_conv_states
+
+                    ssm_states.append(
+                        init_conv_states(
+                            c.hidden_size,
+                            c.conv_cfg["kernel"],
+                            self.max_num_seqs,
+                        )
                     )
                 elif lt == "linear_attention":
                     # lightning state: per-head decayed K^T V matrix

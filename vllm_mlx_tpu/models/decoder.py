@@ -491,6 +491,7 @@ def _stack(
             "mamba",
             "linear_attention",
             "gdn",
+            "short_conv",
         ):
             # recurrent mixer block (Mamba SSD / lightning linear
             # attention / gated DeltaNet): the caller's ssm_fn owns
@@ -671,7 +672,7 @@ def unified_forward(
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
     # kv pool index per layer (hybrid models pool only attention layers)
-    _REC = ("mamba", "linear_attention", "gdn")
+    _REC = ("mamba", "linear_attention", "gdn", "short_conv")
     if cfg.layer_types is not None and any(
         lt in _REC for lt in cfg.layer_types
     ):
@@ -740,6 +741,12 @@ def unified_forward(
                 dc = DeltaNetConfig(**cfg.gdn_cfg)
                 p = layer_p["gdn"]
                 fn = lambda x, v, c, s: gdn_sequence(p, dc, x, v, c, s)
+            elif cfg.layer_types[i] == "short_conv":
+                from .short_conv import conv_sequence
+
+                kk = cfg.conv_cfg["kernel"]
+                p = layer_p["short_conv"]
+                fn = lambda x, v, c, s: conv_sequence(p, kk, x, v, c, s)
             else:
                 from .mamba2 import MambaMixerConfig, mixer_sequence
 
@@ -835,6 +842,16 @@ def unified_forward(
                 return _mixer_serving(
                     lambda x, a, c, s: gdn_step(p, dc, x, a, c, s),
                     lambda x, v, c, s: gdn_sequence(p, dc, x, v, c, s),
+                    h, m,
+                )
+            if cfg.layer_types[i] == "short_conv":
+                from .short_conv import conv_sequence, conv_step
+
+                kk = cfg.conv_cfg["kernel"]
+                p = layer_p["short_conv"]
+                return _mixer_serving(
+                    lambda x, a, c, s: conv_step(p, kk, x, a, c, s),
+                    lambda x, v, c, s: conv_sequence(p, kk, x, v, c, s),
                     h, m,
                 )
             from .mamba2 import mixer_sequence, mixer_step
@@ -1006,6 +1023,16 @@ def dense_forward(
                         (dc.num_v_heads, dc.head_k_dim, dc.head_v_dim),
                         jnp.float32,
                     ),
+                )
+                return y
+            if cfg.layer_types[i] == "short_conv":
+                from .short_conv import conv_sequence
+
+                kk = cfg.conv_cfg["kernel"]
+                y, _, _ = conv_sequence(
+                    layer_p["short_conv"], kk, h, None,
+                    jnp.zeros((cfg.hidden_size, kk), h.dtype),
+                    jnp.zeros((1, 1), jnp.float32),
                 )
                 return y
             from .mamba2 import mixer_sequence

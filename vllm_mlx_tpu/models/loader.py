@@ -68,7 +68,11 @@ def _parse_layer_tensor(
     dict ``ld`` (shared by load_params and load_mtp_params; ``stage``
     collects per-expert MoE weights for stacking, ``lt`` is the layer's
     layer_types entry or None)."""
-    if rest in ("input_layernorm.weight", "norm.weight"):
+    if rest in (
+        "input_layernorm.weight",
+        "norm.weight",
+        "operator_norm.weight",  # LFM2
+    ):
         # "norm.weight" = pure-Mamba2 block norm
         ld["input_layernorm"] = put(tensor)
     elif rest == "input_layernorm.bias":
@@ -96,8 +100,30 @@ def _parse_layer_tensor(
     elif rest in (
         "post_attention_layernorm.weight",
         "pre_ff_layernorm.weight",  # Bamba
+        "ffn_norm.weight",  # LFM2
     ):
         ld["post_attention_layernorm"] = put(tensor)
+    elif rest.startswith("conv.") and cfg.conv_cfg is not None:
+        # LFM2 gated short conv (models/short_conv.py)
+        sub = rest.split(".", 1)[1]
+        sc = ld.setdefault("short_conv", {})
+        t = np.asarray(tensor)
+        if sub == "conv.weight":  # [H, 1, K] -> [H, K]
+            sc["conv_w"] = jnp.asarray(
+                t.reshape(t.shape[0], t.shape[-1])
+            ).astype(jnp.float32)
+        else:
+            key = {
+                "conv.bias": "conv_b",
+                "in_proj.weight": "in_w",
+                "in_proj.bias": "in_b",
+                "out_proj.weight": "out_w",
+                "out_proj.bias": "out_b",
+            }.get(sub)
+            if key in ("in_w", "out_w"):
+                sc[key] = put(t)
+            elif key is not None:
+                sc[key] = jnp.asarray(t).astype(jnp.float32)
     elif rest.startswith(("mixer.", "mamba.")):
         # Mamba2 SSD mixer (kept float32: states/decays are
         # precision-sensitive; matmul weights cast to jdt)
@@ -226,7 +252,9 @@ def _parse_layer_tensor(
     elif rest.startswith("self_attn."):
         sub = rest[len("self_attn."):]
         proj, kind = sub.rsplit(".", 1)
-        if proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        if proj in ("q_proj", "k_proj", "v_proj", "o_proj", "out_proj"):
+            if proj == "out_proj":  # LFM2 names o_proj "out_proj"
+                proj = "o_proj"
             key = proj if kind == "weight" else proj[0] + "_bias"
             if proj == "o_proj" and kind == "bias":
                 key = "o_bias"
@@ -235,6 +263,9 @@ def _parse_layer_tensor(
             ld[proj] = put(tensor)
         elif proj in ("query_layernorm", "key_layernorm") and kind == "weight":
             # Hunyuan naming for the post-rope per-head norms
+            ld[proj[0] + "_norm"] = put(tensor)
+        elif proj in ("q_layernorm", "k_layernorm") and kind == "weight":
+            # LFM2 naming for the per-head qk norms
             ld[proj[0] + "_norm"] = put(tensor)
         elif proj in (
             # DeepSeek MLA projections (HF modeling_deepseek_v3)
@@ -310,6 +341,10 @@ def _parse_layer_tensor(
         ".weight"
     ):
         proj = rest.split(".")[1]
+        # LFM2 feed_forward.w1/w3/w2 = gate/up/down
+        proj = {"w1": "gate_proj", "w3": "up_proj", "w2": "down_proj"}.get(
+            proj, proj
+        )
         if proj in ("gate_proj", "up_proj", "down_proj"):
             ld.setdefault("mlp", {})[proj] = put(tensor)
     elif rest.startswith(("mlp.", "feed_forward.")) and rest.endswith(
@@ -354,7 +389,12 @@ def load_params(
         n = _strip(name)
         if n in ("embed_tokens.weight", "embeddings.weight"):
             params["embed_tokens"] = put(tensor)
-        elif n in ("norm.weight", "norm_f.weight", "final_layernorm.weight"):
+        elif n in (
+            "norm.weight",
+            "norm_f.weight",
+            "final_layernorm.weight",
+            "embedding_norm.weight",  # LFM2 (applied at the END)
+        ):
             params["norm"] = put(tensor)
         elif n in ("norm.bias", "final_layernorm.bias"):
             params["norm_bias"] = put(tensor)  # Nemotron LayerNorm1P
