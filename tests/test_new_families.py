@@ -1075,3 +1075,45 @@ class TestLfm2:
                 "b": rng.integers(2, 250, size=9).tolist(),
             },
         )
+
+
+class TestGraniteMoe:
+    """IBM GraniteMoE (HF GraniteMoeForCausalLM): Granite multipliers +
+    fused-GLU parallel experts with topk-then-softmax routing."""
+
+    def _model(self):
+        from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+        torch.manual_seed(34)
+        cfg = GraniteMoeConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            embedding_multiplier=4.0,
+            attention_multiplier=0.12,
+            residual_multiplier=0.6,
+            logits_scaling=1.5,
+            max_position_embeddings=512,
+            tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        return GraniteMoeForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.moe_style == "granite" and cfg.residual_multiplier == 0.6
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

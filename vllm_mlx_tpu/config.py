@@ -434,10 +434,11 @@ class ModelConfig:
                 qk_norm_flat=True,
                 post_norm_blocks=True,
             )
-        if model_type == "granite":
-            # IBM Granite (HF GraniteForCausalLM): llama-shaped with
-            # four scalar multipliers (mup-style) — embeddings,
-            # attention scale, residual branches, logits divisor
+        if model_type in ("granite", "granitemoe"):
+            # IBM Granite / GraniteMoE (HF Granite(Moe)ForCausalLM):
+            # llama-shaped with four mup-style scalar multipliers;
+            # the MoE variant adds fused-GLU parallel experts with
+            # topk-then-softmax routing
             kw.update(
                 embed_scale=float(cfg.get("embedding_multiplier", 1.0)),
                 attn_scale=float(cfg.get("attention_multiplier", 1.0)),
@@ -447,6 +448,13 @@ class ModelConfig:
                 logit_scale=1.0 / float(cfg.get("logits_scaling", 1.0)),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             )
+            if model_type == "granitemoe":
+                kw.update(
+                    num_experts=cfg.get("num_local_experts", 8),
+                    num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+                    moe_intermediate_size=cfg.get("intermediate_size", 0),
+                    moe_style="granite",
+                )
         if model_type == "phi":
             # Phi-1/2 (HF PhiForCausalLM): parallel residual with one
             # shared LayerNorm, biased projections (o_proj named

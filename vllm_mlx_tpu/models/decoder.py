@@ -331,6 +331,41 @@ def moe_mlp_gpt_oss(
     return out.astype(x.dtype)
 
 
+def moe_mlp_granite(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """GraniteMoE block (HF GraniteMoeTopKGating/GraniteMoeMoE): top-k
+    on RAW router logits then softmax over the selected k; experts use
+    a fused input_linear whose output halves are (gate, up) CONTIGUOUS
+    chunks with silu GLU, and an unbiased output_linear."""
+    t, h = x.shape
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    if moe_top_k is not None:
+        k = max(1, min(k, moe_top_k))
+    logits = linear(x, p["router"]).astype(jnp.float32)
+    topk_v, topk_i = jax.lax.top_k(logits, k)
+    topk_p = jax.nn.softmax(topk_v, axis=-1)
+    order, _, sorted_token, group_sizes = _sort_by_expert(topk_i, t, k, e)
+    xs = x[sorted_token]
+    gu = jax.lax.ragged_dot(xs, p["input_w"], group_sizes)  # [T*k, 2I]
+    inter = gu.shape[-1] // 2
+    hidden = (
+        jax.nn.silu(gu[..., :inter].astype(jnp.float32))
+        * gu[..., inter:].astype(jnp.float32)
+    ).astype(x.dtype)
+    y = jax.lax.ragged_dot(hidden, p["output_w"], group_sizes)
+    weights = topk_p.reshape(-1)[order].astype(jnp.float32)
+    out = jax.ops.segment_sum(
+        y.astype(jnp.float32) * weights[:, None], sorted_token,
+        num_segments=t,
+    )
+    return out.astype(x.dtype)
+
+
 def moe_mlp_deepseek(
     cfg: ModelConfig,
     p: Params,
@@ -394,6 +429,8 @@ def _mlp_block(
     if "moe" in p:
         if cfg.moe_style == "gpt_oss":
             out = moe_mlp_gpt_oss(cfg, p["moe"], x, moe_top_k)
+        elif cfg.moe_style == "granite":
+            out = moe_mlp_granite(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style.startswith("deepseek"):
             out = moe_mlp_deepseek(cfg, p["moe"], x, moe_top_k)
         else:

@@ -313,6 +313,21 @@ def _parse_layer_tensor(
         stage.setdefault(proj, {})[e] = tensor
     elif rest in ("mlp.gate.weight", "block_sparse_moe.gate.weight"):
         ld.setdefault("moe", {})["router"] = put(tensor)
+    elif rest == "block_sparse_moe.router.layer.weight":
+        # GraniteMoE router naming
+        ld.setdefault("moe", {})["router"] = put(tensor)
+    elif rest in (
+        "block_sparse_moe.input_linear.weight",
+        "block_sparse_moe.output_linear.weight",
+    ):
+        # GraniteMoE pre-stacked experts [E, out, in] -> ragged_dot's
+        # [E, in, out]
+        key = (
+            "input_w" if "input_linear" in rest else "output_w"
+        )
+        ld.setdefault("moe", {})[key] = put(
+            np.swapaxes(np.asarray(tensor), 1, 2)
+        )
     elif rest == "mlp.gate.e_score_correction_bias":
         # DeepSeek V3 selection bias (f32 like HF's buffer)
         ld.setdefault("moe", {})["e_score_bias"] = jnp.asarray(
