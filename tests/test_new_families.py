@@ -1117,3 +1117,59 @@ class TestGraniteMoe:
             model, path, cfg, params,
             {"a": rng.integers(2, 250, size=21).tolist()},
         )
+
+
+class TestGranite4Hybrid:
+    """IBM Granite 4.0 (HF GraniteMoeHybridForCausalLM): Granite
+    multipliers + NoPE attention/Mamba2 hybrid layers + GraniteMoE
+    experts with a fused-GLU shared MLP on every layer."""
+
+    def _model(self):
+        from transformers import (
+            GraniteMoeHybridConfig,
+            GraniteMoeHybridForCausalLM,
+        )
+
+        torch.manual_seed(35)
+        cfg = GraniteMoeHybridConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=48,
+            shared_intermediate_size=96,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            num_local_experts=4,
+            num_experts_per_tok=2,
+            layers_block_type=["mamba", "attention", "mamba"],
+            mamba_n_heads=4,
+            mamba_d_head=32,
+            mamba_d_state=16,
+            mamba_n_groups=1,
+            mamba_d_conv=4,
+            mamba_expand=2,
+            embedding_multiplier=4.0,
+            attention_multiplier=0.12,
+            residual_multiplier=0.6,
+            logits_scaling=1.5,
+            max_position_embeddings=512,
+            tie_word_embeddings=True,
+            attn_implementation="eager",
+        )
+        return GraniteMoeHybridForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.layer_types == ["mamba", "full_attention", "mamba"]
+        assert not cfg.use_rope and cfg.moe_style == "granite"
+        assert cfg.moe_shared_intermediate == 96
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

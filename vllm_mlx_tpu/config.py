@@ -53,6 +53,9 @@ class ModelConfig:
     # EXAONE4 hybrids: global (full-attention) layers use NoPE — rope
     # applies only on sliding layers (HF Exaone4Attention.forward)
     nope_full_layers: bool = False
+    # Granite 4.0 hybrids: no rotary embeddings at all
+    # (position_embedding_type != "rope" — HF GraniteMoeHybridModel)
+    use_rope: bool = True
     # Sliding-window attention (None = full attention on every layer)
     sliding_window: Optional[int] = None
     layer_types: Optional[List[str]] = None  # "full_attention" | "sliding_attention"
@@ -455,6 +458,53 @@ class ModelConfig:
                     moe_intermediate_size=cfg.get("intermediate_size", 0),
                     moe_style="granite",
                 )
+        if model_type == "granitemoehybrid":
+            # IBM Granite 4.0 (HF GraniteMoeHybridForCausalLM): Granite
+            # multipliers + mamba/attention hybrid layers (NoPE unless
+            # position_embedding_type == "rope") + GraniteMoE experts
+            # with a fused-GLU shared MLP added on every layer
+            # transformers serializes layers_block_type as "layer_types"
+            blocks = (
+                cfg.get("layers_block_type")
+                or cfg.get("layer_types")
+                or []
+            )
+            kw.update(
+                embed_scale=float(cfg.get("embedding_multiplier", 1.0)),
+                attn_scale=float(cfg.get("attention_multiplier", 1.0)),
+                residual_multiplier=float(
+                    cfg.get("residual_multiplier", 1.0)
+                ),
+                logit_scale=1.0 / float(cfg.get("logits_scaling", 1.0)),
+                use_rope=cfg.get("position_embedding_type") == "rope",
+                layer_types=[
+                    "mamba" if b == "mamba" else "full_attention"
+                    for b in blocks
+                ],
+                num_experts=cfg.get("num_local_experts", 0),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+                moe_intermediate_size=cfg.get("intermediate_size", 0),
+                moe_style="granite",
+                moe_shared_intermediate=cfg.get(
+                    "shared_intermediate_size", 0
+                ),
+                mamba_cfg=dict(
+                    num_heads=cfg.get("mamba_n_heads", 128),
+                    head_dim=cfg.get("mamba_d_head", 64),
+                    state_size=cfg.get("mamba_d_state", 256),
+                    n_groups=cfg.get("mamba_n_groups", 1),
+                    conv_kernel=cfg.get("mamba_d_conv", 4),
+                    intermediate_size=int(
+                        cfg.get("mamba_expand", 2)
+                        * cfg.get("hidden_size", 4096)
+                    ),
+                    use_conv_bias=cfg.get("mamba_conv_bias", True),
+                    use_bias=cfg.get("mamba_proj_bias", False),
+                    norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                    time_step_limit=(0.0, float("inf")),
+                    chunk_size=256,
+                ),
+            )
         if model_type == "phi":
             # Phi-1/2 (HF PhiForCausalLM): parallel residual with one
             # shared LayerNorm, biased projections (o_proj named

@@ -438,8 +438,20 @@ def _mlp_block(
         if "shared_mlp" in p:
             # shared experts: dense MLP added to the routed output —
             # ungated (DeepSeek) or scaled by sigmoid(shared_expert_gate)
-            # (Qwen3-Next, HF Qwen3NextSparseMoeBlock:848-851)
-            shared = swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
+            # (Qwen3-Next, HF Qwen3NextSparseMoeBlock:848-851);
+            # Granite 4.0 ships a fused-GLU input_linear variant
+            sm = p["shared_mlp"]
+            if "input_w" in sm:
+                gu = linear(x, sm["input_w"]).astype(jnp.float32)
+                inter = gu.shape[-1] // 2
+                shared = linear(
+                    (jax.nn.silu(gu[..., :inter]) * gu[..., inter:]).astype(
+                        x.dtype
+                    ),
+                    sm["output_w"],
+                )
+            else:
+                shared = swiglu_mlp(x, p["shared_mlp"], cfg.hidden_act)
             if cfg.shared_expert_gated:
                 shared = shared * jax.nn.sigmoid(
                     linear(x, p["shared_gate"]).astype(jnp.float32)
@@ -541,14 +553,20 @@ def _stack(
                 h = _bnorm(cfg, x, p, "post_attention_layernorm")
                 mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
                 x = h * rc["mlp_alpha"] + mlp_out * rc["mlp_beta"]
-            elif cfg.block_has_mlp:  # Bamba-style
+            elif cfg.block_has_mlp:  # Bamba/Granite-4.0-style
+                rm = cfg.residual_multiplier
+                if rm != 1.0:
+                    mix_out = mix_out * jnp.asarray(rm, mix_out.dtype)
                 x = x + mix_out
                 h = _bnorm(cfg, x, p, "post_attention_layernorm")
-                x = x + _mlp_block(cfg, i, p, h, moe_top_k)
+                mlp_out = _mlp_block(cfg, i, p, h, moe_top_k)
+                if rm != 1.0:
+                    mlp_out = mlp_out * jnp.asarray(rm, mlp_out.dtype)
+                x = x + mlp_out
             else:  # pure Mamba2: block = norm -> mixer only
                 x = x + mix_out
             continue
-        use_rope = not (
+        use_rope = cfg.use_rope and not (
             cfg.nope_full_layers
             and cfg.sliding_window is not None
             and _layer_window(cfg, i) is None

@@ -343,6 +343,13 @@ def _parse_layer_tensor(
         proj = rest.split(".")[2]
         if proj in ("gate_proj", "up_proj", "down_proj"):
             ld.setdefault("shared_mlp", {})[proj] = put(tensor)
+    elif rest in (
+        "shared_mlp.input_linear.weight",
+        "shared_mlp.output_linear.weight",
+    ):
+        # Granite 4.0 fused-GLU shared MLP
+        key = "input_w" if "input_linear" in rest else "output_w"
+        ld.setdefault("shared_mlp", {})[key] = put(tensor)
     elif rest == "mlp.shared_expert_gate.weight":
         # Qwen3-Next: sigmoid gate scaling the shared expert
         ld["shared_gate"] = put(tensor)
