@@ -1173,3 +1173,58 @@ class TestGranite4Hybrid:
             model, path, cfg, params,
             {"a": rng.integers(2, 250, size=21).tolist()},
         )
+
+
+class TestErnie45Moe:
+    """ERNIE 4.5 MoE (HF Ernie4_5_MoeForCausalLM): softmax scores with
+    bias-corrected selection, clamp-floored renorm, shared experts,
+    dense-layer windowing."""
+
+    def _model(self):
+        from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+        torch.manual_seed(36)
+        cfg = Ernie4_5_MoeConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            use_bias=False,
+            moe_num_experts=8,
+            moe_k=2,
+            moe_intermediate_size=32,
+            moe_num_shared_experts=1,
+            moe_layer_start_index=1,
+            moe_layer_end_index=2,
+            moe_layer_interval=1,
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        m = Ernie4_5_MoeForCausalLM(cfg).eval()
+        # give the selection bias some signal so the biased-choice path
+        # is actually exercised
+        with torch.no_grad():
+            for layer in m.model.layers:
+                if hasattr(layer.mlp, "moe_statics"):
+                    layer.mlp.moe_statics.e_score_correction_bias.add_(
+                        torch.randn(1, 8) * 0.1
+                    )
+        return m
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.moe_style == "ernie" and cfg.first_k_dense == 1
+        assert cfg.moe_layer_indices() == [1, 2]
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

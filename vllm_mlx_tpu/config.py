@@ -83,6 +83,8 @@ class ModelConfig:
     # to every MoE layer's routed output (n_shared * moe_intermediate)
     moe_shared_intermediate: int = 0
     moe_topk_method: str = "greedy"  # | "group_limited_greedy" | "noaux_tc"
+    # ERNIE MoE renorm clamp floor (HF moe_norm_min)
+    moe_norm_min: float = 1e-12
     # GPT-OSS: learned per-q-head attention sink logits join the softmax
     has_sinks: bool = False
     # DeepSeek multi-head latent attention geometry (None = MHA/GQA).
@@ -401,6 +403,27 @@ class ModelConfig:
             kw.update(
                 attention_bias=cfg.get("use_bias", False),
                 mlp_bias=cfg.get("use_bias", False),
+            )
+        if model_type == "ernie4_5_moe":
+            # ERNIE 4.5 MoE (HF Ernie4_5_MoeForCausalLM): softmax
+            # scores with bias-corrected SELECTION, clamp-floored
+            # renorm, optional fused shared experts; dense layers
+            # outside [start_index, end_index] or off the interval
+            n_layers = cfg.get("num_hidden_layers", 28)
+            end = cfg.get("moe_layer_end_index", n_layers - 1)
+            kw.update(
+                attention_bias=cfg.get("use_bias", False),
+                mlp_bias=cfg.get("use_bias", False),
+                num_experts=cfg.get("moe_num_experts", 64),
+                num_experts_per_tok=cfg.get("moe_k", 6),
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                decoder_sparse_step=cfg.get("moe_layer_interval", 1),
+                first_k_dense=cfg.get("moe_layer_start_index", 0),
+                mlp_only_layers=list(range(end + 1, n_layers)),
+                moe_style="ernie",
+                moe_norm_min=float(cfg.get("moe_norm_min", 1e-12)),
+                moe_shared_intermediate=cfg.get("moe_num_shared_experts", 0)
+                * cfg.get("moe_intermediate_size", 0),
             )
         if model_type == "glm4_moe":
             # GLM-4.5/4.6 (HF Glm4MoeForCausalLM, served by the glm47

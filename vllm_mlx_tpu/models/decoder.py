@@ -331,6 +331,30 @@ def moe_mlp_gpt_oss(
     return out.astype(x.dtype)
 
 
+def moe_mlp_ernie(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """ERNIE 4.5 MoE (HF Ernie4_5_MoeSparseMoeBlock): softmax scores,
+    selection on scores + e_score_correction_bias (weights gather the
+    UNBIASED scores), renormalized with a clamp floor."""
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    if moe_top_k is not None:
+        k = max(1, min(k, moe_top_k))
+    logits = linear(x, p["router"]).astype(jnp.float32)
+    scores = jax.nn.softmax(logits, axis=-1)
+    choice = scores + p["e_score_bias"].astype(jnp.float32)[None, :]
+    _, topk_i = jax.lax.top_k(choice, k)
+    topk_p = jnp.take_along_axis(scores, topk_i, axis=1)
+    topk_p = topk_p / jnp.maximum(
+        jnp.sum(topk_p, axis=-1, keepdims=True), cfg.moe_norm_min
+    )
+    return _routed_swiglu(p, x, topk_p, topk_i, e)
+
+
 def moe_mlp_granite(
     cfg: ModelConfig,
     p: Params,
@@ -431,6 +455,8 @@ def _mlp_block(
             out = moe_mlp_gpt_oss(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style == "granite":
             out = moe_mlp_granite(cfg, p["moe"], x, moe_top_k)
+        elif cfg.moe_style == "ernie":
+            out = moe_mlp_ernie(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style.startswith("deepseek"):
             out = moe_mlp_deepseek(cfg, p["moe"], x, moe_top_k)
         else:

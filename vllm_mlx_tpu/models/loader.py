@@ -328,10 +328,13 @@ def _parse_layer_tensor(
         ld.setdefault("moe", {})[key] = put(
             np.swapaxes(np.asarray(tensor), 1, 2)
         )
-    elif rest == "mlp.gate.e_score_correction_bias":
-        # DeepSeek V3 selection bias (f32 like HF's buffer)
+    elif rest in (
+        "mlp.gate.e_score_correction_bias",
+        "mlp.moe_statics.e_score_correction_bias",  # ERNIE MoE
+    ):
+        # selection bias (f32 like HF's buffer); ERNIE stores [1, E]
         ld.setdefault("moe", {})["e_score_bias"] = jnp.asarray(
-            tensor
+            np.asarray(tensor).reshape(-1)
         ).astype(jnp.float32)
     elif rest == "mlp.router.weight":
         ld.setdefault("moe", {})["router"] = put(tensor)
