@@ -1228,3 +1228,90 @@ class TestErnie45Moe:
             model, path, cfg, params,
             {"a": rng.integers(2, 250, size=21).tolist()},
         )
+
+
+class TestGemma3Text:
+    """Gemma3 text (HF Gemma3ForCausalLM): sandwich norms + dual rope —
+    sliding layers rotate with rope_local_base_freq, full layers with
+    the scaled global tables (the round-3 dual-rope fix)."""
+
+    def _model(self):
+        from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+
+        torch.manual_seed(37)
+        cfg = Gemma3TextConfig(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            sliding_window=8,
+            sliding_window_pattern=4,
+            rope_theta=1000000.0,
+            rope_local_base_freq=10000.0,
+            rope_scaling={"rope_type": "linear", "factor": 2.0},
+            max_position_embeddings=512,
+            attn_implementation="eager",
+        )
+        return Gemma3ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.rope_local_theta == 10000.0
+        assert cfg.layer_types[0] == "sliding_attention"
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )
+
+
+class TestOlmo3:
+    """OLMo3 (HF Olmo3ForCausalLM): OLMo2 post-norm + flat qk-norm with
+    sliding/full hybrid layers; sliding layers drop the rope scaling."""
+
+    def _model(self):
+        from transformers import Olmo3Config, Olmo3ForCausalLM
+
+        torch.manual_seed(38)
+        cfg = Olmo3Config(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            sliding_window=8,
+            layer_types=[
+                "sliding_attention",
+                "sliding_attention",
+                "sliding_attention",
+                "full_attention",
+            ],
+            rope_scaling={"rope_type": "linear", "factor": 2.0},
+            max_position_embeddings=512,
+            tie_word_embeddings=False,
+            attn_implementation="eager",
+        )
+        return Olmo3ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.post_norm_blocks and cfg.rope_local_theta == 10000.0
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(2, 250, size=16).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(2, 250, size=21).tolist()},
+        )

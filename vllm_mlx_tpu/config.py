@@ -56,6 +56,10 @@ class ModelConfig:
     # Granite 4.0 hybrids: no rotary embeddings at all
     # (position_embedding_type != "rope" — HF GraniteMoeHybridModel)
     use_rope: bool = True
+    # Dual rope (Gemma3 rope_local_base_freq / OLMo3 per-layer-type
+    # rotary): sliding_attention layers use THIS theta with NO scaling;
+    # full layers use rope_theta + rope_scaling
+    rope_local_theta: Optional[float] = None
     # Sliding-window attention (None = full attention on every layer)
     sliding_window: Optional[int] = None
     layer_types: Optional[List[str]] = None  # "full_attention" | "sliding_attention"
@@ -336,6 +340,12 @@ class ModelConfig:
             if model_type == "gemma3_text":
                 kw["use_qk_norm"] = True
                 kw["attn_softcap"] = None
+                # sliding layers rotate with the LOCAL base frequency
+                # (HF Gemma3TextModel rotary_emb_local)
+                if cfg.get("rope_local_base_freq"):
+                    kw["rope_local_theta"] = float(
+                        cfg["rope_local_base_freq"]
+                    )
         if model_type == "glm4":
             # GLM-4 (HF Glm4ForCausalLM): qkv bias, partial rotary with
             # pair-interleaved angles, gemma-style sandwich norms under
@@ -451,6 +461,19 @@ class ModelConfig:
                     cfg.get("partial_rotary_factor", 0.5)
                 ),
             )
+        if model_type == "olmo3":
+            # OLMo3 (HF Olmo3ForCausalLM): OLMo2's post-norm blocks +
+            # full-width qk-norm, plus sliding/full hybrid layers where
+            # sliding layers rotate WITHOUT the configured rope scaling
+            kw.update(
+                use_qk_norm=True,
+                qk_norm_flat=True,
+                post_norm_blocks=True,
+            )
+            if cfg.get("rope_scaling"):
+                kw["rope_local_theta"] = float(
+                    cfg.get("rope_theta", 10000.0)
+                )
         if model_type == "olmo2":
             # OLMo2 (HF Olmo2ForCausalLM): post-norm blocks (sublayer
             # outputs normed before the residual add, raw-stream

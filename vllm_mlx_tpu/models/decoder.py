@@ -555,6 +555,13 @@ def _stack(
         tuple(cfg.mrope_section) if cfg.mrope_section else None,
         mrope_interleaved=cfg.mrope_interleaved,
     )
+    cos_l = sin_l = None
+    if cfg.rope_local_theta is not None and cfg.layer_types is not None:
+        # dual rope: sliding layers rotate with the local base
+        # frequency and NO scaling (Gemma3 / OLMo3)
+        cos_l, sin_l = rope_cos_sin(
+            positions, rope_dim, cfg.rope_local_theta, None,
+        )
     a1 = cfg.rms_add_one
     rc = cfg.residual_cfg
     for i, p in enumerate(params["layers"]):
@@ -597,7 +604,12 @@ def _stack(
             and cfg.sliding_window is not None
             and _layer_window(cfg, i) is None
         )
-        q, k, v = _qkv(cfg, p, h, cos, sin, use_rope=use_rope)
+        c_i, s_i = (
+            (cos_l, sin_l)
+            if cos_l is not None and _layer_window(cfg, i) is not None
+            else (cos, sin)
+        )
+        q, k, v = _qkv(cfg, p, h, c_i, s_i, use_rope=use_rope)
         attn_out, kv_pool = attend(kv_pool, i, q, k, v, p.get("sinks"))
         t = attn_out.shape[0]
         if cfg.mla is not None:
