@@ -1015,6 +1015,7 @@ class ModelRunner:
             kv_scale=self.kv_scale,
             mesh=self.mesh,
             ssm_ctx=ssm_ctx,
+            decode_only=True,
         )  # decode never overrides embeds
         new_draft_pages = state.draft_pages
         if draft_params is not None and state.draft_pages is not None:
@@ -1031,6 +1032,7 @@ class ModelRunner:
                 n[None],
                 kv_scale=self.kv_scale,
                 mesh=self.mesh,
+                decode_only=True,
             )
         elif (
             getattr(self, "mtp_params", None) is not None
@@ -1054,6 +1056,7 @@ class ModelRunner:
                 embeds_mask=jnp.ones((s,), bool),
                 kv_scale=self.kv_scale,
                 mesh=self.mesh,
+                decode_only=True,
             )
         logits = decoder.compute_logits(params, self.cfg, hidden)  # [S, V]
         key = jax.random.fold_in(self._rng_base, state.step_count)

@@ -734,8 +734,13 @@ def unified_forward(
     mesh=None,
     ssm_ctx: Optional[Dict[str, Any]] = None,
     deepstack_embeds: Optional[jax.Array] = None,
+    decode_only: bool = False,
 ) -> Tuple[jax.Array, List[jax.Array], Optional[List[Tuple]]]:
     """One step for a ragged mixed prefill/decode batch.
+
+    ``decode_only`` marks the zero-upload decode fast path (row i =
+    slot i, one token each) so attention can take the
+    decode-specialized kernel (ops/ragged_attention.py).
 
     Writes each layer's new K/V into the page pool (single scatter),
     then ragged paged attention over the updated pages. Returns
@@ -803,6 +808,7 @@ def unified_forward(
             v_scale=kv_scale,
             mesh=mesh,
             sinks=sinks,
+            decode_only=decode_only,
         )
         return out, None
 

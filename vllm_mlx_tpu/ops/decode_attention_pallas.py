@@ -1,0 +1,268 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Decode-specialized paged-attention Pallas kernel.
+
+Round-3 ablations (NOTES_TPU_ENV.md) pinned ~5.5 ms of the 8B batch-32
+step on the general ragged kernel's fixed costs — ~150 µs per call at
+tiny context, vs a measured ~30 µs floor for a trivial pallas call. The
+general kernel walks sequences through a sequential grid, so every
+program pays its own DMA latency chain. Decode has a much simpler
+shape — exactly ONE query row per slot — which this kernel exploits:
+
+  * grid over SEQ-BLOCKS (8 slots per program, 4 programs at S=32):
+    each program issues the page copies for all 8 slots in one wave, so
+    DMA latency amortizes 8x instead of serializing per sequence;
+  * double-buffered page-chunk loop bounded by the slots' ACTUAL
+    lengths (the page-count loop bound is the max over the block's
+    slots, not the table width);
+  * batched-dot online-softmax attention over [SB, kvh] at once
+    (Mosaic lowers multi-batch-dim dot_general fine — probed on chip).
+
+Scope (falls back to the general kernel otherwise): no attention sinks,
+no logit softcap, no sliding window, single chip (the TP shard_map path
+keeps the general kernel). KV pages may be bf16/f32 or int8/fp8 with
+k/v scales — dequantized on read like the general kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SEQ_BLOCK = 8
+PAGES_PER_CHUNK = 2
+
+
+def _kernel(
+    # scalar prefetch
+    tables_ref,  # [S, B] SMEM
+    lens_ref,  # [S] SMEM
+    # inputs
+    q_ref,  # [SB, kvh, g, hd] VMEM
+    pages_hbm,  # [P, ps, 2*kvh, hd] ANY (HBM)
+    # outputs
+    out_ref,  # [SB, kvh, g, hd] VMEM
+    # scratch
+    kv_buf,  # [2, SB, bpc, ps, 2*kvh, hd] VMEM
+    sems,  # [2, SB, bpc] DMA
+    *,
+    sb: int,
+    bpc: int,
+    ps: int,
+    kvh: int,
+    g: int,
+    hd: int,
+    scale: float,
+    k_scale: Optional[float],
+    v_scale: Optional[float],
+):
+    i = pl.program_id(0)
+    s0 = i * sb
+    ct = bpc * ps
+
+    # per-slot lengths (0 = inactive -> fully masked, no DMA); Mosaic
+    # rejects 1D scalar-stacks, so keep everything scalar or 2D
+    max_len = lens_ref[s0]
+    for j in range(1, sb):
+        max_len = jnp.maximum(max_len, lens_ref[s0 + j])
+    n_chunks = pl.cdiv(max_len, ct)
+    lens2 = jnp.concatenate(
+        [
+            jnp.full((1, 1), lens_ref[s0 + j], jnp.int32)
+            for j in range(sb)
+        ],
+        axis=0,
+    )  # [sb, 1]
+
+    def dmas(c, slot):
+        out = []
+        for j in range(sb):
+            for b in range(bpc):
+                page_idx = c * bpc + b
+                out.append(
+                    (
+                        page_idx * ps < lens_ref[s0 + j],
+                        pltpu.make_async_copy(
+                            pages_hbm.at[tables_ref[s0 + j, page_idx]],
+                            kv_buf.at[slot, j, b],
+                            sems.at[slot, j, b],
+                        ),
+                    )
+                )
+        return out
+
+    def start_chunk(c, slot):
+        for cond, d in dmas(c, slot):
+            @pl.when(cond)
+            def _():
+                d.start()
+
+    def wait_chunk(c, slot):
+        for cond, d in dmas(c, slot):
+            @pl.when(cond)
+            def _():
+                d.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_chunk(0, 0)
+
+    q = q_ref[...]  # [sb, kvh, g, hd] (input dtype)
+
+    def body(c, carry):
+        m_prev, l_prev, acc = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            start_chunk(c + 1, (c + 1) % 2)
+
+        wait_chunk(c, slot)
+        # dynamic scratch-slot reads lower to an unsupported >2D
+        # gather; select between the two double-buffer halves with
+        # statically-indexed reads instead
+        kv = jax.lax.cond(
+            slot == 0, lambda: kv_buf[0], lambda: kv_buf[1]
+        )  # [sb, bpc, ps, 2*kvh, hd]
+        cols = c * ct + jax.lax.broadcasted_iota(
+            jnp.int32, (sb, 1, ct), 2
+        )
+        valid = cols < lens2[:, :, None]  # [sb, 1, ct]
+        vcols = c * ct + jax.lax.broadcasted_iota(
+            jnp.int32, (sb, ct, 1), 1
+        )
+        vvalid = vcols < lens2[:, :, None]  # [sb, ct, 1]
+        # Mosaic constraints shape everything here: ONE batch dim per
+        # matmul, no reshapes that touch tiled (sublane/lane) dims, no
+        # >2D gathers. So: slice each head off the tiled combined-head
+        # dim and CONCAT the chunk's pages along the kv axis (concat is
+        # a plain copy), then run one seq-batched dot per head.
+        # dots run in the pool dtype (bf16/int8-as-bf16) with f32
+        # accumulation; uniform dequant scales fold into the OUTPUTS so
+        # no dequantized KV copy ever materializes
+        s_mult = scale * (k_scale if k_scale is not None else 1.0)
+        m_new_l, l_new_l, acc_l = [], [], []
+        for h in range(kvh):
+            k_h = jnp.concatenate(
+                [kv[:, b, :, 2 * h, :] for b in range(bpc)], axis=1
+            )  # [sb, ct, hd] pool dtype
+            v_h = jnp.concatenate(
+                [kv[:, b, :, 2 * h + 1, :] for b in range(bpc)], axis=1
+            )
+            if k_h.dtype not in (jnp.bfloat16, jnp.float32):
+                k_h = k_h.astype(jnp.bfloat16)
+                v_h = v_h.astype(jnp.bfloat16)
+            # zero un-copied (beyond-length) V columns: their attention
+            # probability is 0, but 0 * garbage is NaN when the scratch
+            # page was never DMA'd (interpret mode initializes to NaN)
+            v_h = jnp.where(vvalid, v_h, 0)
+            s_h = jax.lax.dot_general(
+                q[:, h], k_h,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * s_mult  # [sb, g, ct]
+            s_h = jnp.where(valid, s_h, -jnp.inf)
+            m_h = jnp.maximum(m_prev[:, h], jnp.max(s_h, axis=-1))
+            alpha_h = jnp.exp(m_prev[:, h] - m_h)  # [sb, g]
+            p_h = jnp.exp(s_h - m_h[..., None])  # [sb, g, ct]
+            l_h = alpha_h * l_prev[:, h] + jnp.sum(p_h, axis=-1)
+            pv_h = jax.lax.dot_general(
+                p_h.astype(v_h.dtype), v_h,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [sb, g, hd]
+            if v_scale is not None:
+                pv_h = pv_h * v_scale
+            acc_l.append(acc[:, h] * alpha_h[..., None] + pv_h)
+            m_new_l.append(m_h)
+            l_new_l.append(l_h)
+        m_new = jnp.stack(m_new_l, axis=1)  # [sb, kvh, g]
+        l_new = jnp.stack(l_new_l, axis=1)
+        acc = jnp.stack(acc_l, axis=1)  # [sb, kvh, g, hd]
+        return m_new, l_new, acc
+
+    init = (
+        jnp.full((sb, kvh, g), -jnp.inf, jnp.float32),
+        jnp.zeros((sb, kvh, g), jnp.float32),
+        jnp.zeros((sb, kvh, g, hd), jnp.float32),
+    )
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    l_safe = jnp.where(l > 0, l, 1.0)
+    out_ref[...] = (acc / l_safe[..., None]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "k_scale", "v_scale", "interpret"),
+)
+def decode_paged_attention(
+    q: jax.Array,  # [S, qh, hd] — row i belongs to SLOT i
+    pages: jax.Array,  # [P, ps, 2*kvh, hd]
+    kv_lens: jax.Array,  # [S] valid length incl. current token (0 = skip)
+    block_tables: jax.Array,  # [S, B]
+    scale: float,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    s, qh, hd = q.shape
+    _, ps, ch, _ = pages.shape
+    kvh = ch // 2
+    g = qh // kvh
+    sb = min(SEQ_BLOCK, s)
+    pad_s = (-s) % sb
+    if pad_s:
+        q = jnp.pad(q, ((0, pad_s), (0, 0), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, pad_s))
+        block_tables = jnp.pad(block_tables, ((0, pad_s), (0, 0)))
+    sp = s + pad_s
+    bpc = min(PAGES_PER_CHUNK, block_tables.shape[1])
+    pad_b = (-block_tables.shape[1]) % bpc
+    if pad_b:
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_b)))
+
+    q4 = q.reshape(sp, kvh, g, hd)
+    kernel = functools.partial(
+        _kernel,
+        sb=sb,
+        bpc=bpc,
+        ps=ps,
+        kvh=kvh,
+        g=g,
+        hd=hd,
+        scale=scale,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sp // sb,),
+        in_specs=[
+            pl.BlockSpec(
+                (sb, kvh, g, hd),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (sb, kvh, g, hd),
+            lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, sb, bpc, ps, 2 * kvh, hd), pages.dtype),
+            pltpu.SemaphoreType.DMA((2, sb, bpc)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((sp, kvh, g, hd), q.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), kv_lens.astype(jnp.int32), q4, pages)
+    return out.reshape(sp, qh, hd)[:s]

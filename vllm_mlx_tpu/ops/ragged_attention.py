@@ -142,8 +142,16 @@ def ragged_attention(
     v_scale: Optional[float] = None,
     mesh=None,
     sinks: Optional[jax.Array] = None,
+    decode_only: bool = False,
 ) -> jax.Array:
     """Mixed prefill/decode paged attention.
+
+    ``decode_only=True`` asserts the caller's static shape contract:
+    row i is slot i's single query token (the zero-upload decode fast
+    path). Plain single-chip calls then take the decode-specialized
+    seq-blocked kernel (ops/decode_attention_pallas.py), which cuts the
+    general kernel's ~150 us/call fixed cost to ~a third at tiny
+    contexts (round-3 ablation data in NOTES_TPU_ENV.md).
 
     With a ``mesh``, the PRODUCTION kernel runs under ``shard_map``
     over the ``tp`` axis: q heads and the pool's combined-KV-head axis
@@ -197,6 +205,22 @@ def ragged_attention(
             out_specs=P(None, "tp", None),
             check_vma=False,
         )(q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, sinks)
+    if (
+        decode_only
+        and sinks is None
+        and softcap is None
+        and sliding_window is None
+        and jax.default_backend() == "tpu"
+        and not _ABLATE["skip_attention"]
+        and not _ABLATE["dummy_attention"]
+        and q.shape[0] == kv_lens.shape[0]
+    ):
+        from .decode_attention_pallas import decode_paged_attention
+
+        return decode_paged_attention(
+            q, pages, kv_lens, page_indices, scale,
+            k_scale=k_scale, v_scale=v_scale,
+        )
     return _ragged_attention_local(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
         sliding_window, softcap, k_scale, v_scale, sinks=sinks,
