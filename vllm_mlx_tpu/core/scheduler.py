@@ -716,10 +716,14 @@ class Scheduler:
             r.sampling_params.presence_penalty != 0 for r in decoding
         )
         want_lp = any(r.sampling_params.logprobs for r in decoding)
+        # static occupancy tier: at high occupancy the seq-blocked
+        # decode-attention kernel wins; at low occupancy the general
+        # kernel's q-block grid is cheaper (model_runner._decode_fast)
+        dense = len(decoding) > self.runner.max_num_seqs // 2
         bundle = _StepBundle()
         if steps == 1:
             sampled, logprobs = self.runner.decode_fast(
-                greedy, use_presence=presence
+                greedy, use_presence=presence, dense_batch=dense
             )
             try:
                 sampled.copy_to_host_async()
@@ -732,7 +736,7 @@ class Scheduler:
             )
         else:
             packed = self.runner.decode_fast_multi(
-                greedy, steps, use_presence=presence
+                greedy, steps, use_presence=presence, dense_batch=dense
             )
             try:
                 packed.copy_to_host_async()
