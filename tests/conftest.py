@@ -15,7 +15,10 @@ import os
 # platform via jax.config before first device use still works.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("VLLM_MLX_TPU_TEST_REAL_TPU"):
+    # set VLLM_MLX_TPU_TEST_REAL_TPU=1 to run the ``tpu``-marked kernel
+    # parity tests on the real chip: pytest -m tpu
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -26,8 +29,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Exact f32 matmuls for numeric parity tests (production runs bf16 weights,
-# where XLA's default precision is already the bf16 MXU path).
-jax.config.update("jax_default_matmul_precision", "highest")
+# where XLA's default precision is already the bf16 MXU path). NOT on the
+# real chip: Mosaic rejects "highest" for bf16 pallas-kernel dots
+# ("Bad lhs type").
+if not os.environ.get("VLLM_MLX_TPU_TEST_REAL_TPU"):
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: identical HLO across tests/runs compiles once.
 from vllm_mlx_tpu.core.model_runner import (  # noqa: E402

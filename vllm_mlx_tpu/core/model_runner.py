@@ -138,6 +138,10 @@ class StepInput:
     # Qwen3-VL deepstack: [n_ds, T, H] added after decoder layers 0..n-1
     # (zero rows for text/decode positions)
     deepstack_embeds: Optional[np.ndarray] = None
+    # bidirectional attention spans (Gemma3 image runs / PaliGemma
+    # prefix-LM): per-seq [lo, hi) absolute kv positions, 0/0 = causal
+    bidir_lo: Optional[np.ndarray] = None  # [S] i32
+    bidir_hi: Optional[np.ndarray] = None  # [S] i32
 
 
 def unpack_multi(packed: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
@@ -219,7 +223,9 @@ class ModelRunner:
         )
         self._step_packed_jit = jax.jit(
             self._step_packed,
-            static_argnames=("greedy_only", "use_presence", "use_embeds"),
+            static_argnames=(
+                "greedy_only", "use_presence", "use_embeds", "use_bidir",
+            ),
             donate_argnums=(1,),
         )
         self._decode_jit = jax.jit(
@@ -375,6 +381,8 @@ class ModelRunner:
         rope_positions: Optional[jax.Array] = None,  # [3, T] mrope
         row_slot: Optional[jax.Array] = None,  # [T] hybrid SSM routing
         deepstack_embeds: Optional[jax.Array] = None,  # [n_ds, T, H]
+        bidir_lo: Optional[jax.Array] = None,  # [S] bidir span start
+        bidir_hi: Optional[jax.Array] = None,  # [S] bidir span end
     ) -> Tuple[RunnerState, jax.Array, jax.Array]:
         s = self.max_num_seqs
         tokens = jnp.where(
@@ -404,6 +412,8 @@ class ModelRunner:
                 num_seqs,
                 kv_scale=self.kv_scale,
                 mesh=self.mesh,
+                bidir_lo=bidir_lo,
+                bidir_hi=bidir_hi,
             )
         hidden, new_pages, new_ssm = decoder.unified_forward(
             params,
@@ -423,6 +433,8 @@ class ModelRunner:
             mesh=self.mesh,
             ssm_ctx=ssm_ctx,
             deepstack_embeds=deepstack_embeds,
+            bidir_lo=bidir_lo,
+            bidir_hi=bidir_hi,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -542,6 +554,7 @@ class ModelRunner:
         greedy_only: bool,
         use_presence: bool = False,
         use_embeds: bool = False,
+        use_bidir: bool = False,
         allow_rows: Optional[jax.Array] = None,
         allow_words: Optional[jax.Array] = None,
         draft_params: Optional[Params] = None,
@@ -551,7 +564,10 @@ class ModelRunner:
         transfer costs ~30 ms latency on this platform, so the ~11
         logical step inputs travel as two i32 buffers (+ embeds only for
         multimodal steps). For mrope models tok_pack carries 3 extra
-        rows of explicit (t, h, w) rope positions."""
+        rows of explicit (t, h, w) rope positions. With ``use_bidir``
+        (Gemma3/PaliGemma prefills) seq_pack carries 2S extra tail
+        entries: per-seq bidirectional span [lo, hi) absolute kv
+        positions (ops/ragged_bidir_kernel.py)."""
         s = self.max_num_seqs
         p = self.pages_per_seq
         kv_lens = seq_pack[0:s]
@@ -560,6 +576,11 @@ class ModelRunner:
         cu_q_lens = seq_pack[3 * s : 4 * s + 1]
         num_seqs = seq_pack[4 * s + 1 : 4 * s + 2]
         page_indices = seq_pack[4 * s + 2 : 4 * s + 2 + s * p].reshape(s, p)
+        bidir_lo = bidir_hi = None
+        if use_bidir:
+            base = 4 * s + 2 + s * p
+            bidir_lo = seq_pack[base : base + s]
+            bidir_hi = seq_pack[base + s : base + 2 * s]
         t = tok_pack.shape[1]
         if not use_embeds:
             h = self.cfg.hidden_size
@@ -593,6 +614,8 @@ class ModelRunner:
             row_slot=(
                 tok_pack[-1] if self.cfg.has_recurrent else None
             ),
+            bidir_lo=bidir_lo,
+            bidir_hi=bidir_hi,
         )
 
     # --------------------------------------------------- speculative decoding
@@ -1554,13 +1577,18 @@ class ModelRunner:
 
         s = self.max_num_seqs
         p = self.pages_per_seq
-        seq_pack = np.zeros(4 * s + 2 + s * p, np.int32)
+        use_bidir = inp.bidir_lo is not None
+        base = 4 * s + 2 + s * p
+        seq_pack = np.zeros(base + (2 * s if use_bidir else 0), np.int32)
         seq_pack[0:s] = inp.kv_lens
         seq_pack[s : 2 * s] = inp.seq_slots
         seq_pack[2 * s : 3 * s] = inp.advance_mask
         seq_pack[3 * s : 4 * s + 1] = inp.cu_q_lens
         seq_pack[4 * s + 1] = inp.num_seqs
-        seq_pack[4 * s + 2 :] = inp.page_indices.reshape(-1)
+        seq_pack[4 * s + 2 : base] = inp.page_indices.reshape(-1)
+        if use_bidir:
+            seq_pack[base : base + s] = inp.bidir_lo
+            seq_pack[base + s :] = inp.bidir_hi
 
         allow_rows = allow_words = None
         if inp.allow_rows is not None and len(inp.allow_rows) > 0:
@@ -1600,6 +1628,7 @@ class ModelRunner:
             greedy_only=greedy_only,
             use_presence=use_presence,
             use_embeds=use_embeds,
+            use_bidir=use_bidir,
             allow_rows=allow_rows,
             allow_words=allow_words,
             draft_params=self.draft_params,

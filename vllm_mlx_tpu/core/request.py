@@ -100,6 +100,12 @@ class Request:
     # content hashes of media spans for prefix-cache keying
     # [(start_row, end_row, hash_hex)] over the expanded prompt
     media_spans: Optional[Any] = None
+    # bidirectional-attention spans [(lo, hi)) over the expanded prompt
+    # (Gemma3 image runs / PaliGemma prefix-LM; HF token_type_ids mask
+    # semantics). The scheduler never ends a prefill chunk strictly
+    # inside one, and serves at most one span per chunk
+    # (ops/ragged_bidir_kernel.py contract).
+    bidir_spans: Optional[Any] = None
     # leading KV blocks reclaimed behind the rotating attention window
     # (max_kv_size); their table entries are stale but never read
     num_retired_blocks: int = 0

@@ -48,6 +48,36 @@ from .request import Request, RequestOutput, RequestStatus
 logger = logging.getLogger(__name__)
 
 
+def _clamp_chunk_for_bidir(spans, c0: int, n: int) -> int:
+    """Clamp a prefill chunk of ``n`` tokens starting at absolute
+    position ``c0`` so that (a) the chunk never ENDS strictly inside a
+    bidirectional span and (b) it overlaps at most ONE span (the
+    kernel's per-sequence metadata carries a single [lo, hi) —
+    ops/ragged_bidir_kernel.py). ``spans`` is sorted, non-overlapping
+    [(lo, hi), ...]. Returns the clamped length; 0 = no progress
+    possible this step (a resumed span's tail exceeds the remaining
+    budget — the caller defers the request to the next step's fresh
+    budget)."""
+    end = c0 + n
+    seen = False
+    for lo, hi in spans:
+        if hi <= c0:
+            continue
+        if lo >= end:
+            break
+        if seen:
+            # a second span in one chunk: end the chunk where it starts
+            return lo - c0
+        if hi <= end:
+            seen = True
+            continue
+        # this span would be cut by the chunk end
+        if lo > c0:
+            return lo - c0  # end the chunk at the span start
+        return 0  # resumed mid-span but can't reach its end: defer
+    return n
+
+
 class SchedulerStats:
     def __init__(self) -> None:
         self.num_steps = 0
@@ -787,6 +817,16 @@ class Scheduler:
                 if c0 < snap < c0 + len(chunk):
                     # clamp so the chunk ENDS at the snapshot boundary
                     chunk = chunk[: snap - c0]
+            if req.bidir_spans:
+                n_ok = _clamp_chunk_for_bidir(
+                    req.bidir_spans, req.num_computed_tokens, len(chunk)
+                )
+                if n_ok == 0:
+                    # a span's remainder exceeds this step's leftover
+                    # budget — defer the request one step so it sees a
+                    # fresh budget (spans are bounded by admission)
+                    continue
+                chunk = chunk[:n_ok]
             is_final = len(chunk) == len(pending)
             prefill.append((req, chunk, is_final))
             t_used += len(chunk)
@@ -838,6 +878,11 @@ class Scheduler:
             if getattr(self.runner, "has_ssm", False)
             else None
         )
+        # bidirectional spans (Gemma3/PaliGemma): per-seq [lo, hi)
+        bidir_lo_arr = bidir_hi_arr = None
+        if any(req.bidir_spans for req, _, _ in prefill):
+            bidir_lo_arr = np.zeros(s_max, np.int32)
+            bidir_hi_arr = np.zeros(s_max, np.int32)
         t = 0
         i = 0
         greedy = True
@@ -914,6 +959,16 @@ class Scheduler:
                         ds_embeds[:, t : t + k] = (
                             req.deepstack_embeds[:, c0:hi]
                         )
+            if bidir_lo_arr is not None and req.bidir_spans:
+                # at most one span overlaps this chunk (clamp invariant)
+                for lo, hi in req.bidir_spans:
+                    if hi <= c0:
+                        continue
+                    if lo >= c0 + n:
+                        break
+                    bidir_lo_arr[i] = lo
+                    bidir_hi_arr[i] = hi
+                    break
             for j in range(n):
                 kv_dest[t + j] = self._dest_for(req, c0 + j)
             kv_lens[i] = c0 + n
@@ -1010,6 +1065,8 @@ class Scheduler:
             ),
             rope_pos=rope_pos,
             row_slot=row_slot,
+            bidir_lo=bidir_lo_arr,
+            bidir_hi=bidir_hi_arr,
         )
         presence = any(
             r.sampling_params.presence_penalty != 0

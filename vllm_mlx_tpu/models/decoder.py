@@ -735,6 +735,8 @@ def unified_forward(
     ssm_ctx: Optional[Dict[str, Any]] = None,
     deepstack_embeds: Optional[jax.Array] = None,
     decode_only: bool = False,
+    bidir_lo: Optional[jax.Array] = None,  # [S] bidir span start
+    bidir_hi: Optional[jax.Array] = None,  # [S] bidir span end
 ) -> Tuple[jax.Array, List[jax.Array], Optional[List[Tuple]]]:
     """One step for a ragged mixed prefill/decode batch.
 
@@ -809,6 +811,8 @@ def unified_forward(
             mesh=mesh,
             sinks=sinks,
             decode_only=decode_only,
+            bidir_lo=bidir_lo,
+            bidir_hi=bidir_hi,
         )
         return out, None
 

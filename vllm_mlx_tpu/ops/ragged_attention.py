@@ -143,6 +143,8 @@ def ragged_attention(
     mesh=None,
     sinks: Optional[jax.Array] = None,
     decode_only: bool = False,
+    bidir_lo: Optional[jax.Array] = None,  # [S] i32 bidir span start
+    bidir_hi: Optional[jax.Array] = None,  # [S] i32 bidir span end
 ) -> jax.Array:
     """Mixed prefill/decode paged attention.
 
@@ -162,7 +164,37 @@ def ragged_attention(
     shard_map wrapper exists (SURVEY §2.8; VERDICT r1 weak #5).
 
     ``sinks`` ([num_q_heads] learned logits, GPT-OSS) join each row's
-    softmax denominator; sinks shard with q heads under TP."""
+    softmax denominator; sinks shard with q heads under TP.
+
+    ``bidir_lo``/``bidir_hi`` ([S] i32, absolute kv positions): each
+    sequence's tokens inside ``[lo, hi)`` attend to each other
+    bidirectionally (Gemma 3 image spans / PaliGemma prefix-LM; HF
+    token_type_ids or_mask semantics). ``lo >= hi`` = pure causal.
+    Caller must guarantee ``hi <= kv_lens[s]`` (the scheduler never
+    ends a prefill chunk strictly inside a span)."""
+    if bidir_lo is not None and mesh is not None and "tp" in mesh.axis_names:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_b(q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l, lo_l, hi_l):
+            return _ragged_attention_local(
+                q_l, pages_l, kv_lens_l, pi_l, cu_l, ns_l, scale,
+                sliding_window, softcap, k_scale, v_scale,
+                bidir_lo=lo_l, bidir_hi=hi_l,
+            )
+
+        return shard_map(
+            local_b,
+            mesh=mesh,
+            in_specs=(
+                P(None, "tp", None),
+                P(None, None, "tp", None),
+                P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=P(None, "tp", None),
+            check_vma=False,
+        )(q, pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+          bidir_lo, bidir_hi)
     if mesh is not None and "tp" in mesh.axis_names:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -224,6 +256,7 @@ def ragged_attention(
     return _ragged_attention_local(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
         sliding_window, softcap, k_scale, v_scale, sinks=sinks,
+        bidir_lo=bidir_lo, bidir_hi=bidir_hi,
     )
 
 
@@ -240,12 +273,40 @@ def _ragged_attention_local(
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    bidir_lo: Optional[jax.Array] = None,
+    bidir_hi: Optional[jax.Array] = None,
 ) -> jax.Array:
     if _ABLATE["skip_attention"]:
         return jnp.zeros_like(q)
     if _ABLATE["dummy_attention"]:
         return _dummy_pallas_attention(q)
     if jax.default_backend() == "tpu":
+        if bidir_lo is not None:
+            # bidirectional-span fork (Gemma3/PaliGemma image spans);
+            # sinks never combine with spans (no such architecture)
+            from .ragged_bidir_kernel import ragged_paged_attention_bidir
+
+            return ragged_paged_attention_bidir(
+                q,
+                pages,
+                kv_lens,
+                page_indices,
+                cu_q_lens,
+                num_seqs,
+                bidir_lo,
+                bidir_hi,
+                sm_scale=scale,
+                sliding_window=sliding_window,
+                soft_cap=softcap,
+                k_scale=k_scale,
+                v_scale=v_scale,
+                num_kv_pages_per_block=_BLOCK_CFG[
+                    "num_kv_pages_per_block"
+                ],
+                num_queries_per_block=_BLOCK_CFG[
+                    "num_queries_per_block"
+                ],
+            )
         if sinks is not None:
             # sink-aware fork of the pallas kernel (ops/ragged_sink_kernel)
             from .ragged_sink_kernel import ragged_paged_attention_sinks
@@ -292,6 +353,7 @@ def _ragged_attention_local(
     return ragged_attention_xla(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
         sliding_window, softcap, k_scale, v_scale, sinks=sinks,
+        bidir_lo=bidir_lo, bidir_hi=bidir_hi,
     )
 
 
@@ -308,6 +370,8 @@ def ragged_attention_xla(
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    bidir_lo: Optional[jax.Array] = None,
+    bidir_hi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Masked reference implementation (any backend, O(T * max_ctx))."""
     t, num_q_heads, hd = q.shape
@@ -354,6 +418,18 @@ def ragged_attention_xla(
     )
     if sliding_window is not None:
         mask &= kv_pos[None, :] > q_pos[:, None] - sliding_window
+    if bidir_lo is not None:
+        # bidirectional span un-mask (Gemma3/PaliGemma; see the kernel
+        # fork's module docstring for the mask semantics + contract)
+        lo = bidir_lo[seq_of_row][:, None]  # [T, 1]
+        hi = bidir_hi[seq_of_row][:, None]
+        in_span = (
+            (q_pos[:, None] >= lo)
+            & (q_pos[:, None] < hi)
+            & (kv_pos[None, :] >= lo)
+            & (kv_pos[None, :] < hi)
+        )
+        mask |= in_span & (kv_pos[None, :] < kv_len[:, None])
     mask &= valid_row[:, None]
     scores = jnp.where(mask[:, None, None, :], scores, -jnp.inf)
     if sinks is not None:
