@@ -322,6 +322,20 @@ class ModelConfig:
                     chunk_size=cfg.get("mamba_chunk_size", 256),
                 ),
             )
+        if model_type == "gemma":
+            # Gemma 1 (HF GemmaForCausalLM; PaliGemma's LM): sqrt(H)
+            # embed scale + (1+w) RMSNorm, plain pre/post norms (no
+            # gemma2 sandwich), gelu-tanh MLP, tied embeddings.
+            # hidden_act="gelu" in legacy configs still means tanh-gelu
+            # (HF GemmaMLP forces hidden_activation=gelu_pytorch_tanh)
+            kw.update(
+                embed_scale=float(cfg.get("hidden_size", 0)) ** 0.5,
+                hidden_act=cfg.get(
+                    "hidden_activation", "gelu_pytorch_tanh"
+                ),
+                rms_add_one=True,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
         if model_type in ("gemma2", "gemma3_text"):
             qpas = cfg.get("query_pre_attn_scalar")
             kw.update(

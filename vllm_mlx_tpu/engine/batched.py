@@ -233,6 +233,30 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = QwenVLImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") == "gemma3":
+                # Gemma 3 VLM: SigLIP tower + avg-pool projector; image
+                # soft-token runs attend bidirectionally (served via
+                # the bidir-span ragged kernel)
+                from ..models.gemma3_mm import Gemma3VLM
+                from ..multimodal_processor import ImageProcessor
+
+                logger.info("loading multimodal checkpoint (Gemma3)")
+                self.vlm = Gemma3VLM(self.model_path).load()
+                self.vlm_kind = "gemma3"
+                if os.path.exists(
+                    os.path.join(self.model_path, "preprocessor_config.json")
+                ):
+                    self.image_processor = ImageProcessor.from_pretrained(
+                        self.model_path
+                    )
+                else:
+                    self.image_processor = ImageProcessor(
+                        image_size=self.vlm.cfg.vision.image_size,
+                        mean=(0.5, 0.5, 0.5),
+                        std=(0.5, 0.5, 0.5),
+                        do_center_crop=False,
+                        resample="bilinear",
+                    )
             elif raw_cfg.get("model_type") == "qwen2_audio":
                 # native sound-encoder model: audio placeholder tokens
                 # expand to encoder features (reference
@@ -737,6 +761,10 @@ class BatchedEngine(BaseEngine):
         from ..cache.vision_embedding_cache import image_hash
         from ..multimodal_processor import image_bytes_key
 
+        if getattr(self, "vlm_kind", "llava") == "gemma3":
+            return self._make_gemma3_request(
+                prompt, media, request_id, **kwargs
+            )
         token_ids = self._tokenizer.encode(prompt)
         if getattr(self, "vlm_kind", "llava") in ("qwen_vl", "qwen3_vl"):
             return self._make_qwen_vl_request(
@@ -780,6 +808,63 @@ class BatchedEngine(BaseEngine):
         req.prompt_embeds = embeds
         req.embeds_mask = mask
         req.is_multimodal = True
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_gemma3_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Gemma 3: expand <start_of_image> to the HF full image
+        sequence, encode through the vision cache, and mark each soft-
+        token run as a BIDIRECTIONAL attention span (HF token_type_ids
+        mask; served by ops/ragged_bidir_kernel.py)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        ids, runs = self.vlm.expand_image_tokens(self._tokenizer, prompt)
+        features: List[Any] = []
+        to_encode = []
+        keys = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            features.append(cached)
+            if cached is None:
+                to_encode.append((len(features) - 1, im))
+        if to_encode:
+            pixels = self.image_processor.batch([im for _, im in to_encode])
+            encoded = self.vlm.encode_images(pixels)
+            for j, (idx, _) in enumerate(to_encode):
+                features[idx] = encoded[j]
+                self.vision_cache.put(keys[idx], encoded[j])
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        max_span = max((hi - lo for lo, hi in runs), default=0)
+        if max_span > self.scheduler_config.max_prefill_tokens:
+            raise ValueError(
+                f"image span of {max_span} tokens exceeds the per-step "
+                f"prefill budget {self.scheduler_config.max_prefill_tokens}"
+                " (raise --max-prefill-tokens)"
+            )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        req.bidir_spans = runs
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )

@@ -84,11 +84,13 @@ class ImageProcessor:
         mean: Tuple[float, ...] = CLIP_MEAN,
         std: Tuple[float, ...] = CLIP_STD,
         do_center_crop: bool = True,
+        resample: str = "bicubic",
     ) -> None:
         self.image_size = image_size
         self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
         self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
         self.do_center_crop = do_center_crop
+        self.resample = resample
 
     @classmethod
     def from_pretrained(cls, model_path: str) -> "ImageProcessor":
@@ -108,7 +110,16 @@ class ImageProcessor:
                 kw["mean"] = tuple(cfg["image_mean"])
             if cfg.get("image_std"):
                 kw["std"] = tuple(cfg["image_std"])
-            kw["do_center_crop"] = cfg.get("do_center_crop", True)
+            ptype = cfg.get("image_processor_type", "")
+            # SigLIP/Gemma3 processors resize straight to the square
+            # with BILINEAR (HF Gemma3ImageProcessor/SiglipImageProcessor
+            # defaults); CLIP shortest-edge + center-crop with BICUBIC
+            siglip_like = "Siglip" in ptype or "Gemma3" in ptype
+            kw["do_center_crop"] = cfg.get(
+                "do_center_crop", not siglip_like
+            )
+            if siglip_like:
+                kw["resample"] = "bilinear"
         return cls(**kw)
 
     def __call__(self, image) -> np.ndarray:
@@ -117,15 +128,18 @@ class ImageProcessor:
 
         s = self.image_size
         w, h = image.size
+        interp = (
+            Image.BILINEAR if self.resample == "bilinear" else Image.BICUBIC
+        )
         if self.do_center_crop:
             scale = s / min(w, h)
             nw, nh = round(w * scale), round(h * scale)
-            image = image.resize((nw, nh), Image.BICUBIC)
+            image = image.resize((nw, nh), interp)
             left = (nw - s) // 2
             top = (nh - s) // 2
             image = image.crop((left, top, left + s, top + s))
         else:
-            image = image.resize((s, s), Image.BICUBIC)
+            image = image.resize((s, s), interp)
         arr = np.asarray(image, np.float32) / 255.0  # [S, S, 3]
         arr = arr.transpose(2, 0, 1)
         return (arr - self.mean) / self.std
