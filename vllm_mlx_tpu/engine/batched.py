@@ -257,6 +257,29 @@ class BatchedEngine(BaseEngine):
                         do_center_crop=False,
                         resample="bilinear",
                     )
+            elif raw_cfg.get("model_type") == "paligemma":
+                # PaliGemma: SigLIP + linear projector, prefix-LM (the
+                # WHOLE prompt is one bidirectional span)
+                from ..models.paligemma import PaliGemmaVLM
+                from ..multimodal_processor import ImageProcessor
+
+                logger.info("loading multimodal checkpoint (PaliGemma)")
+                self.vlm = PaliGemmaVLM(self.model_path).load()
+                self.vlm_kind = "paligemma"
+                if os.path.exists(
+                    os.path.join(self.model_path, "preprocessor_config.json")
+                ):
+                    self.image_processor = ImageProcessor.from_pretrained(
+                        self.model_path
+                    )
+                else:
+                    self.image_processor = ImageProcessor(
+                        image_size=self.vlm.cfg.vision.image_size,
+                        mean=(0.5, 0.5, 0.5),
+                        std=(0.5, 0.5, 0.5),
+                        do_center_crop=False,
+                        resample="bilinear",
+                    )
             elif raw_cfg.get("model_type") == "qwen2_audio":
                 # native sound-encoder model: audio placeholder tokens
                 # expand to encoder features (reference
@@ -668,9 +691,30 @@ class BatchedEngine(BaseEngine):
                 lambda: self._inject_audio_transcripts(messages, media),
             )
             media = [m for m in media if m.get("kind") != "audio"]
-        prompt = self.apply_chat_template(
-            messages, tools=tools, chat_template_kwargs=chat_template_kwargs
-        )
+        if media and getattr(self, "vlm_kind", None) == "paligemma":
+            # PaliGemma is a raw-prompt task model (caption/vqa/detect),
+            # not a chat model: the HF processor frames the prompt as
+            # image tokens + BOS + text + "\n" with NO chat markup
+            # (processing_paligemma.build_string_from_input), so the
+            # text is the messages' concatenated text parts
+            parts = []
+            for m in messages:
+                c = m.get("content")
+                if isinstance(c, str):
+                    parts.append(c)
+                elif isinstance(c, list):
+                    parts.extend(
+                        p.get("text", "")
+                        for p in c
+                        if isinstance(p, dict) and p.get("type") == "text"
+                    )
+            prompt = "".join(parts)
+        else:
+            prompt = self.apply_chat_template(
+                messages,
+                tools=tools,
+                chat_template_kwargs=chat_template_kwargs,
+            )
         if media:
             if self.vlm is None:
                 raise ValueError(
@@ -763,6 +807,10 @@ class BatchedEngine(BaseEngine):
 
         if getattr(self, "vlm_kind", "llava") == "gemma3":
             return self._make_gemma3_request(
+                prompt, media, request_id, **kwargs
+            )
+        if getattr(self, "vlm_kind", "llava") == "paligemma":
+            return self._make_paligemma_request(
                 prompt, media, request_id, **kwargs
             )
         token_ids = self._tokenizer.encode(prompt)
@@ -865,6 +913,65 @@ class BatchedEngine(BaseEngine):
         req.embeds_mask = mask
         req.is_multimodal = True
         req.bidir_spans = runs
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_paligemma_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """PaliGemma: leading image rows + BOS + text + newline; the
+        WHOLE prompt is one bidirectional span (prefix-LM — HF
+        modeling_paligemma.py _update_causal_mask zeroes the prompt
+        mask at inference)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        ids = self.vlm.build_prompt_ids(
+            self._tokenizer, prompt, len(images)
+        )
+        if len(ids) > self.scheduler_config.max_prefill_tokens:
+            raise ValueError(
+                f"PaliGemma prefix-LM prompt of {len(ids)} tokens must fit "
+                f"one prefill chunk (budget "
+                f"{self.scheduler_config.max_prefill_tokens}; raise "
+                "--max-prefill-tokens)"
+            )
+        features: List[Any] = []
+        to_encode = []
+        keys = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            features.append(cached)
+            if cached is None:
+                to_encode.append((len(features) - 1, im))
+        if to_encode:
+            pixels = self.image_processor.batch([im for _, im in to_encode])
+            encoded = self.vlm.encode_images(pixels)
+            for j, (idx, _) in enumerate(to_encode):
+                features[idx] = encoded[j]
+                self.vision_cache.put(keys[idx], encoded[j])
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        req.bidir_spans = [(0, len(ids))]
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )
