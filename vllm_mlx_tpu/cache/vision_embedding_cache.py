@@ -16,6 +16,12 @@ def image_hash(content: bytes) -> str:
     return hashlib.sha256(content).hexdigest()
 
 
+def _entry_bytes(entry: Any) -> int:
+    if isinstance(entry, (tuple, list)):
+        return sum(_entry_bytes(e) for e in entry)
+    return int(getattr(entry, "nbytes", 64))
+
+
 class VisionEmbeddingCache:
     def __init__(self, max_bytes: int = 512 * 1024 * 1024) -> None:
         self.max_bytes = max_bytes
@@ -33,14 +39,16 @@ class VisionEmbeddingCache:
         self.hits += 1
         return feats
 
-    def put(self, key: str, feats: np.ndarray) -> None:
+    def put(self, key: str, feats: Any) -> None:
+        """``feats`` may be a bare array or a composite entry (tuple of
+        features + grid metadata, as the Qwen-VL/Pixtral paths store)."""
         if key in self._entries:
             self._entries.move_to_end(key)
             return
-        size = feats.nbytes
+        size = _entry_bytes(feats)
         while self._bytes + size > self.max_bytes and self._entries:
             _, old = self._entries.popitem(last=False)
-            self._bytes -= old.nbytes
+            self._bytes -= _entry_bytes(old)
         if self._bytes + size <= self.max_bytes:
             self._entries[key] = feats
             self._bytes += size

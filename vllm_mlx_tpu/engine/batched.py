@@ -290,6 +290,23 @@ class BatchedEngine(BaseEngine):
                 self.vlm = Qwen2AudioModel(self.model_path).load()
                 self.vlm_kind = "qwen2_audio"
                 self.image_processor = None
+            elif (
+                raw_cfg.get("model_type") == "pixtral"
+                or raw_cfg.get("vision_config", {}).get("model_type")
+                == "pixtral"
+            ):
+                # Pixtral: variable-resolution 2-D-rope tower under a
+                # LLaVA-shaped top-level config (HF pixtral checkpoints
+                # are LlavaForConditionalGeneration)
+                from ..models.pixtral import PixtralVLM
+                from ..multimodal_processor import PixtralImageProcessor
+
+                logger.info("loading multimodal checkpoint (Pixtral)")
+                self.vlm = PixtralVLM(self.model_path).load()
+                self.vlm_kind = "pixtral"
+                self.image_processor = PixtralImageProcessor.from_pretrained(
+                    self.model_path
+                )
             else:
                 from ..models.mllm import MultimodalLM
                 from ..multimodal_processor import ImageProcessor
@@ -818,6 +835,10 @@ class BatchedEngine(BaseEngine):
             return self._make_qwen_vl_request(
                 token_ids, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "pixtral":
+            return self._make_pixtral_request(
+                token_ids, media, request_id, **kwargs
+            )
         if getattr(self, "vlm_kind", "llava") == "qwen2_audio":
             return self._make_qwen2_audio_request(
                 token_ids, media, request_id, **kwargs
@@ -916,6 +937,66 @@ class BatchedEngine(BaseEngine):
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )
+        return req
+
+    def _make_pixtral_request(
+        self,
+        token_ids: List[int],
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Pixtral: per-image variable-resolution encode (vision cache
+        holds (features, grid) per content hash), single [IMG]
+        placeholders expanded into [IMG]-row / [IMG_BREAK] / [IMG_END]
+        blocks. Fully causal attention."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        grids: List[Any] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                pixel = self.image_processor(load_image(im))
+                grid = self.image_processor.grid(pixel)
+                feats = self.vlm.encode_image(pixel)
+                cached = (feats, grid)
+                self.vision_cache.put(key, cached)
+            features.append(cached[0])
+            grids.append(cached[1])
+        ids = self.vlm.expand_image_tokens(token_ids, grids)
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        # feature rows are interleaved with [IMG_BREAK]/[IMG_END], so
+        # each image's cache-salt span runs from its first [IMG] row
+        # through its closing [IMG_END] (contiguous block per image)
+        import numpy as _np
+
+        img_rows = _np.flatnonzero(mask)
+        spans = []
+        r = 0
+        for key, feats in zip(keys, features):
+            cnt = feats.shape[0]
+            rows = img_rows[r : r + cnt]
+            r += cnt
+            if len(rows):
+                spans.append((int(rows[0]), int(rows[-1]) + 2, key))
+        req.media_spans = spans or None
         return req
 
     def _make_paligemma_request(

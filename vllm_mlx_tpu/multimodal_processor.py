@@ -148,6 +148,76 @@ class ImageProcessor:
         return np.stack([self(load_image(im)) for im in images])
 
 
+class PixtralImageProcessor:
+    """Pixtral preprocessing: keep aspect ratio, long edge capped at
+    ``longest_edge``, dims rounded UP to patch multiples (HF
+    image_processing_pixtral.get_resize_output_image_size), CLIP
+    normalize. Returns variable-size pixel arrays per image."""
+
+    def __init__(
+        self,
+        longest_edge: int = 1024,
+        patch_size: int = 16,
+        mean: Tuple[float, ...] = CLIP_MEAN,
+        std: Tuple[float, ...] = CLIP_STD,
+    ) -> None:
+        self.longest_edge = longest_edge
+        self.patch_size = patch_size
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "PixtralImageProcessor":
+        path = os.path.join(model_path, "preprocessor_config.json")
+        kw: Dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict) and "longest_edge" in size:
+                kw["longest_edge"] = size["longest_edge"]
+            ps = cfg.get("patch_size", {})
+            if isinstance(ps, dict):
+                kw["patch_size"] = ps.get("height", 16)
+            elif isinstance(ps, int):
+                kw["patch_size"] = ps
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+        return cls(**kw)
+
+    def target_size(self, w: int, h: int) -> Tuple[int, int]:
+        """(w, h) -> resized (w, h), patch multiples (HF floor-then-
+        ceil-to-patch rule)."""
+        import math
+
+        ratio = max(h / self.longest_edge, w / self.longest_edge)
+        if ratio > 1:
+            h = int(math.floor(h / ratio))
+            w = int(math.floor(w / ratio))
+        gh = -(-h // self.patch_size)
+        gw = -(-w // self.patch_size)
+        return gw * self.patch_size, gh * self.patch_size
+
+    def __call__(self, image) -> np.ndarray:
+        """PIL image -> pixel_values [3, H, W] f32 (patch-multiple)."""
+        from PIL import Image
+
+        w, h = image.size
+        nw, nh = self.target_size(w, h)
+        image = image.resize((nw, nh), Image.BICUBIC)
+        arr = np.asarray(image, np.float32) / 255.0
+        arr = arr.transpose(2, 0, 1)
+        return (arr - self.mean) / self.std
+
+    def grid(self, pixel: np.ndarray) -> Tuple[int, int]:
+        return (
+            pixel.shape[1] // self.patch_size,
+            pixel.shape[2] // self.patch_size,
+        )
+
+
 def smart_resize(
     height: int,
     width: int,
