@@ -67,8 +67,13 @@ def _assert_served_greedy(model, path, cfg, params, prompts, max_new=10):
     refs = {}
     with torch.no_grad():
         for rid, pr in prompts.items():
+            # explicit attention mask: random prompts may contain the
+            # config's pad_token_id, which generate would otherwise mask
             refs[rid] = model.generate(
-                torch.tensor([pr]), max_new_tokens=max_new, do_sample=False
+                torch.tensor([pr]),
+                attention_mask=torch.ones((1, len(pr)), dtype=torch.long),
+                max_new_tokens=max_new,
+                do_sample=False,
             )[0, len(pr):].tolist()
     runner = ModelRunner(
         cfg,
@@ -106,6 +111,14 @@ def _assert_served_greedy(model, path, cfg, params, prompts, max_new=10):
     for rid in prompts:
         got = outs[rid].output_token_ids
         if got == refs[rid]:
+            continue
+        if (
+            len(refs[rid]) == len(got) + 1
+            and refs[rid][:-1] == got
+            and refs[rid][-1] in set(cfg.eos_token_ids)
+        ):
+            # HF generate emits the eos token; the engine stops on it
+            # and excludes it from the output
             continue
         # Tiny random-weight models can produce near-exact logit TIES
         # (repetition attractors); fp32 reassociation then legitimately

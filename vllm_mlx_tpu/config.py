@@ -56,6 +56,11 @@ class ModelConfig:
     # Granite 4.0 hybrids: no rotary embeddings at all
     # (position_embedding_type != "rope" — HF GraniteMoeHybridModel)
     use_rope: bool = True
+    # SmolLM3: explicit per-layer NoPE (HF no_rope_layers, 0 = no rope)
+    nope_layers: Optional[List[int]] = None
+    # GPT-BigCode/StarCoder-1: learned absolute position embeddings
+    # added to the token embeddings (HF GPTBigCodeModel wpe)
+    learned_pos_embed: bool = False
     # Dual rope (Gemma3 rope_local_base_freq / OLMo3 per-layer-type
     # rotary): sliding_attention layers use THIS theta with NO scaling;
     # full layers use rope_theta + rope_scaling
@@ -609,6 +614,124 @@ class ModelConfig:
                 mlp_bias=cfg.get("use_bias", True),
                 hidden_act=cfg.get("hidden_act", "gelu_pytorch_tanh"),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
+        if model_type == "gpt_bigcode":
+            # GPT-BigCode / StarCoder-1 (HF GPTBigCodeForCausalLM):
+            # GPT-2 geometry names (n_embd/n_layer/n_head), learned
+            # absolute positions (wpe) instead of rope, MQA (1 kv head
+            # when multi_query), plain LayerNorms + biased projections,
+            # gateless tanh-gelu MLP, tied embeddings
+            heads = cfg.get("n_head", cfg.get("num_attention_heads", 12))
+            kw.update(
+                hidden_size=cfg.get("n_embd", cfg.get("hidden_size", 768)),
+                num_hidden_layers=cfg.get(
+                    "n_layer", cfg.get("num_hidden_layers", 12)
+                ),
+                num_attention_heads=heads,
+                num_key_value_heads=(
+                    1 if cfg.get("multi_query", True) else heads
+                ),
+                intermediate_size=cfg.get(
+                    "n_inner", cfg.get("intermediate_size")
+                )
+                or 4 * cfg.get("n_embd", 768),
+                max_position_embeddings=cfg.get("n_positions", 1024),
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                hidden_act=cfg.get(
+                    "activation_function", "gelu_pytorch_tanh"
+                ),
+                attention_bias=True,
+                mlp_bias=True,
+                use_rope=False,
+                learned_pos_embed=True,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attn_scale=(
+                    None if cfg.get("scale_attn_weights", True) else 1.0
+                ),
+            )
+        if model_type == "falcon":
+            # Falcon 7B-class (HF FalconForCausalLM,
+            # new_decoder_architecture=False): fused MQA qkv, parallel
+            # attention+MLP over ONE input layernorm when parallel_attn,
+            # plain LayerNorms, gateless (non-tanh) gelu MLP
+            if cfg.get("new_decoder_architecture"):
+                raise NotImplementedError(
+                    "falcon new_decoder_architecture (40B/180B "
+                    "interleaved-GQA layout) is not supported yet"
+                )
+            if cfg.get("alibi"):
+                raise NotImplementedError("falcon alibi is not supported")
+            heads = cfg.get("num_attention_heads", 71)
+            if not cfg.get("multi_query", True):
+                raise NotImplementedError(
+                    "falcon multi_query=False (interleaved fused qkv) "
+                    "is not supported yet"
+                )
+            kw.update(
+                num_key_value_heads=1,
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                hidden_act=cfg.get("activation", "gelu"),
+                attention_bias=cfg.get("bias", False),
+                mlp_bias=cfg.get("bias", False),
+                parallel_residual=cfg.get("parallel_attn", True),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                intermediate_size=cfg.get("ffn_hidden_size")
+                or 4 * cfg.get("hidden_size", 4544),
+            )
+        if model_type == "apertus":
+            # Apertus (HF ApertusForCausalLM): per-head qk RMSNorm
+            # before rope + gateless xIELU MLP with per-layer learnable
+            # alpha_p/alpha_n (transformers XIELUActivation)
+            kw.update(
+                use_qk_norm=True,
+                hidden_act=cfg.get("hidden_act", "xielu"),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "smollm3":
+            # SmolLM3 (HF SmolLM3ForCausalLM): llama stack with
+            # explicit per-layer NoPE — no_rope_layers[i] == 0 means
+            # layer i skips rope entirely
+            nrl = cfg.get("no_rope_layers")
+            if nrl:
+                kw["nope_layers"] = [
+                    i for i, on in enumerate(nrl) if not on
+                ]
+            kw.update(
+                attention_bias=cfg.get("attention_bias", False),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+            )
+        if model_type == "olmoe":
+            # OLMoE (HF OlmoeForCausalLM): full-width flat qk RMSNorm,
+            # softmax-then-topk routing WITHOUT renorm, every layer MoE
+            if cfg.get("clip_qkv"):
+                raise NotImplementedError(
+                    "olmoe clip_qkv is not supported"
+                )
+            kw.update(
+                use_qk_norm=True,
+                qk_norm_flat=True,
+                num_experts=cfg.get("num_experts", 64),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 8),
+                moe_intermediate_size=cfg.get("intermediate_size", 1024),
+                norm_topk_prob=cfg.get("norm_topk_prob", False),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "stablelm":
+            # StableLM (HF StableLmForCausalLM): partial rotary,
+            # LayerNorm (weight+bias) norms, optional qkv bias and
+            # optional parallel-residual blocks
+            if cfg.get("use_parallel_residual"):
+                kw["parallel_residual"] = True
+            kw.update(
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.25)
+                ),
+                attention_bias=cfg.get("use_qkv_bias", False),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
         if model_type == "nemotron":
             # Nemotron (HF NemotronForCausalLM): LayerNorm1P norms,

@@ -257,6 +257,18 @@ class BatchedEngine(BaseEngine):
                         do_center_crop=False,
                         resample="bilinear",
                     )
+            elif raw_cfg.get("model_type") in ("idefics3", "smolvlm"):
+                # Idefics3/SmolVLM: tiled SigLIP + pixel-shuffle
+                # connector (fully causal)
+                from ..models.idefics3 import Idefics3VLM
+                from ..multimodal_processor import Idefics3ImageProcessor
+
+                logger.info("loading multimodal checkpoint (Idefics3)")
+                self.vlm = Idefics3VLM(self.model_path).load()
+                self.vlm_kind = "idefics3"
+                self.image_processor = Idefics3ImageProcessor.from_pretrained(
+                    self.model_path
+                )
             elif raw_cfg.get("model_type") == "paligemma":
                 # PaliGemma: SigLIP + linear projector, prefix-LM (the
                 # WHOLE prompt is one bidirectional span)
@@ -830,6 +842,10 @@ class BatchedEngine(BaseEngine):
             return self._make_paligemma_request(
                 prompt, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "idefics3":
+            return self._make_idefics3_request(
+                prompt, media, request_id, **kwargs
+            )
         token_ids = self._tokenizer.encode(prompt)
         if getattr(self, "vlm_kind", "llava") in ("qwen_vl", "qwen3_vl"):
             return self._make_qwen_vl_request(
@@ -937,6 +953,63 @@ class BatchedEngine(BaseEngine):
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )
+        return req
+
+    def _make_idefics3_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Idefics3/SmolVLM: tile each image (vision cache holds
+        (tile_features, rows, cols) per content hash) and expand each
+        <image> placeholder into the row/col-structured tiled prompt
+        (HF get_image_prompt_string). Fully causal."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        grids: List[Any] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                tiles, rows, cols = self.image_processor(load_image(im))
+                feats = self.vlm.encode_tiles(tiles)
+                cached = (feats, rows, cols)
+                self.vision_cache.put(key, cached)
+            features.append(cached[0])
+            grids.append((cached[1], cached[2]))
+        expanded = self.vlm.expand_image_tokens(prompt, grids)
+        ids = self._tokenizer.encode(expanded)
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        import numpy as _np
+
+        img_rows = _np.flatnonzero(mask)
+        spans = []
+        r = 0
+        for key, feats in zip(keys, features):
+            cnt = feats.shape[0] * feats.shape[1]
+            rows_i = img_rows[r : r + cnt]
+            r += cnt
+            if len(rows_i):
+                spans.append((int(rows_i[0]), int(rows_i[-1]) + 1, key))
+        req.media_spans = spans or None
         return req
 
     def _make_pixtral_request(

@@ -495,6 +495,24 @@ def _mlp_block(
         )
         if cfg.hidden_act == "relu2":
             y = jnp.square(jax.nn.relu(y))
+        elif cfg.hidden_act == "xielu":
+            # Apertus xIELU (HF XIELUActivation._xielu_python):
+            # per-layer learnable alpha_p/alpha_n stored pre-softplus
+            ap = jax.nn.softplus(mlp["xielu_alpha_p"].astype(jnp.float32))
+            beta = mlp.get("xielu_beta", jnp.float32(0.5)).astype(
+                jnp.float32
+            )
+            eps = mlp.get("xielu_eps", jnp.float32(-1e-6)).astype(
+                jnp.float32
+            )
+            an = beta + jax.nn.softplus(
+                mlp["xielu_alpha_n"].astype(jnp.float32)
+            )
+            y = jnp.where(
+                y > 0,
+                ap * y * y + beta * y,
+                (jnp.expm1(jnp.minimum(y, eps)) - y) * an + beta * y,
+            )
         elif cfg.hidden_act in ("gelu", "gelu_pytorch_tanh", "gelu_new"):
             y = jax.nn.gelu(y, approximate=cfg.hidden_act != "gelu")
         else:
@@ -535,6 +553,12 @@ def _stack(
     if cfg.embed_scale:
         # Gemma scales embeddings by sqrt(hidden) in the embed dtype
         x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+    if cfg.learned_pos_embed:
+        # GPT-BigCode: learned absolute positions instead of rope.
+        # positions feed rope for rotary models; here the same vector
+        # indexes wpe (rope positions == absolute token positions)
+        pos = positions[0] if positions.ndim > 1 else positions
+        x = x + params["pos_embed"][pos].astype(x.dtype)
     if token_embeds is not None:
         mask = (
             embeds_mask[:, None]
@@ -604,6 +628,8 @@ def _stack(
             and cfg.sliding_window is not None
             and _layer_window(cfg, i) is None
         )
+        if cfg.nope_layers is not None and i in cfg.nope_layers:
+            use_rope = False  # SmolLM3 explicit per-layer NoPE
         c_i, s_i = (
             (cos_l, sin_l)
             if cos_l is not None and _layer_window(cfg, i) is not None

@@ -42,12 +42,63 @@ def iter_safetensors(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
                 yield name, st.get_tensor(name)
 
 
+_GPT2_TOP = {
+    "transformer.wte.weight": "embed_tokens.weight",  # GPT-BigCode
+    "transformer.word_embeddings.weight": "embed_tokens.weight",  # Falcon
+    "transformer.wpe.weight": "pos_embed.weight",
+    "transformer.ln_f.weight": "norm.weight",
+    "transformer.ln_f.bias": "norm.bias",
+}
+
+_GPT2_LAYER = {
+    # GPT-BigCode (HF GPTBigCodeBlock)
+    "ln_1.weight": "input_layernorm.weight",
+    "ln_1.bias": "input_layernorm.bias",
+    "ln_2.weight": "post_attention_layernorm.weight",
+    "ln_2.bias": "post_attention_layernorm.bias",
+    "attn.c_attn.weight": "self_attn.qkv_proj.weight",
+    "attn.c_attn.bias": "self_attn.qkv_proj.bias",
+    "attn.c_proj.weight": "self_attn.o_proj.weight",
+    "attn.c_proj.bias": "self_attn.o_proj.bias",
+    "mlp.c_fc.weight": "mlp.c_fc.weight",
+    "mlp.c_fc.bias": "mlp.c_fc.bias",
+    "mlp.c_proj.weight": "mlp.c_proj.weight",
+    "mlp.c_proj.bias": "mlp.c_proj.bias",
+    # Falcon (HF FalconDecoderLayer, classic 7B layout)
+    "self_attention.query_key_value.weight": "self_attn.qkv_proj.weight",
+    "self_attention.query_key_value.bias": "self_attn.qkv_proj.bias",
+    "self_attention.dense.weight": "self_attn.o_proj.weight",
+    "self_attention.dense.bias": "self_attn.o_proj.bias",
+    "mlp.dense_h_to_4h.weight": "mlp.c_fc.weight",
+    "mlp.dense_h_to_4h.bias": "mlp.c_fc.bias",
+    "mlp.dense_4h_to_h.weight": "mlp.c_proj.weight",
+    "mlp.dense_4h_to_h.bias": "mlp.c_proj.bias",
+}
+
+
+def _gpt2_style_rename(name: str) -> str:
+    """Canonicalize GPT-2-family checkpoint names (GPT-BigCode /
+    Falcon ``transformer.h.N.*``) onto the standard scheme so the main
+    parser handles them: fused c_attn/query_key_value ride the Phi-3
+    qkv_proj split (rows [q; k; v] with cfg head sizes — GPT-BigCode
+    MQA stores q(H) then k,v(kv_dim) exactly like that)."""
+    if name in _GPT2_TOP:
+        return _GPT2_TOP[name]
+    if name.startswith("transformer.h."):
+        parts = name.split(".", 3)
+        rest = _GPT2_LAYER.get(parts[3], parts[3])
+        return f"layers.{parts[2]}.{rest}"
+    return name
+
+
 def _strip(name: str) -> str:
     for prefix in (
         "model.language_model.",  # Qwen-VL (new transformers layout)
+        "model.text_model.",  # Idefics3/SmolVLM
         "model.",
         "language_model.model.",
         "language_model.",
+        "text_model.",
         "backbone.",  # Mamba2
     ):
         if name.startswith(prefix):
@@ -72,6 +123,7 @@ def _parse_layer_tensor(
         "input_layernorm.weight",
         "norm.weight",
         "operator_norm.weight",  # LFM2
+        "attention_layernorm.weight",  # Apertus pre-attention norm
     ):
         # "norm.weight" = pure-Mamba2 block norm
         ld["input_layernorm"] = put(tensor)
@@ -101,8 +153,16 @@ def _parse_layer_tensor(
         "post_attention_layernorm.weight",
         "pre_ff_layernorm.weight",  # Bamba
         "ffn_norm.weight",  # LFM2
+        "feedforward_layernorm.weight",  # Apertus pre-MLP norm
     ):
         ld["post_attention_layernorm"] = put(tensor)
+    elif rest.startswith("mlp.act_fn."):
+        # Apertus xIELU learnable activation parameters (kept f32;
+        # alpha_p/alpha_n are pre-softplus, beta/eps are buffers)
+        key = "xielu_" + rest.rsplit(".", 1)[1]
+        ld.setdefault("mlp", {})[key] = jnp.asarray(
+            np.asarray(tensor).reshape(-1)[:1]
+        ).astype(jnp.float32)
     elif rest.startswith("conv.") and cfg.conv_cfg is not None:
         # LFM2 gated short conv (models/short_conv.py)
         sub = rest.split(".", 1)[1]
@@ -412,8 +472,13 @@ def load_params(
 
     for name, tensor in iter_safetensors(model_path):
         n = _strip(name)
+        if cfg.model_type in ("gpt_bigcode", "falcon"):
+            n = _gpt2_style_rename(n)
         if n in ("embed_tokens.weight", "embeddings.weight"):
             params["embed_tokens"] = put(tensor)
+        elif n == "pos_embed.weight":
+            # learned absolute positions (GPT-BigCode wpe)
+            params["pos_embed"] = put(tensor)
         elif n in (
             "norm.weight",
             "norm_f.weight",

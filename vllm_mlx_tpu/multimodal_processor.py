@@ -148,6 +148,113 @@ class ImageProcessor:
         return np.stack([self(load_image(im)) for im in images])
 
 
+class Idefics3ImageProcessor:
+    """Idefics3/SmolVLM tiling preprocessor (HF
+    image_processing_idefics3.py): resize the longest edge to
+    ``longest_edge`` (short side made even), then — when splitting —
+    resize both dims UP to multiples of ``max_image_size`` and cut
+    exact max_image_size tiles plus a global downscale. Returns
+    (tiles [N, 3, S, S], rows, cols); rows == cols == 0 means the
+    single global image only."""
+
+    def __init__(
+        self,
+        longest_edge: int = 4 * 364,
+        max_image_size: int = 364,
+        mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+        std: Tuple[float, ...] = (0.5, 0.5, 0.5),
+        do_image_splitting: bool = True,
+    ) -> None:
+        self.longest_edge = longest_edge
+        self.max_image_size = max_image_size
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+        self.do_image_splitting = do_image_splitting
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "Idefics3ImageProcessor":
+        path = os.path.join(model_path, "preprocessor_config.json")
+        kw: Dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict) and "longest_edge" in size:
+                kw["longest_edge"] = size["longest_edge"]
+            mis = cfg.get("max_image_size", {})
+            if isinstance(mis, dict) and "longest_edge" in mis:
+                kw["max_image_size"] = mis["longest_edge"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+            kw["do_image_splitting"] = cfg.get("do_image_splitting", True)
+        return cls(**kw)
+
+    @staticmethod
+    def _rescale_to_max(w: int, h: int, max_len: int) -> Tuple[int, int]:
+        """HF _resize_output_size_rescale_to_max_len (even short side)."""
+        ar = w / h
+        if w >= h:
+            w = max_len
+            h = int(w / ar)
+            if h % 2 != 0:
+                h += 1
+        else:
+            h = max_len
+            w = int(h * ar)
+            if w % 2 != 0:
+                w += 1
+        return max(w, 1), max(h, 1)
+
+    def _encoder_multiple(self, w: int, h: int) -> Tuple[int, int]:
+        """HF resize_for_vision_encoder: both dims UP to tile multiples."""
+        import math
+
+        s = self.max_image_size
+        ar = w / h
+        if w >= h:
+            w2 = math.ceil(w / s) * s
+            h2 = int(w2 / ar)
+            h2 = math.ceil(h2 / s) * s
+        else:
+            h2 = math.ceil(h / s) * s
+            w2 = int(h2 * ar)
+            w2 = math.ceil(w2 / s) * s
+        return w2, h2
+
+    def _norm(self, image) -> np.ndarray:
+        arr = np.asarray(image, np.float32) / 255.0
+        return (arr.transpose(2, 0, 1) - self.mean) / self.std
+
+    def __call__(self, image) -> Tuple[np.ndarray, int, int]:
+        from PIL import Image
+
+        s = self.max_image_size
+        w, h = image.size
+        if not self.do_image_splitting:
+            tile = image.resize((s, s), Image.LANCZOS)
+            return self._norm(tile)[None], 0, 0
+        nw, nh = self._rescale_to_max(w, h, self.longest_edge)
+        image = image.resize((nw, nh), Image.LANCZOS)
+        nw, nh = self._encoder_multiple(nw, nh)
+        image = image.resize((nw, nh), Image.LANCZOS)
+        if nw <= s and nh <= s:
+            return self._norm(image)[None], 0, 0
+        rows = nh // s
+        cols = nw // s
+        tiles = []
+        for r in range(rows):
+            for c in range(cols):
+                tiles.append(
+                    self._norm(
+                        image.crop((c * s, r * s, (c + 1) * s, (r + 1) * s))
+                    )
+                )
+        tiles.append(self._norm(image.resize((s, s), Image.LANCZOS)))
+        return np.stack(tiles), rows, cols
+
+
 class PixtralImageProcessor:
     """Pixtral preprocessing: keep aspect ratio, long edge capped at
     ``longest_edge``, dims rounded UP to patch multiples (HF
