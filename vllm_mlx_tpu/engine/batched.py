@@ -269,6 +269,20 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = Idefics3ImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") == "deepseek_vl":
+                # DeepSeek-VL: SigLIP tower + 2-layer GELU aligner on
+                # the shared LLaVA-style path; pad-to-square preprocess
+                from ..models.mllm import MultimodalLM
+                from ..multimodal_processor import (
+                    DeepseekVLImageProcessor,
+                )
+
+                logger.info("loading multimodal checkpoint (DeepSeek-VL)")
+                self.vlm = MultimodalLM(self.model_path).load()
+                self.vlm_kind = "llava"
+                self.image_processor = (
+                    DeepseekVLImageProcessor.from_pretrained(self.model_path)
+                )
             elif raw_cfg.get("model_type") == "paligemma":
                 # PaliGemma: SigLIP + linear projector, prefix-LM (the
                 # WHOLE prompt is one bidirectional span)

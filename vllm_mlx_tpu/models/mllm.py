@@ -40,7 +40,9 @@ class MultimodalConfig:
     text: ModelConfig
     vision: VisionConfig
     image_token_id: int
-    vision_feature_layer: int = -2
+    # None = full tower incl. post-layernorm (DeepSeek-VL: the aligner
+    # reads vision_model(...).last_hidden_state)
+    vision_feature_layer: Optional[int] = -2
     vision_feature_select_strategy: str = "default"  # drop CLS
     projector_act: str = "gelu"
 
@@ -50,6 +52,18 @@ class MultimodalConfig:
             cfg = json.load(f)
         text = ModelConfig.from_hf_config(cfg.get("text_config", {}))
         vision = VisionConfig.from_hf_config(cfg.get("vision_config", {}))
+        if cfg.get("model_type") == "deepseek_vl":
+            # DeepSeek-VL (HF modeling_deepseek_vl.py): SigLIP tower
+            # read at last_hidden_state (post-LN), 2-layer GELU aligner
+            return cls(
+                text=text,
+                vision=vision,
+                image_token_id=cfg.get(
+                    "image_token_id", cfg.get("image_token_index", 0)
+                ),
+                vision_feature_layer=None,
+                vision_feature_select_strategy="full",
+            )
         return cls(
             text=text,
             vision=vision,
@@ -84,18 +98,38 @@ def load_multimodal_params(
     vision_tensors: Dict[str, np.ndarray] = {}
     projector: Params = {}
     for name, tensor in loader.iter_safetensors(path):
-        if ".vision_tower." in name or name.startswith("vision_tower."):
-            sub = name.split("vision_tower.", 1)[1]
+        if (
+            ".vision_tower." in name
+            or name.startswith("vision_tower.")
+            or ".vision_model." in name
+            or name.startswith("vision_model.")
+        ):
+            marker = (
+                "vision_tower." if "vision_tower." in name
+                else "vision_model."
+            )
+            sub = name.rsplit(marker, 1)[1]
             if sub.startswith("vision_model."):
                 sub = sub[len("vision_model."):]
             vision_tensors[sub] = tensor
-        elif "multi_modal_projector." in name:
-            sub = name.split("multi_modal_projector.", 1)[1]
+        elif "multi_modal_projector." in name or ".aligner." in name or (
+            name.startswith("aligner.")
+        ):
+            sub = name.split(
+                "multi_modal_projector.", 1
+            )[1] if "multi_modal_projector." in name else name.split(
+                "aligner.", 1
+            )[1]
             key = {
                 "linear_1.weight": "fc1_w",
                 "linear_1.bias": "fc1_b",
                 "linear_2.weight": "fc2_w",
                 "linear_2.bias": "fc2_b",
+                # DeepSeek-VL aligner names
+                "linear1.weight": "fc1_w",
+                "linear1.bias": "fc1_b",
+                "linear2.weight": "fc2_w",
+                "linear2.bias": "fc2_b",
             }.get(sub)
             if key:
                 projector[key] = jnp.asarray(tensor).astype(jdt)
@@ -130,16 +164,21 @@ class MultimodalLM:
         cfg = self.cfg
 
         def _encode(vision_params, projector, pixel_values):
-            # run ViT up to vision_feature_layer (HF hidden_states index)
+            # run ViT up to vision_feature_layer (HF hidden_states
+            # index); feature_layer None = full stack + post-LN
+            # (DeepSeek-VL last_hidden_state)
             n_layers = cfg.vision.num_hidden_layers
             fl = cfg.vision_feature_layer
-            run_layers = n_layers + 1 + fl if fl < 0 else fl
+            if fl is None:
+                run_layers = n_layers
+            else:
+                run_layers = n_layers + 1 + fl if fl < 0 else fl
             feats = vit_encode(
                 vision_params,
                 cfg.vision,
                 pixel_values,
                 run_layers=run_layers,
-                apply_post_ln=False,
+                apply_post_ln=fl is None,
             )
             if (
                 cfg.vision.use_class_token

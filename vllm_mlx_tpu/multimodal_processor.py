@@ -148,6 +148,67 @@ class ImageProcessor:
         return np.stack([self(load_image(im)) for im in images])
 
 
+class DeepseekVLImageProcessor:
+    """DeepSeek-VL preprocessing (HF image_processing_deepseek_vl.py):
+    aspect-preserving long-edge resize (min side 14, BICUBIC), CENTER
+    pad to square with the background color ``image_mean * 255``, then
+    rescale + normalize."""
+
+    def __init__(
+        self,
+        image_size: int = 384,
+        mean: Tuple[float, ...] = (0.48145466, 0.4578275, 0.40821073),
+        std: Tuple[float, ...] = (0.26862954, 0.26130258, 0.27577711),
+        min_size: int = 14,
+    ) -> None:
+        self.image_size = image_size
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+        self.min_size = min_size
+        self.background = tuple(
+            int(x * 255) for x in np.asarray(mean).reshape(-1)
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "DeepseekVLImageProcessor":
+        path = os.path.join(model_path, "preprocessor_config.json")
+        kw: Dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict):
+                kw["image_size"] = size.get("height", 384)
+            elif isinstance(size, int):
+                kw["image_size"] = size
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+            if cfg.get("min_size"):
+                kw["min_size"] = cfg["min_size"]
+        return cls(**kw)
+
+    def __call__(self, image) -> np.ndarray:
+        from PIL import Image
+
+        s = self.image_size
+        w, h = image.size
+        delta = s / max(w, h)
+        nw = max(int(w * delta), self.min_size)
+        nh = max(int(h * delta), self.min_size)
+        image = image.resize((nw, nh), Image.BICUBIC)
+        canvas = Image.new("RGB", (s, s), self.background)
+        canvas.paste(image, ((s - nw) // 2 if nh > nw else 0,
+                             (s - nh) // 2 if nw > nh else 0))
+        arr = np.asarray(canvas, np.float32) / 255.0
+        arr = arr.transpose(2, 0, 1)
+        return (arr - self.mean) / self.std
+
+    def batch(self, images: List[Any]) -> np.ndarray:
+        return np.stack([self(load_image(im)) for im in images])
+
+
 class Idefics3ImageProcessor:
     """Idefics3/SmolVLM tiling preprocessor (HF
     image_processing_idefics3.py): resize the longest edge to
