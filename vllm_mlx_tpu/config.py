@@ -114,6 +114,10 @@ class ModelConfig:
     # x = x + attn(norm(x)) + mlp(norm(x)) (HF PhiDecoderLayer /
     # CohereDecoderLayer forward)
     parallel_residual: bool = False
+    # GPT-NeoX variant: the parallel MLP reads its OWN pre-norm
+    # (post_attention_layernorm) of the raw stream:
+    # x = x + attn(ln1(x)) + mlp(ln2(x)) (HF GPTNeoXLayer)
+    parallel_residual_separate_norms: bool = False
     # Cohere: logits multiplied by logit_scale (HF CohereForCausalLM);
     # Granite folds 1/logits_scaling into this
     logit_scale: Optional[float] = None
@@ -502,11 +506,13 @@ class ModelConfig:
                 qk_norm_flat=True,
                 post_norm_blocks=True,
             )
-        if model_type in ("granite", "granitemoe"):
+        if model_type in ("granite", "granitemoe", "granitemoeshared"):
             # IBM Granite / GraniteMoE (HF Granite(Moe)ForCausalLM):
             # llama-shaped with four mup-style scalar multipliers;
             # the MoE variant adds fused-GLU parallel experts with
-            # topk-then-softmax routing
+            # topk-then-softmax routing; GraniteMoeShared additionally
+            # runs a fused-GLU shared MLP on every layer (the Granite
+            # 4.0 shared-MLP layout, loaded via the same path)
             kw.update(
                 embed_scale=float(cfg.get("embedding_multiplier", 1.0)),
                 attn_scale=float(cfg.get("attention_multiplier", 1.0)),
@@ -516,7 +522,7 @@ class ModelConfig:
                 logit_scale=1.0 / float(cfg.get("logits_scaling", 1.0)),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", True),
             )
-            if model_type == "granitemoe":
+            if model_type in ("granitemoe", "granitemoeshared"):
                 kw.update(
                     num_experts=cfg.get("num_local_experts", 8),
                     num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
@@ -732,6 +738,107 @@ class ModelConfig:
                 ),
                 attention_bias=cfg.get("use_qkv_bias", False),
                 tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "gpt2":
+            # GPT-2 (HF GPT2LMHeadModel): the GPT-BigCode layout with
+            # full MHA fused c_attn and Conv1D (TRANSPOSED) weights —
+            # loader transposes; learned absolute positions, no rope
+            heads = cfg.get("n_head", 12)
+            kw.update(
+                hidden_size=cfg.get("n_embd", 768),
+                num_hidden_layers=cfg.get("n_layer", 12),
+                num_attention_heads=heads,
+                num_key_value_heads=heads,
+                intermediate_size=cfg.get("n_inner")
+                or 4 * cfg.get("n_embd", 768),
+                max_position_embeddings=cfg.get("n_positions", 1024),
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                hidden_act=cfg.get("activation_function", "gelu_new"),
+                attention_bias=True,
+                mlp_bias=True,
+                use_rope=False,
+                learned_pos_embed=True,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                attn_scale=(
+                    None if cfg.get("scale_attn_weights", True) else 1.0
+                ),
+            )
+        if model_type == "gpt_neox":
+            # GPT-NeoX / Pythia (HF GPTNeoXForCausalLM): per-head
+            # INTERLEAVED fused qkv (loader de-interleaves), partial
+            # rotary (rotary_pct), LayerNorm norms, gateless gelu MLP,
+            # parallel residual with SEPARATE pre-MLP norm
+            kw.update(
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                hidden_act=cfg.get("hidden_act", "gelu"),
+                attention_bias=cfg.get("attention_bias", True),
+                mlp_bias=cfg.get("attention_bias", True),
+                partial_rotary_factor=float(cfg.get("rotary_pct", 0.25)),
+                rope_theta=cfg.get(
+                    "rotary_emb_base", cfg.get("rope_theta", 10000.0)
+                ),
+                parallel_residual=cfg.get("use_parallel_residual", True),
+                parallel_residual_separate_norms=cfg.get(
+                    "use_parallel_residual", True
+                ),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "arcee":
+            # Arcee/AFM (HF ArceeForCausalLM): llama stack with a
+            # gateless relu^2 MLP
+            kw.update(
+                hidden_act=cfg.get("hidden_act", "relu2"),
+                mlp_bias=cfg.get("mlp_bias", False),
+            )
+        if model_type == "dots1":
+            # dots.llm1 (HF Dots1ForCausalLM): qwen3-style per-head
+            # qk-norm over a DeepSeek-V3-style MoE (sigmoid scores +
+            # e_score_correction_bias selection, group-limited top-k,
+            # shared experts, routed scaling, first-k dense layers)
+            kw.update(
+                use_qk_norm=True,
+                num_experts=cfg.get("n_routed_experts", 0) or 0,
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
+                moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+                first_k_dense=cfg.get("first_k_dense_replace", 0),
+                n_group=cfg.get("n_group", 1),
+                topk_group=cfg.get("topk_group", 1),
+                routed_scaling_factor=float(
+                    cfg.get("routed_scaling_factor", 1.0)
+                ),
+                norm_topk_prob=cfg.get("norm_topk_prob", True),
+                moe_shared_intermediate=(
+                    (cfg.get("n_shared_experts") or 0)
+                    * cfg.get("moe_intermediate_size", 0)
+                ),
+                moe_style="deepseek_v3",
+                moe_topk_method="noaux_tc",
+            )
+        if model_type == "hunyuan_v1_moe":
+            # Hunyuan MoE (HF HunYuanMoEV1Moe): dense-style per-head
+            # post-rope qk-norm like hunyuan_v1_dense, plus softmax->
+            # top-k renormalized routing and an always-on shared MLP
+            nexp = cfg.get("num_experts", 0)
+            topk = cfg.get("moe_topk", 1)
+            inter = cfg.get("intermediate_size", 0)
+            if not isinstance(inter, int):
+                inter = inter[0]
+            kw.update(
+                use_qk_norm=cfg.get("use_qk_norm", True),
+                qk_norm_after_rope=True,
+                num_experts=nexp if isinstance(nexp, int) else nexp[0],
+                num_experts_per_tok=(
+                    topk if isinstance(topk, int) else topk[0]
+                ),
+                # routed experts AND the always-on shared MLP are both
+                # intermediate_size wide (HF HunYuanMoEV1MLP)
+                moe_intermediate_size=inter,
+                intermediate_size=inter,
+                norm_topk_prob=True,
+                moe_shared_intermediate=inter,
+                attention_bias=cfg.get("attention_bias", False),
             )
         if model_type == "nemotron":
             # Nemotron (HF NemotronForCausalLM): LayerNorm1P norms,

@@ -653,8 +653,15 @@ def _stack(
         attn_out = linear(attn_out, p["o_proj"], p.get("o_bias"))
         if cfg.parallel_residual:
             # Phi/Cohere: attention and MLP both read the SAME normed
-            # input; one residual add (HF PhiDecoderLayer.forward)
-            x = x + attn_out + _mlp_block(cfg, i, p, h, moe_top_k)
+            # input; one residual add (HF PhiDecoderLayer.forward).
+            # GPT-NeoX reads the MLP from its OWN pre-norm of the raw
+            # stream (HF GPTNeoXLayer use_parallel_residual)
+            mlp_in = (
+                _bnorm(cfg, x, p, "post_attention_layernorm")
+                if cfg.parallel_residual_separate_norms
+                else h
+            )
+            x = x + attn_out + _mlp_block(cfg, i, p, mlp_in, moe_top_k)
         elif rc is not None:
             # MiniMax norm-as-residual (see recurrent branch above)
             x = h * rc["full_alpha"] + attn_out * rc["full_beta"]

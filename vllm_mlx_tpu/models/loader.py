@@ -76,6 +76,37 @@ _GPT2_LAYER = {
 }
 
 
+_NEOX_LAYER = {
+    "attention.query_key_value.weight": "self_attn.qkv_interleaved.weight",
+    "attention.query_key_value.bias": "self_attn.qkv_interleaved.bias",
+    "attention.dense.weight": "self_attn.o_proj.weight",
+    "attention.dense.bias": "self_attn.o_proj.bias",
+    "mlp.dense_h_to_4h.weight": "mlp.c_fc.weight",
+    "mlp.dense_h_to_4h.bias": "mlp.c_fc.bias",
+    "mlp.dense_4h_to_h.weight": "mlp.c_proj.weight",
+    "mlp.dense_4h_to_h.bias": "mlp.c_proj.bias",
+}
+
+
+def _neox_rename(name: str) -> str:
+    """GPT-NeoX/Pythia names onto the standard scheme. The fused qkv is
+    INTERLEAVED per head ([h, 3, hd] rows — HF GPTNeoXAttention), so it
+    maps to a dedicated qkv_interleaved key the parser de-interleaves."""
+    top = {
+        "gpt_neox.embed_in.weight": "embed_tokens.weight",
+        "gpt_neox.final_layer_norm.weight": "norm.weight",
+        "gpt_neox.final_layer_norm.bias": "norm.bias",
+        "embed_out.weight": "lm_head.weight",
+    }
+    if name in top:
+        return top[name]
+    if name.startswith("gpt_neox.layers."):
+        parts = name.split(".", 3)
+        rest = _NEOX_LAYER.get(parts[3], parts[3])
+        return f"layers.{parts[2]}.{rest}"
+    return name
+
+
 def _gpt2_style_rename(name: str) -> str:
     """Canonicalize GPT-2-family checkpoint names (GPT-BigCode /
     Falcon ``transformer.h.N.*``) onto the standard scheme so the main
@@ -283,6 +314,22 @@ def _parse_layer_tensor(
         w = t.reshape(nh, 2 * hd, -1)
         ld["q_proj"] = put(w[:, :hd].reshape(nh * hd, -1))
         ld["attn_gate"] = put(w[:, hd:].reshape(nh * hd, -1))
+    elif rest.startswith("self_attn.qkv_interleaved."):
+        # GPT-NeoX fused qkv: rows interleaved PER HEAD [h, 3, hd]
+        # (HF GPTNeoXAttention view) — de-interleave to q/k/v
+        t = np.asarray(tensor)
+        nh, hd = cfg.num_attention_heads, cfg.head_dim
+        kind = rest.rsplit(".", 1)[1]
+        w = t.reshape(nh, 3, hd, *t.shape[1:])
+        names = (
+            ("q_proj", "k_proj", "v_proj")
+            if kind == "weight"
+            else ("q_bias", "k_bias", "v_bias")
+        )
+        for j, nm in enumerate(names):
+            ld[nm] = put(
+                w[:, j].reshape(nh * hd, *t.shape[1:])
+            )
     elif rest.startswith("self_attn.qkv_proj."):
         # Phi-3 fused qkv: split rows [q; k; v]
         t = np.asarray(tensor)
@@ -371,7 +418,11 @@ def _parse_layer_tensor(
             "w3": "up_proj",
         }.get(parts2[3], parts2[3])
         stage.setdefault(proj, {})[e] = tensor
-    elif rest in ("mlp.gate.weight", "block_sparse_moe.gate.weight"):
+    elif rest in (
+        "mlp.gate.weight",
+        "block_sparse_moe.gate.weight",
+        "mlp.gate.wg.weight",  # Hunyuan MoE router naming
+    ):
         ld.setdefault("moe", {})["router"] = put(tensor)
     elif rest == "block_sparse_moe.router.layer.weight":
         # GraniteMoE router naming
@@ -400,9 +451,11 @@ def _parse_layer_tensor(
         ld.setdefault("moe", {})["router"] = put(tensor)
     elif rest == "mlp.router.bias":
         ld.setdefault("moe", {})["router_bias"] = put(tensor)
-    elif rest.startswith(("mlp.shared_experts.", "mlp.shared_expert.")):
+    elif rest.startswith(
+        ("mlp.shared_experts.", "mlp.shared_expert.", "mlp.shared_mlp.")
+    ):
         # shared experts: a dense MLP beside the routed experts
-        # (DeepSeek plural / Qwen3-Next singular naming)
+        # (DeepSeek plural / Qwen3-Next singular / Hunyuan shared_mlp)
         proj = rest.split(".")[2]
         if proj in ("gate_proj", "up_proj", "down_proj"):
             ld.setdefault("shared_mlp", {})[proj] = put(tensor)
@@ -472,8 +525,20 @@ def load_params(
 
     for name, tensor in iter_safetensors(model_path):
         n = _strip(name)
-        if cfg.model_type in ("gpt_bigcode", "falcon"):
+        if cfg.model_type in ("gpt_bigcode", "falcon", "gpt2"):
             n = _gpt2_style_rename(n)
+            if cfg.model_type == "gpt2" and n.endswith(
+                (
+                    "qkv_proj.weight",
+                    "o_proj.weight",
+                    "c_fc.weight",
+                    "c_proj.weight",
+                )
+            ):
+                # GPT-2 Conv1D stores weights TRANSPOSED ([in, out])
+                tensor = np.ascontiguousarray(np.asarray(tensor).T)
+        elif cfg.model_type == "gpt_neox":
+            n = _neox_rename(n)
         if n in ("embed_tokens.weight", "embeddings.weight"):
             params["embed_tokens"] = put(tensor)
         elif n == "pos_embed.weight":
