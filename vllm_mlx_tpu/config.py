@@ -267,6 +267,74 @@ class ModelConfig:
             kw["mrope_section"] = list(rs["mrope_section"])
         if cfg.get("partial_rotary_factor"):
             kw["partial_rotary_factor"] = float(cfg["partial_rotary_factor"])
+        if model_type in ("mamba", "falcon_mamba"):
+            # Mamba-1 / Falcon-Mamba (HF Mamba(FalconMamba)ForCausalLM):
+            # pure selective-scan stack, block = norm -> mixer
+            # (models/mamba1.py); falcon_mamba RMS-normalizes B/C/dt
+            n_layers = cfg.get("num_hidden_layers", 64)
+            hidden = cfg.get("hidden_size", 768)
+            tsr = cfg.get("time_step_rank", "auto")
+            if tsr == "auto" or tsr is None:
+                tsr = -(-hidden // 16)
+            kw.update(
+                layer_types=["mamba"] * n_layers,
+                block_has_mlp=False,
+                intermediate_size=0,
+                rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                mamba_cfg=dict(
+                    version=1,
+                    d_inner=cfg.get(
+                        "intermediate_size",
+                        cfg.get("expand", 2) * hidden,
+                    ),
+                    d_state=cfg.get("state_size", 16),
+                    dt_rank=int(tsr),
+                    conv_kernel=cfg.get("conv_kernel", 4),
+                    use_conv_bias=cfg.get("use_conv_bias", True),
+                    use_bias=cfg.get("use_bias", False),
+                    mixer_rms_eps=(
+                        cfg.get("mixer_rms_eps", 1e-6)
+                        if model_type == "falcon_mamba"
+                        else None
+                    ),
+                ),
+            )
+        if model_type == "jamba":
+            # Jamba (HF JambaForCausalLM): NoPE attention / Mamba-1
+            # interleave (attn_layer_period/offset), MoE on
+            # expert_layer_period/offset layers (presence of expert
+            # tensors decides per layer at load), softmax-topk routing
+            # WITHOUT renorm, learned dt/B/C RMSNorms in the mixer
+            n_layers = cfg.get("num_hidden_layers", 32)
+            hidden = cfg.get("hidden_size", 4096)
+            ap = cfg.get("attn_layer_period", 8)
+            ao = cfg.get("attn_layer_offset", 4)
+            tsr = cfg.get("mamba_dt_rank", "auto")
+            if tsr == "auto" or tsr is None:
+                tsr = -(-hidden // 16)
+            kw.update(
+                layer_types=[
+                    "full_attention" if i % ap == ao else "mamba"
+                    for i in range(n_layers)
+                ],
+                use_rope=False,
+                num_experts=cfg.get("num_experts", 0),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+                moe_intermediate_size=cfg.get("intermediate_size", 0),
+                norm_topk_prob=False,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                mamba_cfg=dict(
+                    version=1,
+                    d_inner=cfg.get("mamba_expand", 2) * hidden,
+                    d_state=cfg.get("mamba_d_state", 16),
+                    dt_rank=int(tsr),
+                    conv_kernel=cfg.get("mamba_d_conv", 4),
+                    use_conv_bias=cfg.get("mamba_conv_bias", True),
+                    use_bias=cfg.get("mamba_proj_bias", False),
+                    norm_eps=cfg.get("rms_norm_eps", 1e-6),
+                ),
+            )
         if model_type == "mamba2":
             n_layers = cfg.get("num_hidden_layers", 64)
             kw.update(

@@ -262,14 +262,9 @@ class ModelRunner:
         c = self.cfg
         ssm_states = None
         if self.has_ssm:
-            mc = None
+            mc = mixer_mod = None
             if c.mamba_cfg is not None:
-                from ..models.mamba2 import (
-                    MambaMixerConfig,
-                    init_mixer_states,
-                )
-
-                mc = MambaMixerConfig(**c.mamba_cfg)
+                mc, mixer_mod = decoder.mixer_api(c)
             dc = None
             if c.gdn_cfg is not None:
                 from ..models.gated_deltanet import (
@@ -282,7 +277,7 @@ class ModelRunner:
             for lt in c.layer_types:
                 if lt == "mamba":
                     ssm_states.append(
-                        init_mixer_states(mc, self.max_num_seqs)
+                        mixer_mod.init_mixer_states(mc, self.max_num_seqs)
                     )
                 elif lt == "gdn":
                     ssm_states.append(

@@ -527,6 +527,20 @@ def _mlp_block(
 AttendFn = Callable[..., Tuple[jax.Array, jax.Array]]
 
 
+def mixer_api(cfg: ModelConfig):
+    """(mixer config, module) for layer_types "mamba": Mamba-2 SSD by
+    default; Mamba-1 selective scan when mamba_cfg carries version=1
+    (original Mamba / Falcon-Mamba / Jamba — models/mamba1.py)."""
+    d = dict(cfg.mamba_cfg)
+    if d.pop("version", 2) == 1:
+        from . import mamba1 as mod
+
+        return mod.Mamba1Config(**d), mod
+    from . import mamba2 as mod
+
+    return mod.MambaMixerConfig(**d), mod
+
+
 def _stack(
     params: Params,
     cfg: ModelConfig,
@@ -884,11 +898,11 @@ def unified_forward(
                 p = layer_p["short_conv"]
                 fn = lambda x, v, c, s: conv_sequence(p, kk, x, v, c, s)
             else:
-                from .mamba2 import MambaMixerConfig, mixer_sequence
-
-                mcx = MambaMixerConfig(**cfg.mamba_cfg)
+                mcx, mod = mixer_api(cfg)
                 p = layer_p["mamba"]
-                fn = lambda x, v, c, s: mixer_sequence(p, mcx, x, v, c, s)
+                fn = lambda x, v, c, s: mod.mixer_sequence(
+                    p, mcx, x, v, c, s
+                )
             y, conv_n, ssm_n = jax.vmap(fn)(hx, vx, conv, ssm)
             new_ssm_states[m] = (
                 (conv_n.astype(conv.dtype), ssm_n) if commit
@@ -897,11 +911,9 @@ def unified_forward(
             return y.reshape(h.shape[0], -1).astype(h.dtype)
 
     elif ssm_ctx is not None:
-        mc = None
+        mc = mixer_mod = None
         if cfg.mamba_cfg is not None:
-            from .mamba2 import MambaMixerConfig
-
-            mc = MambaMixerConfig(**cfg.mamba_cfg)
+            mc, mixer_mod = mixer_api(cfg)
         states = ssm_ctx["states"]
         row_slot = ssm_ctx["row_slot"]  # [T] i32, == n_slots for padding
         from_device = ssm_ctx["from_device"]  # [T] bool
@@ -990,12 +1002,12 @@ def unified_forward(
                     lambda x, v, c, s: conv_sequence(p, kk, x, v, c, s),
                     h, m,
                 )
-            from .mamba2 import mixer_sequence, mixer_step
-
             p = layer_p["mamba"]
             return _mixer_serving(
-                lambda x, a, c, s: mixer_step(p, mc, x, a, c, s),
-                lambda x, v, c, s: mixer_sequence(p, mc, x, v, c, s),
+                lambda x, a, c, s: mixer_mod.mixer_step(p, mc, x, a, c, s),
+                lambda x, v, c, s: mixer_mod.mixer_sequence(
+                    p, mc, x, v, c, s
+                ),
                 h, m,
             )
 
@@ -1116,11 +1128,9 @@ def dense_forward(
 
     ssm_fn = None
     if cfg.has_recurrent:
-        mc = None
+        mc = mixer_mod = None
         if cfg.mamba_cfg is not None:
-            from .mamba2 import MambaMixerConfig
-
-            mc = MambaMixerConfig(**cfg.mamba_cfg)
+            mc, mixer_mod = mixer_api(cfg)
 
         def ssm_fn(i, layer_p, h):
             if cfg.layer_types[i] == "linear_attention":
@@ -1171,14 +1181,11 @@ def dense_forward(
                     jnp.zeros((1, 1), jnp.float32),
                 )
                 return y
-            from .mamba2 import mixer_sequence
-
-            y, _, _ = mixer_sequence(
-                layer_p["mamba"], mc, h, None,
-                jnp.zeros((mc.conv_dim, mc.conv_kernel), h.dtype),
-                jnp.zeros(
-                    (mc.num_heads, mc.head_dim, mc.state_size), jnp.float32
-                ),
+            c0, s0 = (
+                z[0] for z in mixer_mod.init_mixer_states(mc, 1, h.dtype)
+            )
+            y, _, _ = mixer_mod.mixer_sequence(
+                layer_p["mamba"], mc, h, None, c0, s0
             )
             return y
 

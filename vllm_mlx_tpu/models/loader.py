@@ -231,6 +231,14 @@ def _parse_layer_tensor(
             "norm.weight": "norm_w",
             "out_proj.weight": "out_w",
             "out_proj.bias": "out_b",
+            # Mamba-1 extras (models/mamba1.py): x_proj -> (dt, B, C),
+            # explicit dt_proj, Jamba's learned dt/B/C RMSNorms
+            "x_proj.weight": "x_w",
+            "dt_proj.weight": "dt_w",
+            "dt_proj.bias": "dt_b",
+            "dt_layernorm.weight": "dt_norm_w",
+            "b_layernorm.weight": "b_norm_w",
+            "c_layernorm.weight": "c_norm_w",
         }.get(sub)
         if sub == "conv1d.weight":  # [cd, 1, K] -> [cd, K]
             md["conv_w"] = jnp.asarray(
@@ -407,7 +415,13 @@ def _parse_layer_tensor(
             "down_proj_bias": "down_b",
         }[sub]
         ld.setdefault("moe", {})[key] = put(tensor)
-    elif rest.startswith(("mlp.experts.", "block_sparse_moe.experts.")):
+    elif rest.startswith(
+        (
+            "mlp.experts.",
+            "block_sparse_moe.experts.",
+            "feed_forward.experts.",  # Jamba
+        )
+    ):
         # mlp.experts.{e}.{gate,up,down}_proj.weight and the
         # Mixtral naming block_sparse_moe.experts.{e}.w1/w2/w3
         parts2 = rest.split(".")
@@ -447,7 +461,7 @@ def _parse_layer_tensor(
         ld.setdefault("moe", {})["e_score_bias"] = jnp.asarray(
             np.asarray(tensor).reshape(-1)
         ).astype(jnp.float32)
-    elif rest == "mlp.router.weight":
+    elif rest in ("mlp.router.weight", "feed_forward.router.weight"):
         ld.setdefault("moe", {})["router"] = put(tensor)
     elif rest == "mlp.router.bias":
         ld.setdefault("moe", {})["router_bias"] = put(tensor)
