@@ -47,6 +47,10 @@ class ModelConfig:
     # Hunyuan: per-head qk-norm applied AFTER rope (HF
     # HunYuanDenseV1Attention.forward order)
     qk_norm_after_rope: bool = False
+    # Persimmon: per-head qk LayerNorm with weight AND bias
+    qk_norm_layernorm: bool = False
+    # OLMo/OLMoE/DBRX: clamp q/k/v projections to [-clip, clip]
+    clip_qkv: Optional[float] = None
     # OLMo2 block: attention/MLP read the RAW residual stream; norms
     # apply to the sublayer OUTPUTS before the residual add
     post_norm_blocks: bool = False
@@ -779,11 +783,8 @@ class ModelConfig:
         if model_type == "olmoe":
             # OLMoE (HF OlmoeForCausalLM): full-width flat qk RMSNorm,
             # softmax-then-topk routing WITHOUT renorm, every layer MoE
-            if cfg.get("clip_qkv"):
-                raise NotImplementedError(
-                    "olmoe clip_qkv is not supported"
-                )
             kw.update(
+                clip_qkv=cfg.get("clip_qkv"),
                 use_qk_norm=True,
                 qk_norm_flat=True,
                 num_experts=cfg.get("num_experts", 64),
@@ -907,6 +908,46 @@ class ModelConfig:
                 norm_topk_prob=True,
                 moe_shared_intermediate=inter,
                 attention_bias=cfg.get("attention_bias", False),
+            )
+        if model_type == "olmo":
+            # OLMo v1 (HF OlmoForCausalLM): NON-PARAMETRIC LayerNorms
+            # (no weights in the checkpoint at all), optional qkv clamp
+            kw.update(
+                norm_type="layernorm_noparam",
+                rms_norm_eps=1e-5,  # F.layer_norm default in OlmoLayerNorm
+                clip_qkv=cfg.get("clip_qkv"),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "flex_olmo":
+            # FlexOlmo (HF FlexOlmoForCausalLM): OLMo-2 post-norm block
+            # + flat qk RMSNorm + OLMoE-style MoE without renorm
+            kw.update(
+                use_qk_norm=True,
+                qk_norm_flat=True,
+                post_norm_blocks=True,
+                num_experts=cfg.get("num_experts", 0),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+                moe_intermediate_size=cfg.get("intermediate_size", 0),
+                norm_topk_prob=cfg.get("norm_topk_prob", False),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            )
+        if model_type == "persimmon":
+            # Persimmon (HF PersimmonForCausalLM): NeoX-interleaved
+            # fused qkv with bias, per-head qk LayerNorm with weight AND
+            # bias, partial rotary, gateless relu^2 MLP with biases,
+            # LayerNorm block norms
+            kw.update(
+                norm_type="layernorm",
+                rms_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+                hidden_act=cfg.get("hidden_act", "relu2"),
+                use_qk_norm=cfg.get("qk_layernorm", True),
+                qk_norm_layernorm=True,
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+                attention_bias=True,
+                mlp_bias=True,
+                tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             )
         if model_type == "nemotron":
             # Nemotron (HF NemotronForCausalLM): LayerNorm1P norms,

@@ -42,7 +42,15 @@ Params = Dict[str, Any]
 
 def _bnorm(cfg: ModelConfig, x, p: Params, name: str):
     """Block norm dispatch: RMSNorm (default), plain LayerNorm
-    (Starcoder2-class), or Nemotron LayerNorm1P ((1 + weight) scale)."""
+    (Starcoder2-class), Nemotron LayerNorm1P ((1 + weight) scale), or
+    OLMo-v1 NON-PARAMETRIC LayerNorm (no weight, no bias)."""
+    if cfg.norm_type == "layernorm_noparam":
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + cfg.rms_norm_eps)).astype(
+            x.dtype
+        )
     if cfg.norm_type in ("layernorm", "layernorm1p", "layernorm_nobias"):
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -191,9 +199,31 @@ def _qkv(
 
             q = _ln(q, p["q_norm"])
             k = _ln(k, p["k_norm"])
+        elif cfg.qk_norm_layernorm:
+            # Persimmon: per-head LayerNorm with weight AND bias on the
+            # reshaped heads (HF PersimmonAttention q/k_layernorm)
+            def _lnb(v, w, b):
+                vf = v.astype(jnp.float32)
+                mu = jnp.mean(vf, axis=-1, keepdims=True)
+                var = jnp.var(vf, axis=-1, keepdims=True)
+                return (
+                    (vf - mu) * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+                    * w.astype(jnp.float32)
+                    + b.astype(jnp.float32)
+                ).astype(v.dtype)
+
+            q = _lnb(q, p["q_norm"], p["q_norm_bias"])
+            k = _lnb(k, p["k_norm"], p["k_norm_bias"])
         else:
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+    if cfg.clip_qkv is not None:
+        # OLMo/OLMoE/DBRX: clamp the projections (after any flat norm,
+        # before rotary — HF order; elementwise so reshape-invariant)
+        cl = cfg.clip_qkv
+        q = jnp.clip(q, -cl, cl)
+        k = jnp.clip(k, -cl, cl)
+        v = jnp.clip(v, -cl, cl)
     if not use_rope:
         # EXAONE4 NoPE global layers: positions come from the cache
         # ordering only

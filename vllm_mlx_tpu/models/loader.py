@@ -322,9 +322,13 @@ def _parse_layer_tensor(
         w = t.reshape(nh, 2 * hd, -1)
         ld["q_proj"] = put(w[:, :hd].reshape(nh * hd, -1))
         ld["attn_gate"] = put(w[:, hd:].reshape(nh * hd, -1))
-    elif rest.startswith("self_attn.qkv_interleaved."):
-        # GPT-NeoX fused qkv: rows interleaved PER HEAD [h, 3, hd]
-        # (HF GPTNeoXAttention view) — de-interleave to q/k/v
+    elif rest.startswith("self_attn.qkv_interleaved.") or (
+        cfg.model_type == "persimmon"
+        and rest.startswith("self_attn.query_key_value.")
+    ):
+        # GPT-NeoX/Persimmon fused qkv: rows interleaved PER HEAD
+        # [h, 3, hd] (HF GPTNeoXAttention/Persimmon _split_heads view)
+        # — de-interleave to q/k/v
         t = np.asarray(tensor)
         nh, hd = cfg.num_attention_heads, cfg.head_dim
         kind = rest.rsplit(".", 1)[1]
@@ -379,9 +383,11 @@ def _parse_layer_tensor(
         elif proj in ("query_layernorm", "key_layernorm") and kind == "weight":
             # Hunyuan naming for the post-rope per-head norms
             ld[proj[0] + "_norm"] = put(tensor)
-        elif proj in ("q_layernorm", "k_layernorm") and kind == "weight":
-            # LFM2 naming for the per-head qk norms
-            ld[proj[0] + "_norm"] = put(tensor)
+        elif proj in ("q_layernorm", "k_layernorm"):
+            # LFM2/Persimmon naming for the per-head qk norms
+            # (Persimmon's carry a bias)
+            key = proj[0] + "_norm" + ("" if kind == "weight" else "_bias")
+            ld[key] = put(tensor)
         elif proj in (
             # DeepSeek MLA projections (HF modeling_deepseek_v3)
             "q_a_proj",
@@ -483,9 +489,22 @@ def _parse_layer_tensor(
     elif rest == "mlp.shared_expert_gate.weight":
         # Qwen3-Next: sigmoid gate scaling the shared expert
         ld["shared_gate"] = put(tensor)
-    elif rest.startswith(("mlp.c_fc.", "mlp.c_proj.", "mlp.fc1.", "mlp.fc2.")):
+    elif rest.startswith(
+        (
+            "mlp.c_fc.", "mlp.c_proj.", "mlp.fc1.", "mlp.fc2.",
+            "mlp.dense_h_to_4h.", "mlp.dense_4h_to_h.",  # Persimmon
+        )
+    ):
         # gateless MLP namings: Starcoder2 c_fc/c_proj, Phi fc1/fc2
-        proj = "up_proj" if (".c_fc." in rest or ".fc1." in rest) else "down_proj"
+        proj = (
+            "up_proj"
+            if (
+                ".c_fc." in rest
+                or ".fc1." in rest
+                or ".dense_h_to_4h." in rest
+            )
+            else "down_proj"
+        )
         kind = rest.rsplit(".", 1)[1]
         key = proj if kind == "weight" else proj.split("_")[0] + "_bias"
         ld.setdefault("mlp", {})[key] = put(tensor)
