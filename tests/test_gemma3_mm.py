@@ -246,6 +246,52 @@ def test_gemma3_chunked_prefill_spans(tiny_gemma3, rng):
     asyncio.run(go())
 
 
+def test_gemma3_tp2_token_identical(tiny_gemma3, rng):
+    """TP x bidirectional spans: serving Gemma3 with --tp-size 2
+    (heads + KV pool sharded over the CPU mesh, bidir attention under
+    shard_map) produces the exact tp=1 token stream."""
+    _, path = tiny_gemma3
+    uri, arr = _image_uri(rng)
+    messages = [
+        {
+            "role": "user",
+            "content": [
+                {"type": "text", "text": "what is this? "},
+                {"type": "image_url", "image_url": {"url": uri}},
+            ],
+        }
+    ]
+
+    async def run_engine(**kw):
+        from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+        from vllm_mlx_tpu.engine.batched import BatchedEngine
+
+        engine = BatchedEngine(
+            path,
+            cache_config=CacheConfig(
+                block_size=8, num_blocks=64, kv_dtype="float32"
+            ),
+            scheduler_config=SchedulerConfig(
+                max_num_seqs=2, max_prefill_tokens=64,
+                prefill_chunk_sizes=[64], max_model_len=256,
+            ),
+            **kw,
+        )
+        await engine.start()
+        try:
+            out = await engine.chat(messages, max_tokens=6, temperature=0.0)
+            return out.token_ids
+        finally:
+            await engine.stop()
+
+    async def go():
+        ref = await run_engine()
+        got = await run_engine(tp_size=2)
+        assert got == ref
+
+    asyncio.run(go())
+
+
 def test_gemma3_two_images_one_chunk(tiny_gemma3, rng):
     """Two images in one prompt: one span per chunk is enforced, spans
     stay distinct (different images -> different KV), output matches HF."""
