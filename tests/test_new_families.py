@@ -45,15 +45,19 @@ def _assert_parity(model, tmp_path, token_ids, atol=2e-2):
     )
     theirs = _hf_logits(model, token_ids)
     np.testing.assert_allclose(ours, theirs, atol=atol)
-    # argmax identity, except where HF's own top-2 margin is a near-tie
-    # (tiny random-weight models hit repetition attractors whose ties
-    # legitimately flip under fp32 reassociation)
+    # argmax identity, except where HF's own top-2 margin is within the
+    # measured NUMERIC noise between the frameworks (tiny random-weight
+    # models produce near-ties that legitimately flip under fp32
+    # reassociation; a real logic error would blow the atol above long
+    # before it produced a flip inside the noise floor)
     mismatch = np.argmax(ours, axis=-1) != np.argmax(theirs, axis=-1)
     if mismatch.any():
+        noise = float(np.abs(ours - theirs).max())
         part = np.partition(theirs[mismatch], -2, axis=-1)
         margins = part[:, -1] - part[:, -2]
-        assert margins.max() < 1e-3, (
-            f"argmax diverged with decisive margin {margins.max()}"
+        assert margins.max() < max(1e-3, 5 * noise), (
+            f"argmax diverged with decisive margin {margins.max()} "
+            f"(numeric noise {noise})"
         )
     return path, cfg, params
 
