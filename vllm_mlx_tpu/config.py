@@ -441,18 +441,24 @@ class ModelConfig:
                     kw["rope_local_theta"] = float(
                         cfg["rope_local_base_freq"]
                     )
-        if model_type == "glm4":
+        if model_type in ("glm4", "glm4v_text"):
             # GLM-4 (HF Glm4ForCausalLM): qkv bias, partial rotary with
             # pair-interleaved angles, gemma-style sandwich norms under
             # GLM names (loader remaps), fused gate_up MLP (loader
-            # splits)
+            # splits). GLM-4V's text stack is the same block with the
+            # rotary over the FULL head dim (no partial_rotary_factor
+            # attribute -> HF rope dim defaults to head_dim) + M-RoPE
+            # sections (handled generically from rope_scaling)
             kw.update(
                 attention_bias=cfg.get("attention_bias", True),
                 partial_rotary_factor=float(
-                    cfg.get("partial_rotary_factor", 0.5)
+                    cfg.get(
+                        "partial_rotary_factor",
+                        1.0 if model_type == "glm4v_text" else 0.5,
+                    )
                 ),
                 rope_glm=True,
-                sandwich_norms=True,
+                sandwich_norms=True,  # post_self_attn/post_mlp norms
             )
         if model_type == "phi3":
             # Phi-3 (HF Phi3ForCausalLM): llama-shaped with fused
@@ -530,12 +536,13 @@ class ModelConfig:
                 moe_shared_intermediate=cfg.get("moe_num_shared_experts", 0)
                 * cfg.get("moe_intermediate_size", 0),
             )
-        if model_type == "glm4_moe":
+        if model_type in ("glm4_moe", "glm4v_moe_text"):
             # GLM-4.5/4.6 (HF Glm4MoeForCausalLM, served by the glm47
             # tool parser): DeepSeek-V3-style sigmoid+bias group-limited
             # routing with shared experts, but standard GQA attention
             # with half-style partial rotary and optional per-head
-            # qk-norm (no MLA)
+            # qk-norm (no MLA). GLM-4.5V's text stack (glm4v_moe_text)
+            # is the same block + M-RoPE sections (generic handling)
             kw.update(
                 num_experts=cfg.get("n_routed_experts", 128),
                 num_experts_per_tok=cfg.get("num_experts_per_tok", 8),

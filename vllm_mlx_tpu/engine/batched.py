@@ -233,6 +233,18 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = QwenVLImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") in ("glm4v", "glm4v_moe"):
+                # GLM-4V / GLM-4.5V: qwen-vl-shaped dynamic-resolution
+                # tower with learned interpolated positions + M-RoPE
+                from ..models.glm4v import Glm4vModel
+                from ..multimodal_processor import QwenVLImageProcessor
+
+                logger.info("loading multimodal checkpoint (GLM-4V)")
+                self.vlm = Glm4vModel(self.model_path).load()
+                self.vlm_kind = "glm4v"
+                self.image_processor = QwenVLImageProcessor.from_pretrained(
+                    self.model_path
+                )
             elif raw_cfg.get("model_type") == "gemma3":
                 # Gemma 3 VLM: SigLIP tower + avg-pool projector; image
                 # soft-token runs attend bidirectionally (served via
@@ -861,7 +873,16 @@ class BatchedEngine(BaseEngine):
                 prompt, media, request_id, **kwargs
             )
         token_ids = self._tokenizer.encode(prompt)
-        if getattr(self, "vlm_kind", "llava") in ("qwen_vl", "qwen3_vl"):
+        if getattr(self, "vlm_kind", "llava") in (
+            "qwen_vl", "qwen3_vl", "glm4v",
+        ):
+            if self.vlm_kind == "glm4v" and any(
+                m.get("kind") == "video" for m in media
+            ):
+                raise ValueError(
+                    "GLM-4V video chat (per-frame timestamp prompts) is "
+                    "not wired; send images"
+                )
             return self._make_qwen_vl_request(
                 token_ids, media, request_id, **kwargs
             )

@@ -162,7 +162,7 @@ def _parse_layer_tensor(
         ld["input_layernorm_bias"] = put(tensor)
     elif rest == "post_attention_layernorm.bias":
         ld["post_attention_layernorm_bias"] = put(tensor)
-    elif cfg.model_type == "glm4" and rest in (
+    elif cfg.model_type in ("glm4", "glm4v_text") and rest in (
         # GLM-4 sandwich norms map onto the gemma-style slots:
         # post_self_attn -> post_attention (scales attn out),
         # post_attention -> pre_feedforward (pre-MLP norm),
