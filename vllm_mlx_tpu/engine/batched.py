@@ -329,7 +329,7 @@ class BatchedEngine(BaseEngine):
                 self.vlm_kind = "qwen2_audio"
                 self.image_processor = None
             elif (
-                raw_cfg.get("model_type") == "pixtral"
+                raw_cfg.get("model_type") in ("pixtral", "mistral3")
                 or raw_cfg.get("vision_config", {}).get("model_type")
                 == "pixtral"
             ):
@@ -345,6 +345,15 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = PixtralImageProcessor.from_pretrained(
                     self.model_path
                 )
+                merge = self.vlm.cfg.spatial_merge_size
+                if merge > 1:
+                    # Mistral-3: [IMG] tokens are at MERGED granularity;
+                    # sizing the processor's patch unit to patch*merge
+                    # keeps pixel dims merge-divisible and makes grid()
+                    # return token-grid counts directly
+                    self.image_processor.patch_size = (
+                        self.vlm.cfg.vision.patch_size * merge
+                    )
             else:
                 from ..models.mllm import MultimodalLM
                 from ..multimodal_processor import ImageProcessor

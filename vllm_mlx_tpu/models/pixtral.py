@@ -83,6 +83,11 @@ class PixtralMMConfig:
     image_end_token_id: int
     vision_feature_layer: int = -1
     projector_act: str = "gelu"
+    # Mistral-Small-3.x (HF Mistral3ForConditionalGeneration): RMSNorm
+    # + learned 2x2 patch merge before the projector; [IMG] tokens are
+    # at MERGED granularity
+    projector_style: str = "llava"  # "llava" | "mistral3"
+    spatial_merge_size: int = 1
 
     @classmethod
     def from_pretrained(cls, path: str) -> "PixtralMMConfig":
@@ -90,6 +95,7 @@ class PixtralMMConfig:
             cfg = json.load(f)
         tc = dict(cfg.get("text_config", {}))
         tc.setdefault("model_type", "mistral")
+        is_m3 = cfg.get("model_type") == "mistral3"
         return cls(
             text=ModelConfig.from_hf_config(tc),
             vision=PixtralVisionConfig.from_hf_config(
@@ -102,6 +108,10 @@ class PixtralMMConfig:
             image_end_token_id=cfg.get("image_end_token_id", 13),
             vision_feature_layer=cfg.get("vision_feature_layer", -1),
             projector_act=cfg.get("projector_hidden_act", "gelu"),
+            projector_style="mistral3" if is_m3 else "llava",
+            spatial_merge_size=(
+                cfg.get("spatial_merge_size", 2) if is_m3 else 1
+            ),
         )
 
 
@@ -244,6 +254,9 @@ def load_pixtral_params(
                 "linear_1.bias": "fc1_b",
                 "linear_2.weight": "fc2_w",
                 "linear_2.bias": "fc2_b",
+                # Mistral3 projector extras
+                "norm.weight": "norm_w",
+                "patch_merger.merging_layer.weight": "merge_w",
             }.get(sub)
             if key:
                 projector[key] = put(tensor)
@@ -284,7 +297,8 @@ class PixtralVLM:
 
     def encode_image(self, pixel_values: np.ndarray) -> np.ndarray:
         """ONE image [C, H, W] (patch-multiple dims) ->
-        [n_patches, H_lm] f32 projected features."""
+        [n_tokens, H_lm] f32 projected features (merged granularity for
+        Mistral-3)."""
         cfg = self.cfg
         fl = cfg.vision_feature_layer
         n_layers = cfg.vision.num_hidden_layers
@@ -295,11 +309,33 @@ class PixtralVLM:
             jnp.asarray(pixel_values)[None],
             run_layers=run_layers,
         )
+        proj = self.params["projector"]
+        if cfg.projector_style == "mistral3":
+            # HF Mistral3MultiModalProjector: RMSNorm (text eps) ->
+            # unfold-style 2x2 merge -> merging_layer -> linear_1 ->
+            # gelu -> linear_2
+            m = cfg.spatial_merge_size
+            gh = pixel_values.shape[1] // cfg.vision.patch_size
+            gw = pixel_values.shape[2] // cfg.vision.patch_size
+            d = feats.shape[-1]
+            xf = feats.astype(jnp.float32)
+            var = jnp.mean(xf * xf, -1, keepdims=True)
+            xf = xf * jax.lax.rsqrt(var + cfg.text.rms_norm_eps) * (
+                proj["norm_w"].astype(jnp.float32)
+            )
+            x = xf.reshape(gh // m, m, gw // m, m, d)
+            # torch unfold layout: channel-major then kernel (i, j)
+            x = jnp.transpose(x, (0, 2, 4, 1, 3)).reshape(-1, d * m * m)
+            x = linear(x, proj["merge_w"])
+            x = linear(x, proj["fc1_w"], proj.get("fc1_b"))
+            x = jax.nn.gelu(
+                x.astype(jnp.float32), approximate=False
+            ).astype(x.dtype)
+            out = linear(x, proj["fc2_w"], proj.get("fc2_b"))
+            return np.asarray(out, dtype=np.float32)
         from .vision import llava_project
 
-        out = llava_project(
-            self.params["projector"], feats[None], cfg.projector_act
-        )[0]
+        out = llava_project(proj, feats[None], cfg.projector_act)[0]
         return np.asarray(out, dtype=np.float32)
 
     def image_token_rows(self, grid_h: int, grid_w: int) -> List[int]:
