@@ -281,6 +281,19 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = Idefics3ImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") == "llava_next":
+                # LLaVA-NeXT (1.6): anyres tiled CLIP + image_newline
+                from ..models.llava_next import LlavaNextVLM
+                from ..multimodal_processor import (
+                    LlavaNextImageProcessor,
+                )
+
+                logger.info("loading multimodal checkpoint (LLaVA-NeXT)")
+                self.vlm = LlavaNextVLM(self.model_path).load()
+                self.vlm_kind = "llava_next"
+                self.image_processor = (
+                    LlavaNextImageProcessor.from_pretrained(self.model_path)
+                )
             elif raw_cfg.get("model_type") == "deepseek_vl":
                 # DeepSeek-VL: SigLIP tower + 2-layer GELU aligner on
                 # the shared LLaVA-style path; pad-to-square preprocess
@@ -899,6 +912,10 @@ class BatchedEngine(BaseEngine):
             return self._make_pixtral_request(
                 token_ids, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "llava_next":
+            return self._make_llava_next_request(
+                token_ids, media, request_id, **kwargs
+            )
         if getattr(self, "vlm_kind", "llava") == "qwen2_audio":
             return self._make_qwen2_audio_request(
                 token_ids, media, request_id, **kwargs
@@ -994,6 +1011,50 @@ class BatchedEngine(BaseEngine):
         req.embeds_mask = mask
         req.is_multimodal = True
         req.bidir_spans = runs
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_llava_next_request(
+        self,
+        token_ids: List[int],
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """LLaVA-NeXT: per-image anyres tiling (vision cache holds the
+        PACKED features per content hash) — the single <image>
+        placeholder expands to the variable packed row count."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                tiles, grid, orig = self.image_processor(load_image(im))
+                cached = self.vlm.encode_anyres(tiles, grid, orig)
+                self.vision_cache.put(key, cached)
+            features.append(cached)
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(
+            token_ids, features
+        )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )

@@ -148,6 +148,89 @@ class ImageProcessor:
         return np.stack([self(load_image(im)) for im in images])
 
 
+class LlavaNextImageProcessor:
+    """LLaVA-NeXT anyres preprocessing (HF
+    image_processing_llava_next.py): pick the best grid resolution from
+    ``image_grid_pinpoints``, aspect-fit resize + zero-pad there,
+    divide into CLIP-size tiles, and prepend the square-resized
+    original as the base tile. Returns (tiles [1+n, 3, S, S],
+    (num_patch_h, num_patch_w), (orig_h, orig_w))."""
+
+    def __init__(
+        self,
+        image_size: int = 336,
+        grid_pinpoints: Optional[List[List[int]]] = None,
+        mean: Tuple[float, ...] = CLIP_MEAN,
+        std: Tuple[float, ...] = CLIP_STD,
+    ) -> None:
+        self.image_size = image_size
+        self.grid_pinpoints = grid_pinpoints or [
+            [336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008],
+        ]
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "LlavaNextImageProcessor":
+        kw: Dict[str, Any] = {}
+        path = os.path.join(model_path, "preprocessor_config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict):
+                kw["image_size"] = size.get(
+                    "shortest_edge", size.get("height", 336)
+                )
+            if cfg.get("image_grid_pinpoints"):
+                kw["grid_pinpoints"] = cfg["image_grid_pinpoints"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+        cfg_path = os.path.join(model_path, "config.json")
+        if "grid_pinpoints" not in kw and os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                mc = json.load(f)
+            if mc.get("image_grid_pinpoints"):
+                kw["grid_pinpoints"] = mc["image_grid_pinpoints"]
+        return cls(**kw)
+
+    def _norm(self, image) -> np.ndarray:
+        arr = np.asarray(image, np.float32) / 255.0
+        return (arr.transpose(2, 0, 1) - self.mean) / self.std
+
+    def __call__(self, image):
+        import math
+
+        from PIL import Image
+
+        from .models.llava_next import (
+            patch_output_size,
+            select_best_resolution,
+        )
+
+        s = self.image_size
+        ow, oh = image.size
+        th, tw = select_best_resolution((oh, ow), self.grid_pinpoints)
+        nh, nw = patch_output_size(oh, ow, th, tw)
+        resized = image.resize((nw, nh), Image.BICUBIC)
+        canvas = Image.new("RGB", (tw, th), (0, 0, 0))
+        canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
+        nph, npw = th // s, tw // s
+        tiles = [self._norm(image.resize((s, s), Image.BICUBIC))]
+        for r in range(nph):
+            for c in range(npw):
+                tiles.append(
+                    self._norm(
+                        canvas.crop(
+                            (c * s, r * s, (c + 1) * s, (r + 1) * s)
+                        )
+                    )
+                )
+        return np.stack(tiles), (nph, npw), (oh, ow)
+
+
 class DeepseekVLImageProcessor:
     """DeepSeek-VL preprocessing (HF image_processing_deepseek_vl.py):
     aspect-preserving long-edge resize (min side 14, BICUBIC), CENTER
