@@ -281,6 +281,17 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = Idefics3ImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") == "internvl":
+                # InternVL 3: BEiT-style tower + pixel-shuffle connector
+                from ..models.internvl import InternVLModel
+                from ..multimodal_processor import InternVLImageProcessor
+
+                logger.info("loading multimodal checkpoint (InternVL)")
+                self.vlm = InternVLModel(self.model_path).load()
+                self.vlm_kind = "internvl"
+                self.image_processor = (
+                    InternVLImageProcessor.from_pretrained(self.model_path)
+                )
             elif raw_cfg.get("model_type") == "llava_next":
                 # LLaVA-NeXT (1.6): anyres tiled CLIP + image_newline
                 from ..models.llava_next import LlavaNextVLM
@@ -894,6 +905,10 @@ class BatchedEngine(BaseEngine):
             return self._make_idefics3_request(
                 prompt, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "internvl":
+            return self._make_internvl_request(
+                prompt, media, request_id, **kwargs
+            )
         token_ids = self._tokenizer.encode(prompt)
         if getattr(self, "vlm_kind", "llava") in (
             "qwen_vl", "qwen3_vl", "glm4v",
@@ -1011,6 +1026,73 @@ class BatchedEngine(BaseEngine):
         req.embeds_mask = mask
         req.is_multimodal = True
         req.bidir_spans = runs
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_internvl_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """InternVL: tile each image (vision cache holds the flattened
+        tile features), expand each <image> placeholder to
+        <img> + IMG_CONTEXT * rows + </img> (HF
+        InternVLProcessor._insert_media_placeholders)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                tiles = self.image_processor(load_image(im))
+                cached = self.vlm.encode_tiles(tiles)
+                self.vision_cache.put(key, cached)
+            features.append(cached)
+        ctx_tok = self._tokenizer.convert_ids_to_tokens(
+            self.vlm.image_token_id
+        )
+        img_open = (
+            "<img>"
+            if self._tokenizer.convert_tokens_to_ids("<img>") is not None
+            and self._tokenizer.convert_tokens_to_ids("<img>") >= 0
+            else ""
+        )
+        img_close = "</img>" if img_open else ""
+        parts = prompt.split("<image>")
+        if len(parts) - 1 != len(features):
+            raise ValueError(
+                f"prompt has {len(parts) - 1} <image> placeholders for "
+                f"{len(features)} images"
+            )
+        out = []
+        for i, part in enumerate(parts[:-1]):
+            out.append(part)
+            out.append(
+                img_open + ctx_tok * features[i].shape[0] + img_close
+            )
+        out.append(parts[-1])
+        ids = self._tokenizer.encode("".join(out))
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )

@@ -148,6 +148,79 @@ class ImageProcessor:
         return np.stack([self(load_image(im)) for im in images])
 
 
+class InternVLImageProcessor:
+    """InternVL tiling (HF GotOcr2ImageProcessor.crop_image_to_patches):
+    aspect-closest (cols x rows) canvas within [min, max] tiles, resize
+    BICUBIC, crop row-major, append a thumbnail when tiled; imagenet
+    normalize. Returns tiles [N, 3, S, S]."""
+
+    def __init__(
+        self,
+        image_size: int = 448,
+        min_patches: int = 1,
+        max_patches: int = 12,
+        mean: Tuple[float, ...] = (0.485, 0.456, 0.406),
+        std: Tuple[float, ...] = (0.229, 0.224, 0.225),
+        use_thumbnail: bool = True,
+    ) -> None:
+        self.image_size = image_size
+        self.min_patches = min_patches
+        self.max_patches = max_patches
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+        self.use_thumbnail = use_thumbnail
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "InternVLImageProcessor":
+        kw: Dict[str, Any] = {}
+        path = os.path.join(model_path, "preprocessor_config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict):
+                kw["image_size"] = size.get("height", 448)
+            if cfg.get("min_patches"):
+                kw["min_patches"] = cfg["min_patches"]
+            if cfg.get("max_patches"):
+                kw["max_patches"] = cfg["max_patches"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+            if "use_thumbnail" in cfg:
+                kw["use_thumbnail"] = cfg["use_thumbnail"]
+        return cls(**kw)
+
+    def _norm(self, image) -> np.ndarray:
+        arr = np.asarray(image, np.float32) / 255.0
+        return (arr.transpose(2, 0, 1) - self.mean) / self.std
+
+    def __call__(self, image) -> np.ndarray:
+        from PIL import Image
+        from transformers.models.got_ocr2.image_processing_got_ocr2 import (
+            get_optimal_tiled_canvas,
+        )
+
+        s = self.image_size
+        w, h = image.size
+        cols, rows = get_optimal_tiled_canvas(
+            (h, w), (s, s), self.min_patches, self.max_patches
+        )
+        resized = image.resize((cols * s, rows * s), Image.BICUBIC)
+        tiles = []
+        for i in range(cols * rows):
+            c, r = i % cols, i // cols
+            tiles.append(
+                self._norm(
+                    resized.crop((c * s, r * s, (c + 1) * s, (r + 1) * s))
+                )
+            )
+        if self.use_thumbnail and len(tiles) != 1:
+            tiles.append(self._norm(image.resize((s, s), Image.BICUBIC)))
+        return np.stack(tiles)
+
+
 class LlavaNextImageProcessor:
     """LLaVA-NeXT anyres preprocessing (HF
     image_processing_llava_next.py): pick the best grid resolution from
