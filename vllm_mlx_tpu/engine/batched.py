@@ -292,6 +292,18 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = (
                     InternVLImageProcessor.from_pretrained(self.model_path)
                 )
+            elif raw_cfg.get("model_type") == "aya_vision":
+                # Aya Vision: SigLIP + pixel-shuffle SwiGLU adapter on
+                # a Command-R text stack
+                from ..models.aya_vision import AyaVisionModel
+                from ..multimodal_processor import InternVLImageProcessor
+
+                logger.info("loading multimodal checkpoint (Aya Vision)")
+                self.vlm = AyaVisionModel(self.model_path).load()
+                self.vlm_kind = "aya_vision"
+                self.image_processor = (
+                    InternVLImageProcessor.from_pretrained(self.model_path)
+                )
             elif raw_cfg.get("model_type") == "llava_next":
                 # LLaVA-NeXT (1.6): anyres tiled CLIP + image_newline
                 from ..models.llava_next import LlavaNextVLM
@@ -909,6 +921,10 @@ class BatchedEngine(BaseEngine):
             return self._make_internvl_request(
                 prompt, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "aya_vision":
+            return self._make_aya_vision_request(
+                prompt, media, request_id, **kwargs
+            )
         token_ids = self._tokenizer.encode(prompt)
         if getattr(self, "vlm_kind", "llava") in (
             "qwen_vl", "qwen3_vl", "glm4v",
@@ -1096,6 +1112,73 @@ class BatchedEngine(BaseEngine):
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )
+        return req
+
+    def _make_aya_vision_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Aya Vision: GotOcr2 tiling; each <image> placeholder becomes
+        the structured START_OF_IMG / TILE_i / IMG_PATCH / TILE_GLOBAL /
+        END_OF_IMG string (HF _prompt_split_image)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                tiles = self.image_processor(load_image(im))
+                cached = self.vlm.encode_tiles(tiles)
+                self.vision_cache.put(key, cached)
+            features.append(cached)
+        parts = prompt.split("<image>")
+        if len(parts) - 1 != len(features):
+            raise ValueError(
+                f"prompt has {len(parts) - 1} <image> placeholders for "
+                f"{len(features)} images"
+            )
+        out = []
+        for i, part in enumerate(parts[:-1]):
+            out.append(part)
+            out.append(
+                self.vlm.image_prompt_string(
+                    features[i].shape[0], features[i].shape[1]
+                )
+            )
+        out.append(parts[-1])
+        ids = self._tokenizer.encode("".join(out))
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        import numpy as _np
+
+        img_rows = _np.flatnonzero(mask)
+        spans = []
+        r = 0
+        for key, feats in zip(keys, features):
+            cnt = feats.shape[0] * feats.shape[1]
+            rows_i = img_rows[r : r + cnt]
+            r += cnt
+            if len(rows_i):
+                spans.append((int(rows_i[0]), int(rows_i[-1]) + 1, key))
+        req.media_spans = spans or None
         return req
 
     def _make_llava_next_request(
