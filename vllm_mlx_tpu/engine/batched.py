@@ -390,6 +390,25 @@ class BatchedEngine(BaseEngine):
                     self.image_processor.patch_size = (
                         self.vlm.cfg.vision.patch_size * merge
                     )
+            elif raw_cfg.get("model_type") in (
+                "mllama",  # cross-attention vision (decoder x-attends)
+                "idefics",  # v1 perceiver resampler
+                "llava_onevision",
+                "gemma3n",
+                "qwen2_5_omni",
+            ):
+                # architectures with serving semantics this engine does
+                # not implement yet — fail loud rather than mis-serving
+                # through the generic LLaVA path
+                raise NotImplementedError(
+                    f"multimodal architecture "
+                    f"'{raw_cfg.get('model_type')}' is not supported; "
+                    "supported VLM families: llava, llava_next, "
+                    "qwen2_vl, qwen2_5_vl, qwen3_vl(_moe), gemma3, "
+                    "paligemma, pixtral, mistral3, idefics3/smolvlm, "
+                    "deepseek_vl, glm4v(_moe), internvl, aya_vision, "
+                    "qwen2_audio"
+                )
             else:
                 from ..models.mllm import MultimodalLM
                 from ..multimodal_processor import ImageProcessor
