@@ -304,15 +304,27 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = (
                     InternVLImageProcessor.from_pretrained(self.model_path)
                 )
-            elif raw_cfg.get("model_type") == "llava_next":
-                # LLaVA-NeXT (1.6): anyres tiled CLIP + image_newline
-                from ..models.llava_next import LlavaNextVLM
+            elif raw_cfg.get("model_type") in (
+                "llava_next", "llava_onevision",
+            ):
+                # LLaVA-NeXT (1.6) / OneVision: anyres tiles +
+                # image_newline packing (OneVision adds the
+                # anyres_max_N bilinear token cap)
+                from ..models.llava_next import (
+                    LlavaNextVLM,
+                    LlavaOnevisionVLM,
+                )
                 from ..multimodal_processor import (
                     LlavaNextImageProcessor,
                 )
 
-                logger.info("loading multimodal checkpoint (LLaVA-NeXT)")
-                self.vlm = LlavaNextVLM(self.model_path).load()
+                ov = raw_cfg["model_type"] == "llava_onevision"
+                logger.info(
+                    "loading multimodal checkpoint (%s)",
+                    "LLaVA-OneVision" if ov else "LLaVA-NeXT",
+                )
+                cls_ = LlavaOnevisionVLM if ov else LlavaNextVLM
+                self.vlm = cls_(self.model_path).load()
                 self.vlm_kind = "llava_next"
                 self.image_processor = (
                     LlavaNextImageProcessor.from_pretrained(self.model_path)
@@ -393,7 +405,6 @@ class BatchedEngine(BaseEngine):
             elif raw_cfg.get("model_type") in (
                 "mllama",  # cross-attention vision (decoder x-attends)
                 "idefics",  # v1 perceiver resampler
-                "llava_onevision",
                 "gemma3n",
                 "qwen2_5_omni",
             ):
@@ -403,7 +414,7 @@ class BatchedEngine(BaseEngine):
                 raise NotImplementedError(
                     f"multimodal architecture "
                     f"'{raw_cfg.get('model_type')}' is not supported; "
-                    "supported VLM families: llava, llava_next, "
+                    "supported VLM families: llava, llava_next, llava_onevision, "
                     "qwen2_vl, qwen2_5_vl, qwen3_vl(_moe), gemma3, "
                     "paligemma, pixtral, mistral3, idefics3/smolvlm, "
                     "deepseek_vl, glm4v(_moe), internvl, aya_vision, "

@@ -84,6 +84,31 @@ def unpad_bounds(
     return 0, grid_h, pad, grid_w - pad
 
 
+def _torch_bilinear_resize(
+    x: np.ndarray, out_h: int, out_w: int
+) -> np.ndarray:
+    """[H, W, C] -> [out_h, out_w, C], torch F.interpolate(mode=
+    'bilinear', align_corners=False) semantics (half-pixel centers,
+    edge-clamped)."""
+    def axis(src, dst):
+        pos = (np.arange(dst) + 0.5) * (src / dst) - 0.5
+        base = np.floor(pos).astype(np.int64)
+        frac = pos - base
+        i0 = np.clip(base, 0, src - 1)
+        i1 = np.clip(base + 1, 0, src - 1)
+        return i0, i1, frac.astype(np.float64)
+
+    r0, r1, rf = axis(x.shape[0], out_h)
+    c0, c1, cf = axis(x.shape[1], out_w)
+    xf = x.astype(np.float64)
+    rows = xf[r0] * (1 - rf)[:, None, None] + xf[r1] * rf[:, None, None]
+    out = (
+        rows[:, c0] * (1 - cf)[None, :, None]
+        + rows[:, c1] * cf[None, :, None]
+    )
+    return out.astype(np.float32)
+
+
 class LlavaNextVLM(MultimodalLM):
     """LLaVA-NeXT for the unified serving engine: per-tile LLaVA encode
     + anyres packing with the learned image_newline row."""
@@ -152,3 +177,49 @@ class LlavaNextVLM(MultimodalLM):
         """Tiles -> packed features [n_rows, H_lm] f32."""
         feats = self.encode_images(tiles)  # [n, side*side, H]
         return self.pack_features(feats, grid, orig_size)
+
+
+class LlavaOnevisionVLM(LlavaNextVLM):
+    """LLaVA-OneVision: the LLaVA-NeXT anyres path with a SigLIP tower
+    (feature layer -1, strategy full) and an ``anyres_max_N`` cap — the
+    unpadded spatial grid is BILINEARLY downscaled (torch half-pixel
+    semantics) when it exceeds N base-tile areas by >10% (HF
+    modeling_llava_onevision.pack_image_features)."""
+
+    def __init__(self, model_path: str, dtype: Optional[str] = None) -> None:
+        super().__init__(model_path, dtype)
+        with open(os.path.join(model_path, "config.json")) as f:
+            raw = json.load(f)
+        ar = raw.get("vision_aspect_ratio", "anyres_max_9")
+        self.max_num_patches = int(str(ar).replace("anyres_max_", ""))
+
+    def pack_features(
+        self,
+        tile_features: np.ndarray,
+        grid: Tuple[int, int],
+        orig_size: Tuple[int, int],
+    ) -> np.ndarray:
+        side = self.side
+        h_lm = tile_features.shape[-1]
+        base = tile_features[0]
+        nph, npw = grid
+        spatial = tile_features[1:].reshape(nph, npw, side, side, h_lm)
+        spatial = spatial.transpose(0, 2, 1, 3, 4).reshape(
+            nph * side, npw * side, h_lm
+        )
+        r0, r1, c0, c1 = unpad_bounds(
+            nph * side, npw * side, orig_size[0], orig_size[1]
+        )
+        spatial = spatial[r0:r1, c0:c1]
+        ch, cw = spatial.shape[:2]
+        ratio = math.sqrt(ch * cw / (self.max_num_patches * side**2))
+        if ratio > 1.1:
+            spatial = _torch_bilinear_resize(
+                spatial, int(ch // ratio), int(cw // ratio)
+            )
+        rows = spatial.shape[0]
+        nl = np.broadcast_to(
+            self._image_newline[None, None, :], (rows, 1, h_lm)
+        )
+        spatial = np.concatenate([spatial, nl], axis=1).reshape(-1, h_lm)
+        return np.concatenate([base, spatial], axis=0)
