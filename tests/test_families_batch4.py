@@ -126,3 +126,54 @@ class TestFlexOlmo:
 
     def test_served_greedy_identity(self, tmp_path, rng):
         _serve(self._model(), tmp_path, rng)
+
+
+class TestCohere2:
+    """Cohere2 / Command R7B (HF Cohere2ForCausalLM): Cohere parallel
+    block + sliding/full interleave where FULL layers are NoPE."""
+
+    def _model(self):
+        from transformers import Cohere2Config, Cohere2ForCausalLM
+
+        torch.manual_seed(54)
+        cfg = Cohere2Config(
+            vocab_size=100, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=4, num_attention_heads=4,
+            num_key_value_heads=2, sliding_window=8,
+            sliding_window_pattern=2, logit_scale=0.25,
+            max_position_embeddings=512, attn_implementation="eager",
+        )
+        return Cohere2ForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, _ = _assert_parity(self._model(), tmp_path, token_ids)
+        assert cfg.nope_full_layers and cfg.parallel_residual
+        assert cfg.layer_types[:2] == [
+            "sliding_attention", "full_attention",
+        ]
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        _serve(self._model(), tmp_path, rng)
+
+
+class TestHelium:
+    """Helium (Kyutai, HF HeliumForCausalLM): llama-shaped stack — the
+    default config mapping must serve it as-is."""
+
+    def _model(self):
+        from transformers import HeliumConfig, HeliumForCausalLM
+
+        torch.manual_seed(55)
+        cfg = HeliumConfig(
+            vocab_size=100, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=512, attn_implementation="eager",
+        )
+        return HeliumForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        _assert_parity(self._model(), tmp_path, token_ids)
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        _serve(self._model(), tmp_path, rng)

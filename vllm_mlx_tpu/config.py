@@ -671,12 +671,17 @@ class ModelConfig:
                     cfg.get("partial_rotary_factor", 0.5)
                 ),
             )
-        if model_type == "cohere":
+        if model_type in ("cohere", "cohere2"):
             # Cohere Command-R (HF CohereForCausalLM): parallel residual,
             # mean-centered bias-free LayerNorm, INTERLEAVED rotary
             # (adjacent pairs share an angle — the GLM-4 map at full
             # width), logits scaled by logit_scale, tied embeddings;
-            # optional per-head qk LayerNorm ([heads, head_dim] weights)
+            # optional per-head qk LayerNorm ([heads, head_dim] weights).
+            # Cohere2 (Command R7B) adds sliding/full layer interleave
+            # where FULL layers are NoPE (rope only on sliding layers —
+            # the EXAONE4 mechanism; layer_types come in generically)
+            if model_type == "cohere2":
+                kw["nope_full_layers"] = True
             kw.update(
                 norm_type="layernorm_nobias",
                 parallel_residual=True,
