@@ -194,7 +194,22 @@ def test_internvl_engine_matches_hf(tiny_internvl, rng):
                     max_new_tokens=6,
                 )
             theirs = hf[0].numpy().tolist()[len(ids):]
-            assert out.token_ids[: len(theirs)] == theirs
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy
+
+            def hf_logits_at(gen_prefix):
+                seq = ids + gen_prefix
+                return model(
+                    input_ids=torch.tensor([seq]),
+                    attention_mask=torch.ones(
+                        (1, len(seq)), dtype=torch.long
+                    ),
+                    pixel_values=torch.tensor(tiles.astype(np.float32)),
+                ).logits[0, -1]
+
+            assert_tied_greedy(out.token_ids, theirs, hf_logits_at)
         finally:
             await engine.stop()
 

@@ -1,0 +1,30 @@
+# SPDX-License-Identifier: Apache-2.0
+"""Shared helper for VLM served-greedy identity tests: accept a
+divergence from HF generate ONLY where HF's own top-2 logit margin at
+the first mismatch is a near-tie (tiny random-weight models produce
+ties that legitimately flip under fp32 reassociation — same policy as
+the LLM parity harness in test_new_families.py)."""
+
+import numpy as np
+import torch
+
+
+def assert_tied_greedy(got, ref, hf_logits_at, margin_tol=1e-2):
+    """``hf_logits_at(gen_prefix)`` -> HF next-token logits [V] given
+    the generated prefix appended to the full multimodal prompt."""
+    got = list(got)[: len(ref)]
+    if got == list(ref):
+        return
+    i = next(
+        (j for j, (a, b) in enumerate(zip(got, ref)) if a != b),
+        min(len(got), len(ref)),
+    )
+    with torch.no_grad():
+        logits = hf_logits_at(list(ref)[:i]).float()
+    top2 = torch.topk(logits, 2).values
+    margin = float(top2[0] - top2[1])
+    assert margin < margin_tol, (
+        f"served greedy diverged from HF at generated token {i} "
+        f"({got[i] if i < len(got) else '?'} vs {ref[i]}) with a "
+        f"DECISIVE HF margin {margin}"
+    )
