@@ -177,3 +177,80 @@ class TestHelium:
 
     def test_served_greedy_identity(self, tmp_path, rng):
         _serve(self._model(), tmp_path, rng)
+
+
+class TestPhiMoe:
+    """PhiMoE / Phi-3.5-MoE (HF PhimoeForCausalLM): LayerNorm norms,
+    mixtral expert layout with SPARSEMIXER top-2 routing, biased
+    lm_head."""
+
+    def _model(self):
+        from transformers import PhimoeConfig, PhimoeForCausalLM
+
+        torch.manual_seed(56)
+        cfg = PhimoeConfig(
+            vocab_size=100, hidden_size=64, intermediate_size=96,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, num_local_experts=4,
+            num_experts_per_tok=2, router_jitter_noise=0.01,
+            input_jitter_noise=0.0,
+            max_position_embeddings=512, attn_implementation="eager",
+        )
+        return PhimoeForCausalLM(cfg).eval()
+
+    def test_logits_parity(self, tmp_path, token_ids):
+        path, cfg, params = _assert_parity(
+            self._model(), tmp_path, token_ids
+        )
+        assert cfg.moe_style == "phimoe"
+        assert cfg.norm_type == "layernorm"
+        assert "moe" in params["layers"][0]
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        _serve(self._model(), tmp_path, rng)
+
+
+class TestPhi3LongRope:
+    """Phi-3 with longrope scaling: original_max=8 < prompt length, so
+    BOTH sides run the long factor set with the sqrt attention factor
+    (HF's dynamic switch selects long for the whole forward once the
+    sequence exceeds original_max)."""
+
+    def _model(self):
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        torch.manual_seed(57)
+        cfg = Phi3Config(
+            vocab_size=100, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=256,
+            original_max_position_embeddings=8,
+            pad_token_id=0,
+            rope_scaling={
+                "type": "longrope",
+                "short_factor": [1.0] * 8,
+                "long_factor": [1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0, 4.5],
+            },
+            attn_implementation="eager",
+        )
+        return Phi3ForCausalLM(cfg).eval()
+
+    def test_logits_parity_long_mode(self, tmp_path, rng):
+        # prompt longer than original_max: HF switches to long factors
+        path, cfg, _ = _assert_parity(
+            self._model(), tmp_path, rng.integers(4, 90, size=24).tolist()
+        )
+        rs = cfg.rope_scaling
+        assert rs["max_position_embeddings"] == 256
+        assert rs["original_max_position_embeddings"] == 8
+
+    def test_served_greedy_identity(self, tmp_path, rng):
+        model = self._model()
+        path, cfg, params = _assert_parity(
+            model, tmp_path, rng.integers(4, 90, size=24).tolist()
+        )
+        _assert_served_greedy(
+            model, path, cfg, params,
+            {"a": rng.integers(4, 90, size=21).tolist()},
+        )

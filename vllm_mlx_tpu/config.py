@@ -98,6 +98,9 @@ class ModelConfig:
     moe_topk_method: str = "greedy"  # | "group_limited_greedy" | "noaux_tc"
     # ERNIE MoE renorm clamp floor (HF moe_norm_min)
     moe_norm_min: float = 1e-12
+    # PhiMoE sparsemixer: sparsity threshold (HF router_jitter_noise;
+    # jitter itself is training-only)
+    router_jitter_eps: float = 0.01
     # GPT-OSS: learned per-q-head attention sink logits join the softmax
     has_sinks: bool = False
     # DeepSeek multi-head latent attention geometry (None = MHA/GQA).
@@ -460,18 +463,41 @@ class ModelConfig:
                 rope_glm=True,
                 sandwich_norms=True,  # post_self_attn/post_mlp norms
             )
-        if model_type == "phi3":
+        if model_type in ("phi3", "phimoe"):
             # Phi-3 (HF Phi3ForCausalLM): llama-shaped with fused
-            # qkv/gate_up projections (loader splits); longrope scaling
-            # is not implemented (serve the 4k-context variants)
+            # qkv/gate_up projections (loader splits). PhiMoE
+            # (Phi-3.5-MoE): LayerNorm (weight+bias) norms, mixtral
+            # expert layout with SPARSEMIXER top-2 routing, biased
+            # lm_head. Both use longrope scaling on the 128k variants:
+            # inject the max lengths so ops/layers picks the factor set
+            # statically (one self-consistent set per served context).
             rs_p = cfg.get("rope_scaling") or {}
             if rs_p.get("rope_type", rs_p.get("type")) == "longrope":
-                import logging as _logging
-
-                _logging.getLogger(__name__).warning(
-                    "phi3 longrope scaling not implemented; positions "
-                    "beyond original_max_position_embeddings will be "
-                    "wrong"
+                rs_p = dict(rs_p)
+                rs_p.setdefault(
+                    "max_position_embeddings",
+                    cfg.get("max_position_embeddings", 4096),
+                )
+                rs_p.setdefault(
+                    "original_max_position_embeddings",
+                    cfg.get(
+                        "original_max_position_embeddings",
+                        rs_p["max_position_embeddings"],
+                    ),
+                )
+                kw["rope_scaling"] = rs_p
+            if model_type == "phimoe":
+                kw.update(
+                    norm_type="layernorm",
+                    rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+                    attention_bias=cfg.get("attention_bias", False),
+                    num_experts=cfg.get("num_local_experts", 16),
+                    num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+                    moe_intermediate_size=cfg.get("intermediate_size", 0),
+                    moe_style="phimoe",
+                    router_jitter_eps=float(
+                        cfg.get("router_jitter_noise", 0.01)
+                    ),
                 )
         if model_type == "lfm2":
             # Liquid LFM2 (HF Lfm2ForCausalLM): gated short-conv layers

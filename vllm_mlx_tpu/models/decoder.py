@@ -473,6 +473,43 @@ def moe_mlp_deepseek(
     return _routed_swiglu(p, x, topk_p, topk_i, e)
 
 
+def moe_mlp_phimoe(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """PhiMoE sparsemixer routing at inference (HF modeling_phimoe
+    ``sparsemixer``, jitter/training branches elided): expert 1 =
+    argmax; its weight = softmax over the gates that survive the
+    sparsity mask ((max - s) / max(|s|, max) <= 2 * jitter_eps);
+    expert 2 repeats the procedure with expert 1 masked to -inf."""
+    e = cfg.num_experts
+    eps2 = 2.0 * cfg.router_jitter_eps
+    logits = linear(x, p["router"]).astype(jnp.float32)
+
+    def pick(scores):
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        factor = jnp.maximum(jnp.abs(logits), m)  # ORIGINAL |scores|
+        masked = jnp.where((m - scores) / factor > eps2, -jnp.inf, scores)
+        gates = jax.nn.softmax(masked, axis=-1)
+        idx = jnp.argmax(scores, axis=-1)
+        w = jnp.take_along_axis(gates, idx[:, None], axis=-1)[:, 0]
+        return idx, w
+
+    e1, w1 = pick(logits)
+    masked2 = jnp.where(
+        jax.nn.one_hot(e1, e, dtype=bool), -jnp.inf, logits
+    )
+    e2, w2 = pick(masked2)
+    k = 2
+    if moe_top_k is not None and moe_top_k < 2:
+        k = 1
+    topk_i = jnp.stack([e1, e2], axis=-1)[:, :k]
+    topk_p = jnp.stack([w1, w2], axis=-1)[:, :k]
+    return _routed_swiglu(p, x, topk_p, topk_i, e)
+
+
 def _mlp_block(
     cfg: ModelConfig,
     layer_idx: int,
@@ -487,6 +524,8 @@ def _mlp_block(
             out = moe_mlp_granite(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style == "ernie":
             out = moe_mlp_ernie(cfg, p["moe"], x, moe_top_k)
+        elif cfg.moe_style == "phimoe":
+            out = moe_mlp_phimoe(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style.startswith("deepseek"):
             out = moe_mlp_deepseek(cfg, p["moe"], x, moe_top_k)
         else:

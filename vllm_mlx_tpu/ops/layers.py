@@ -121,6 +121,43 @@ def _rope_inv_freq(
             )
         elif rope_type == "linear":
             inv_freq = inv_freq / rope_scaling["factor"]
+        elif rope_type == "longrope":
+            # Phi-3/Phi-3.5(-MoE) su-scaled rope (HF
+            # _compute_longrope_parameters): per-frequency
+            # short/long extension factors + a sqrt attention factor.
+            # HF switches factor sets DYNAMICALLY when the sequence
+            # crosses original_max (leaving earlier cached K rotated
+            # with the other set); serving picks ONE set at load from
+            # the configured max_position_embeddings — self-consistent
+            # across the whole KV cache (config.py injects the two max
+            # lengths into rope_scaling).
+            original = int(
+                rope_scaling.get("original_max_position_embeddings")
+                or rope_scaling.get("max_position_embeddings")
+                or 4096
+            )
+            max_pos = int(
+                rope_scaling.get("max_position_embeddings") or original
+            )
+            factor = max_pos / original
+            attn = rope_scaling.get("attention_factor")
+            if attn is None:
+                attn = (
+                    1.0
+                    if factor <= 1.0
+                    else math.sqrt(1 + math.log(factor) / math.log(original))
+                )
+            attention_factor = float(attn)
+            ext = (
+                rope_scaling["long_factor"]
+                if max_pos > original
+                else rope_scaling["short_factor"]
+            )
+            inv_freq = 1.0 / (
+                np.asarray(ext, np.float64)
+                * rope_theta
+                ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+            )
         # "default"/None and unknown types: plain RoPE
     return inv_freq.astype(np.float32), float(attention_factor)
 
