@@ -169,6 +169,10 @@ class ModelConfig:
     # LFM2 gated short conv: layer_types entries "short_conv" use the
     # K-tap FIR mixer; conv_cfg = {"kernel": K} (models/short_conv.py)
     conv_cfg: Optional[Dict[str, Any]] = None
+    # RecurrentGemma (Griffin): layer_types entries "rg_lru" use the
+    # gated linear recurrence mixer; rglru_cfg holds its geometry
+    # (models/rg_lru.py)
+    rglru_cfg: Optional[Dict[str, Any]] = None
     # Qwen3-Next full-attention layers: q_proj emits [query | gate] per
     # head and the attention output is gated by sigmoid(gate) before
     # o_proj (HF Qwen3NextAttention.forward)
@@ -205,6 +209,7 @@ class ModelConfig:
             self.mamba_cfg is not None
             or self.gdn_cfg is not None
             or self.conv_cfg is not None
+            or self.rglru_cfg is not None
             or (
                 self.layer_types is not None
                 and "linear_attention" in self.layer_types
@@ -404,6 +409,56 @@ class ModelConfig:
                     norm_eps=cfg.get("rms_norm_eps", 1e-5),
                     time_step_limit=(0.0, float("inf")),
                     chunk_size=cfg.get("mamba_chunk_size", 256),
+                ),
+            )
+        if model_type == "recurrent_gemma":
+            # RecurrentGemma / Griffin (HF RecurrentGemmaForCausalLM):
+            # block_types tiles ['recurrent','recurrent','attention']
+            # across the depth; attention layers are MQA with an
+            # attention_window_size sliding window and partial (0.5)
+            # rotary; recurrent layers are RG-LRU (models/rg_lru.py).
+            # NOTE: HF's prefill mask is pure causal (the window only
+            # binds at decode via its rotating cache, so HF prefill and
+            # decode disagree for prompts longer than the window); we
+            # apply the window uniformly — the paper's semantics, and
+            # identical to HF whenever prompt_len <= window.
+            # Embeds scale by sqrt(H) ROUNDED TO BF16 (HF stores the
+            # normalizer as a bfloat16 tensor), (1+w) RMSNorm, gated
+            # gelu-tanh MLP with biases on intermediate_size // 2 (HF
+            # RecurrentGemmaMlp halves it), logits softcap 30.
+            import ml_dtypes  # jax dependency: bf16 rounding only
+            import numpy as _np
+
+            n_layers = cfg.get("num_hidden_layers", 26)
+            hidden = cfg.get("hidden_size", 2560)
+            bt = cfg.get(
+                "block_types", ["recurrent", "recurrent", "attention"]
+            )
+            kw.update(
+                layer_types=[
+                    "sliding_attention"
+                    if bt[i % len(bt)] == "attention"
+                    else "rg_lru"
+                    for i in range(n_layers)
+                ],
+                sliding_window=cfg.get("attention_window_size", 2048),
+                head_dim=cfg.get("head_dim", 256),
+                intermediate_size=cfg.get("intermediate_size", 7680) // 2,
+                hidden_act="gelu_pytorch_tanh",
+                partial_rotary_factor=float(
+                    cfg.get("partial_rotary_factor", 0.5)
+                ),
+                embed_scale=float(
+                    _np.asarray(float(hidden) ** 0.5, ml_dtypes.bfloat16)
+                ),
+                rms_add_one=True,
+                mlp_bias=True,
+                final_softcap=cfg.get("logits_soft_cap", 30.0),
+                tie_word_embeddings=cfg.get("tie_word_embeddings", True),
+                rglru_cfg=dict(
+                    lru_width=cfg.get("lru_width") or hidden,
+                    num_blocks=cfg.get("num_attention_heads", 10),
+                    conv_kernel=cfg.get("conv1d_width", 4),
                 ),
             )
         if model_type == "gemma":

@@ -255,7 +255,8 @@ class ModelRunner:
         return sum(
             1
             for lt in self.cfg.layer_types
-            if lt not in ("mamba", "linear_attention", "gdn", "short_conv")
+            if lt
+            not in ("mamba", "linear_attention", "gdn", "short_conv", "rg_lru")
         )
 
     def _init_state(self) -> RunnerState:
@@ -290,6 +291,15 @@ class ModelRunner:
                         init_conv_states(
                             c.hidden_size,
                             c.conv_cfg["kernel"],
+                            self.max_num_seqs,
+                        )
+                    )
+                elif lt == "rg_lru":
+                    from ..models import rg_lru
+
+                    ssm_states.append(
+                        rg_lru.init_mixer_states(
+                            rg_lru.RgLruConfig(**c.rglru_cfg),
                             self.max_num_seqs,
                         )
                     )

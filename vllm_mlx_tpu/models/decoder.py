@@ -681,6 +681,7 @@ def _stack(
             "linear_attention",
             "gdn",
             "short_conv",
+            "rg_lru",
         ):
             # recurrent mixer block (Mamba SSD / lightning linear
             # attention / gated DeltaNet): the caller's ssm_fn owns
@@ -888,7 +889,7 @@ def unified_forward(
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
     # kv pool index per layer (hybrid models pool only attention layers)
-    _REC = ("mamba", "linear_attention", "gdn", "short_conv")
+    _REC = ("mamba", "linear_attention", "gdn", "short_conv", "rg_lru")
     if cfg.layer_types is not None and any(
         lt in _REC for lt in cfg.layer_types
     ):
@@ -966,6 +967,15 @@ def unified_forward(
                 kk = cfg.conv_cfg["kernel"]
                 p = layer_p["short_conv"]
                 fn = lambda x, v, c, s: conv_sequence(p, kk, x, v, c, s)
+            elif cfg.layer_types[i] == "rg_lru":
+                # spec-verify segments are always past position 0, so
+                # no reset (pos0) handling is needed here
+                from .rg_lru import RgLruConfig
+                from .rg_lru import mixer_sequence as rg_sequence
+
+                rcx = RgLruConfig(**cfg.rglru_cfg)
+                p = layer_p["rg_lru"]
+                fn = lambda x, v, c, s: rg_sequence(p, rcx, x, v, c, s)
             else:
                 mcx, mod = mixer_api(cfg)
                 p = layer_p["mamba"]
@@ -1069,6 +1079,27 @@ def unified_forward(
                 return _mixer_serving(
                     lambda x, a, c, s: conv_step(p, kk, x, a, c, s),
                     lambda x, v, c, s: conv_sequence(p, kk, x, v, c, s),
+                    h, m,
+                )
+            if cfg.layer_types[i] == "rg_lru":
+                from .rg_lru import RgLruConfig
+                from .rg_lru import mixer_sequence as rg_sequence
+                from .rg_lru import mixer_step as rg_step
+
+                rcx = RgLruConfig(**cfg.rglru_cfg)
+                p = layer_p["rg_lru"]
+                # HF reset: rows at absolute position 0 use gamma
+                # multiplier 1 and drop the carried state. _mixer_serving
+                # front-rolls the prefilling sequence's rows by d0, so
+                # the pos0 mask rolls identically; decode rows are never
+                # at position 0 (prompts have >= 1 token)
+                pvec = positions[0] if positions.ndim > 1 else positions
+                pos0_roll = jnp.roll(pvec == 0, -d0, axis=0)
+                return _mixer_serving(
+                    lambda x, a, c, s: rg_step(p, rcx, x, a, c, s),
+                    lambda x, v, c, s: rg_sequence(
+                        p, rcx, x, v, c, s, pos0=pos0_roll
+                    ),
                     h, m,
                 )
             p = layer_p["mamba"]
@@ -1248,6 +1279,19 @@ def dense_forward(
                     layer_p["short_conv"], kk, h, None,
                     jnp.zeros((cfg.hidden_size, kk), h.dtype),
                     jnp.zeros((1, 1), jnp.float32),
+                )
+                return y
+            if cfg.layer_types[i] == "rg_lru":
+                from .rg_lru import RgLruConfig
+                from .rg_lru import mixer_sequence as rg_sequence
+
+                rcx = RgLruConfig(**cfg.rglru_cfg)
+                pvec = positions[0] if positions.ndim > 1 else positions
+                y, _, _ = rg_sequence(
+                    layer_p["rg_lru"], rcx, h, None,
+                    jnp.zeros((rcx.lru_width, rcx.conv_kernel), h.dtype),
+                    jnp.zeros((rcx.lru_width,), jnp.float32),
+                    pos0=pvec == 0,
                 )
                 return y
             c0, s0 = (

@@ -122,6 +122,33 @@ def _gpt2_style_rename(name: str) -> str:
     return name
 
 
+def _rg_rename(name: str) -> str:
+    """RecurrentGemma (Griffin) names onto the standard scheme (applied
+    after _strip). Attention temporal blocks carry {q,k,v,o}_proj and
+    map straight to self_attn; recurrent temporal blocks (linear_x/y/
+    out, conv_1d, rg_lru.*) map to a dedicated ``rg.`` prefix the
+    parser assembles into the layer's rg_lru mixer dict."""
+    if name == "final_norm.weight":
+        return "norm.weight"
+    if not name.startswith("layers."):
+        return name
+    pre, _, rest = name.partition(".")
+    idx, _, rest = rest.partition(".")
+    if rest.startswith("temporal_pre_norm."):
+        rest = "input_layernorm." + rest.split(".", 1)[1]
+    elif rest.startswith("channel_pre_norm."):
+        rest = "post_attention_layernorm." + rest.split(".", 1)[1]
+    elif rest.startswith("mlp_block."):
+        rest = "mlp." + rest.split(".", 1)[1]
+    elif rest.startswith("temporal_block."):
+        sub = rest.split(".", 1)[1]
+        if sub.split(".", 1)[0] in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            rest = "self_attn." + sub
+        else:
+            rest = "rg." + sub
+    return f"{pre}.{idx}.{rest}"
+
+
 def _strip(name: str) -> str:
     for prefix in (
         "model.language_model.",  # Qwen-VL (new transformers layout)
@@ -215,6 +242,37 @@ def _parse_layer_tensor(
                 sc[key] = put(t)
             elif key is not None:
                 sc[key] = jnp.asarray(t).astype(jnp.float32)
+    elif rest.startswith("rg."):
+        # RecurrentGemma RG-LRU mixer (models/rg_lru.py). Matmul
+        # weights cast to jdt; conv taps, gates and the recurrence
+        # parameter stay float32 (decay-sensitive)
+        sub = rest[3:]
+        rd = ld.setdefault("rg_lru", {})
+        t = np.asarray(tensor)
+        jdt_keys = {
+            "linear_x.weight": "x_w",
+            "linear_x.bias": "x_b",
+            "linear_y.weight": "y_w",
+            "linear_y.bias": "y_b",
+            "linear_out.weight": "out_w",
+            "linear_out.bias": "out_b",
+        }
+        f32_keys = {
+            "conv_1d.bias": "conv_b",
+            "rg_lru.recurrent_param": "a_param",
+            "rg_lru.input_gate_weight": "ig_w",
+            "rg_lru.input_gate_bias": "ig_b",
+            "rg_lru.recurrent_gate_weight": "rg_w",
+            "rg_lru.recurrent_gate_bias": "rg_b",
+        }
+        if sub == "conv_1d.weight":  # [d, 1, K] -> [d, K]
+            rd["conv_w"] = jnp.asarray(
+                t.reshape(t.shape[0], t.shape[-1])
+            ).astype(jnp.float32)
+        elif sub in jdt_keys:
+            rd[jdt_keys[sub]] = put(t)
+        elif sub in f32_keys:
+            rd[f32_keys[sub]] = jnp.asarray(t).astype(jnp.float32)
     elif rest.startswith(("mixer.", "mamba.")):
         # Mamba2 SSD mixer (kept float32: states/decays are
         # precision-sensitive; matmul weights cast to jdt)
@@ -572,6 +630,8 @@ def load_params(
                 tensor = np.ascontiguousarray(np.asarray(tensor).T)
         elif cfg.model_type == "gpt_neox":
             n = _neox_rename(n)
+        elif cfg.model_type == "recurrent_gemma":
+            n = _rg_rename(n)
         if n in ("embed_tokens.weight", "embeddings.weight"):
             params["embed_tokens"] = put(tensor)
         elif n == "pos_embed.weight":

@@ -22,11 +22,17 @@ chunked-prefill + decode interleave, reference scheduler.py:189-696).
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+# geometries the pallas kernels rejected at trace time (warn once each)
+_KERNEL_FALLBACK_WARNED: set = set()
 
 # Pallas kernel tiling (VERDICT r2 weak #1: was hardcoded 4/32). The
 # defaults are the v5e-safe choice under the 16 MB VMEM limit
@@ -249,14 +255,87 @@ def ragged_attention(
     ):
         from .decode_attention_pallas import decode_paged_attention
 
-        return decode_paged_attention(
-            q, pages, kv_lens, page_indices, scale,
-            k_scale=k_scale, v_scale=v_scale,
-        )
+        try:
+            return decode_paged_attention(
+                q, pages, kv_lens, page_indices, scale,
+                k_scale=k_scale, v_scale=v_scale,
+            )
+        except Exception:  # noqa: BLE001 — trace-time geometry reject
+            pass  # _ragged_attention_local warns + falls back itself
     return _ragged_attention_local(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
         sliding_window, softcap, k_scale, v_scale, sinks=sinks,
         bidir_lo=bidir_lo, bidir_hi=bidir_hi,
+    )
+
+
+def _ragged_attention_pallas(
+    q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
+    sliding_window, softcap, k_scale, v_scale, *, sinks=None,
+    bidir_lo=None, bidir_hi=None,
+) -> jax.Array:
+    """Dispatch to the right pallas kernel (bidir-span fork, sink fork,
+    or upstream ragged_paged_attention)."""
+    if bidir_lo is not None:
+        # bidirectional-span fork (Gemma3/PaliGemma image spans);
+        # sinks never combine with spans (no such architecture)
+        from .ragged_bidir_kernel import ragged_paged_attention_bidir
+
+        return ragged_paged_attention_bidir(
+            q,
+            pages,
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
+            bidir_lo,
+            bidir_hi,
+            sm_scale=scale,
+            sliding_window=sliding_window,
+            soft_cap=softcap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            num_kv_pages_per_block=_BLOCK_CFG["num_kv_pages_per_block"],
+            num_queries_per_block=_BLOCK_CFG["num_queries_per_block"],
+        )
+    if sinks is not None:
+        # sink-aware fork of the pallas kernel (ops/ragged_sink_kernel)
+        from .ragged_sink_kernel import ragged_paged_attention_sinks
+
+        return ragged_paged_attention_sinks(
+            q,
+            pages,
+            kv_lens,
+            page_indices,
+            cu_q_lens,
+            num_seqs,
+            sinks,
+            sm_scale=scale,
+            sliding_window=sliding_window,
+            soft_cap=softcap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            num_kv_pages_per_block=_BLOCK_CFG["num_kv_pages_per_block"],
+            num_queries_per_block=_BLOCK_CFG["num_queries_per_block"],
+        )
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ragged_paged_attention,
+    )
+
+    return ragged_paged_attention(
+        q,
+        pages,
+        kv_lens,
+        page_indices,
+        cu_q_lens,
+        num_seqs,
+        sm_scale=scale,
+        sliding_window=sliding_window,
+        soft_cap=softcap,
+        k_scale=k_scale,
+        v_scale=v_scale,
+        num_kv_pages_per_block=_BLOCK_CFG["num_kv_pages_per_block"],
+        num_queries_per_block=_BLOCK_CFG["num_queries_per_block"],
     )
 
 
@@ -281,75 +360,29 @@ def _ragged_attention_local(
     if _ABLATE["dummy_attention"]:
         return _dummy_pallas_attention(q)
     if jax.default_backend() == "tpu":
-        if bidir_lo is not None:
-            # bidirectional-span fork (Gemma3/PaliGemma image spans);
-            # sinks never combine with spans (no such architecture)
-            from .ragged_bidir_kernel import ragged_paged_attention_bidir
-
-            return ragged_paged_attention_bidir(
-                q,
-                pages,
-                kv_lens,
-                page_indices,
-                cu_q_lens,
-                num_seqs,
-                bidir_lo,
-                bidir_hi,
-                sm_scale=scale,
-                sliding_window=sliding_window,
-                soft_cap=softcap,
-                k_scale=k_scale,
-                v_scale=v_scale,
-                num_kv_pages_per_block=_BLOCK_CFG[
-                    "num_kv_pages_per_block"
-                ],
-                num_queries_per_block=_BLOCK_CFG[
-                    "num_queries_per_block"
-                ],
+        try:
+            return _ragged_attention_pallas(
+                q, pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+                scale, sliding_window, softcap, k_scale, v_scale,
+                sinks=sinks, bidir_lo=bidir_lo, bidir_hi=bidir_hi,
             )
-        if sinks is not None:
-            # sink-aware fork of the pallas kernel (ops/ragged_sink_kernel)
-            from .ragged_sink_kernel import ragged_paged_attention_sinks
-
-            return ragged_paged_attention_sinks(
-                q,
-                pages,
-                kv_lens,
-                page_indices,
-                cu_q_lens,
-                num_seqs,
-                sinks,
-                sm_scale=scale,
-                sliding_window=sliding_window,
-                soft_cap=softcap,
-                k_scale=k_scale,
-                v_scale=v_scale,
-                num_kv_pages_per_block=_BLOCK_CFG[
-                    "num_kv_pages_per_block"
-                ],
-                num_queries_per_block=_BLOCK_CFG[
-                    "num_queries_per_block"
-                ],
-            )
-        from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
-            ragged_paged_attention,
-        )
-
-        return ragged_paged_attention(
-            q,
-            pages,
-            kv_lens,
-            page_indices,
-            cu_q_lens,
-            num_seqs,
-            sm_scale=scale,
-            sliding_window=sliding_window,
-            soft_cap=softcap,
-            k_scale=k_scale,
-            v_scale=v_scale,
-            num_kv_pages_per_block=_BLOCK_CFG["num_kv_pages_per_block"],
-            num_queries_per_block=_BLOCK_CFG["num_queries_per_block"],
-        )
+        except Exception as e:  # noqa: BLE001 — trace-time kernel reject
+            # The pallas kernels assume serving-scale head geometry
+            # (lane-aligned head_dim, packable kv heads). Models the
+            # kernel can't trace (tiny test checkpoints, odd head
+            # dims) fall back to the XLA reference path instead of
+            # failing the whole server — trace-time only, so steady
+            # state pays nothing.
+            key = (q.shape[1:], pages.shape[2:])
+            if key not in _KERNEL_FALLBACK_WARNED:
+                _KERNEL_FALLBACK_WARNED.add(key)
+                logger.warning(
+                    "pallas ragged attention rejected geometry "
+                    "q_heads=%d head_dim=%d kv_heads=%d (%s); using the "
+                    "XLA reference attention path",
+                    q.shape[1], q.shape[2], pages.shape[2] // 2,
+                    type(e).__name__,
+                )
     return ragged_attention_xla(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
         sliding_window, softcap, k_scale, v_scale, sinks=sinks,
