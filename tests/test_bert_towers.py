@@ -173,3 +173,110 @@ def test_rerank_engine(bert_dir_with_tokenizer):
         results[0]["relevance_score"] >= results[1]["relevance_score"]
     )
     assert "document" in results[0]
+
+
+def test_modernbert_hidden_parity(tmp_path, rng):
+    """ModernBERT (reference models.md embedding table): rotary
+    positions, alternating global/local window attention, GeGLU MLP,
+    bias-free norms — hidden-state parity vs HF ModernBertModel with
+    sequences long enough that the local window (8) binds."""
+    from transformers import ModernBertConfig, ModernBertModel
+
+    from vllm_mlx_tpu.models.bert import BertConfig, encode, load_bert_params
+
+    torch.manual_seed(2)
+    cfg_hf = ModernBertConfig(
+        vocab_size=130,
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_attention_heads=2,
+        intermediate_size=48,
+        global_attn_every_n_layers=3,
+        local_attention=8,
+        max_position_embeddings=64,
+        pad_token_id=0,
+        attn_implementation="sdpa",
+        reference_compile=False,
+    )
+    model = ModernBertModel(cfg_hf).eval()
+    d = tmp_path / "modernbert"
+    model.save_pretrained(d, safe_serialization=True)
+    cfg = BertConfig.from_pretrained(str(d))
+    assert cfg.model_type == "modernbert"
+    assert cfg.local_attention == 8
+    params = load_bert_params(str(d), cfg)
+    assert "qkv_w" in params["layers"][1]
+    assert "attn_ln_w" not in params["layers"][0]  # layer-0 Identity
+    ids = rng.integers(1, 130, size=(2, 20))
+    mask = np.ones((2, 20), np.int32)
+    mask[1, 14:] = 0
+    ours = np.asarray(
+        encode(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    with torch.no_grad():
+        theirs = model(
+            torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours[0], theirs[0], atol=3e-4)
+    np.testing.assert_allclose(ours[1, :14], theirs[1, :14], atol=3e-4)
+
+
+def test_modernbert_embedding_engine(tmp_path, rng):
+    """EmbeddingEngine serves ModernBERT checkpoints end-to-end (mean
+    pooling + L2 norm, matching HF masked mean over last_hidden)."""
+    from tokenizers import (
+        Tokenizer, decoders, models, pre_tokenizers, trainers,
+    )
+    from transformers import (
+        ModernBertConfig,
+        ModernBertModel,
+        PreTrainedTokenizerFast,
+    )
+
+    from vllm_mlx_tpu.embedding import EmbeddingEngine
+
+    d = tmp_path / "mb_tok"
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=300,
+        special_tokens=["[PAD]"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+    )
+    tok.train_from_iterator(
+        ["the cat sat on the mat", "dogs chase cats"] * 5, trainer
+    )
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, pad_token="[PAD]")
+    fast.save_pretrained(d)
+    torch.manual_seed(3)
+    cfg = ModernBertConfig(
+        vocab_size=tok.get_vocab_size(),
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=2,
+        intermediate_size=48,
+        global_attn_every_n_layers=3,
+        local_attention=8,
+        pad_token_id=0,
+        attn_implementation="sdpa",
+        reference_compile=False,
+    )
+    model = ModernBertModel(cfg).eval()
+    model.save_pretrained(d, safe_serialization=True)
+
+    eng = EmbeddingEngine(str(d)).load()
+    texts = ["the cat sat on the mat", "dogs chase cats"]
+    vecs = np.asarray(eng.embed(texts))
+    assert vecs.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+    enc = fast(texts, padding=True, return_tensors="pt")
+    with torch.no_grad():
+        hid = model(
+            input_ids=enc["input_ids"],
+            attention_mask=enc["attention_mask"],
+        ).last_hidden_state
+    m = enc["attention_mask"][..., None].float()
+    ref = (hid * m).sum(1) / m.sum(1)
+    ref = torch.nn.functional.normalize(ref, dim=-1).numpy()
+    np.testing.assert_allclose(vecs, ref, atol=3e-4)

@@ -1,10 +1,14 @@
 # SPDX-License-Identifier: Apache-2.0
-"""BERT-family encoder (BERT / RoBERTa / XLM-RoBERTa) in JAX.
+"""BERT-family encoder (BERT / RoBERTa / XLM-RoBERTa / ModernBERT) in
+JAX.
 
 Backs the embedding and rerank towers. The reference hand-writes exactly
 this forward in MLX for its reranker (reference rerank_forward.py:16-253
 classifier_forward/encoder-layer/activations) and delegates embeddings
 to mlx-embeddings; here one batched implementation serves both.
+ModernBERT (reference docs/reference/models.md embeddings table) adds
+rotary positions, alternating global/local symmetric-window attention,
+GeGLU MLPs and bias-free LayerNorms (HF modeling_modernbert.py).
 """
 
 from __future__ import annotations
@@ -35,6 +39,13 @@ class BertConfig:
     hidden_act: str = "gelu"
     pad_token_id: int = 0
     num_labels: int = 1
+    # ModernBERT: every n-th layer attends globally, the rest use a
+    # symmetric |i-j| <= local_attention // 2 window; rope thetas per
+    # layer kind (HF ModernBertAttention.__init__)
+    global_attn_every_n_layers: int = 3
+    local_attention: int = 128
+    global_rope_theta: float = 160000.0
+    local_rope_theta: Optional[float] = 10000.0
 
     @property
     def position_offset(self) -> int:
@@ -56,10 +67,20 @@ class BertConfig:
             intermediate_size=cfg.get("intermediate_size", 3072),
             max_position_embeddings=cfg.get("max_position_embeddings", 512),
             type_vocab_size=cfg.get("type_vocab_size", 2),
-            layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
-            hidden_act=cfg.get("hidden_act", "gelu"),
+            layer_norm_eps=cfg.get(
+                "layer_norm_eps", cfg.get("norm_eps", 1e-12)
+            ),
+            hidden_act=cfg.get(
+                "hidden_activation", cfg.get("hidden_act", "gelu")
+            ),
             pad_token_id=cfg.get("pad_token_id", 0),
             num_labels=len(cfg.get("id2label", {0: ""})) or 1,
+            global_attn_every_n_layers=cfg.get(
+                "global_attn_every_n_layers", 3
+            ),
+            local_attention=cfg.get("local_attention", 128),
+            global_rope_theta=cfg.get("global_rope_theta", 160000.0),
+            local_rope_theta=cfg.get("local_rope_theta", 10000.0),
         )
 
     @classmethod
@@ -92,6 +113,88 @@ def _act(name: str, x):
     raise ValueError(f"unknown activation {name}")
 
 
+def _rope_rotate(x: jax.Array, theta: float) -> jax.Array:
+    """Standard rotate-half rope over the full head_dim, positions
+    0..L-1 (HF ModernBertRotaryEmbedding). x: [B, L, h, hd]."""
+    hd = x.shape[-1]
+    inv = 1.0 / (
+        theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    ang = jnp.arange(x.shape[1], dtype=jnp.float32)[:, None] * inv[None]
+    cos = jnp.cos(ang)[None, :, None, :]  # [1, L, 1, hd/2]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2 :]
+    xf1 = x1.astype(jnp.float32)
+    xf2 = x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _encode_modernbert(
+    params: Params,
+    cfg: BertConfig,
+    input_ids: jax.Array,  # [B, L]
+    attention_mask: jax.Array,  # [B, L] 1=token
+) -> jax.Array:
+    """ModernBERT forward (HF ModernBertModel): rotary positions,
+    layer 0's attn_norm is Identity, global attention on every
+    global_attn_every_n_layers-th layer, symmetric local window
+    otherwise, GeGLU MLP (act(input-half) * gate-half)."""
+    b, l = input_ids.shape
+    emb = params["embeddings"]
+    zero = jnp.zeros((cfg.hidden_size,), jnp.float32)
+    x = jnp.take(emb["word"], input_ids, axis=0)
+    x = _layer_norm(x, emb["ln_w"], zero, cfg.layer_norm_eps)
+
+    h = cfg.num_attention_heads
+    hd = cfg.hidden_size // h
+    scale = hd**-0.5
+    pad_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+    pos = jnp.arange(l)
+    near = (
+        jnp.abs(pos[:, None] - pos[None, :]) <= cfg.local_attention // 2
+    )
+    local_bias = pad_bias + jnp.where(near, 0.0, -1e9)[None, None]
+    for i, p in enumerate(params["layers"]):
+        is_global = i % cfg.global_attn_every_n_layers == 0
+        hin = (
+            x
+            if i == 0
+            else _layer_norm(x, p["attn_ln_w"], zero, cfg.layer_norm_eps)
+        )
+        qkv = linear(hin, p["qkv_w"], None).reshape(b, l, 3, h, hd)
+        theta = (
+            cfg.global_rope_theta
+            if is_global
+            else (cfg.local_rope_theta or cfg.global_rope_theta)
+        )
+        q = _rope_rotate(qkv[:, :, 0], theta)
+        k = _rope_rotate(qkv[:, :, 1], theta)
+        v = qkv[:, :, 2]
+        scores = (
+            jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + (pad_bias if is_global else local_bias)
+        )
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, l, cfg.hidden_size).astype(x.dtype)
+        x = x + linear(ctx, p["o_w"], None)
+        hin = _layer_norm(x, p["ff_ln_w"], zero, cfg.layer_norm_eps)
+        wi = linear(hin, p["ff1_w"], None)
+        inp, gate = jnp.split(wi, 2, axis=-1)
+        x = x + linear(_act(cfg.hidden_act, inp) * gate, p["ff2_w"], None)
+    return _layer_norm(
+        x, params["final_ln_w"], zero, cfg.layer_norm_eps
+    )
+
+
 def encode(
     params: Params,
     cfg: BertConfig,
@@ -100,6 +203,8 @@ def encode(
     token_type_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Returns final hidden states [B, L, H]."""
+    if cfg.model_type == "modernbert":
+        return _encode_modernbert(params, cfg, input_ids, attention_mask)
     b, l = input_ids.shape
     emb = params["embeddings"]
     positions = jnp.arange(l) + cfg.position_offset
@@ -171,7 +276,8 @@ def classify(
 
 
 def load_bert_params(path: str, cfg: BertConfig, dtype=jnp.float32) -> Params:
-    """Map HF bert/roberta/xlm-roberta (+SequenceClassification) weights."""
+    """Map HF bert/roberta/xlm-roberta (+SequenceClassification) or
+    modernbert weights."""
     from .loader import iter_safetensors
 
     layers: list = [dict() for _ in range(cfg.num_hidden_layers)]
@@ -179,6 +285,31 @@ def load_bert_params(path: str, cfg: BertConfig, dtype=jnp.float32) -> Params:
 
     def put(t):
         return jnp.asarray(t).astype(dtype)
+
+    if cfg.model_type == "modernbert":
+        for name, tensor in iter_safetensors(path):
+            n = name[len("model."):] if name.startswith("model.") else name
+            if n == "embeddings.tok_embeddings.weight":
+                params["embeddings"]["word"] = put(tensor)
+            elif n == "embeddings.norm.weight":
+                params["embeddings"]["ln_w"] = put(tensor)
+            elif n == "final_norm.weight":
+                params["final_ln_w"] = put(tensor)
+            elif n.startswith("layers."):
+                parts = n.split(".")
+                i = int(parts[1])
+                rest = ".".join(parts[2:])
+                key = {
+                    "attn_norm.weight": "attn_ln_w",
+                    "attn.Wqkv.weight": "qkv_w",
+                    "attn.Wo.weight": "o_w",
+                    "mlp_norm.weight": "ff_ln_w",
+                    "mlp.Wi.weight": "ff1_w",
+                    "mlp.Wo.weight": "ff2_w",
+                }.get(rest)
+                if key:
+                    layers[i][key] = put(tensor)
+        return params
 
     for name, tensor in iter_safetensors(path):
         n = name
