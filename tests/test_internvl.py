@@ -209,7 +209,9 @@ def test_internvl_engine_matches_hf(tiny_internvl, rng):
                     pixel_values=torch.tensor(tiles.astype(np.float32)),
                 ).logits[0, -1]
 
-            assert_tied_greedy(out.token_ids, theirs, hf_logits_at)
+            assert_tied_greedy(
+                out.token_ids, theirs, hf_logits_at, exclude_ids={CTX}
+            )
         finally:
             await engine.stop()
 

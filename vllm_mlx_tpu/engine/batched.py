@@ -281,6 +281,18 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = Idefics3ImageProcessor.from_pretrained(
                     self.model_path
                 )
+            elif raw_cfg.get("model_type") == "idefics2":
+                # Idefics2: aspect-preserving SigLIP + perceiver
+                # resampler (64 latents per sub-image) over Mistral
+                from ..models.idefics2 import Idefics2VLM
+                from ..multimodal_processor import Idefics2ImageProcessor
+
+                logger.info("loading multimodal checkpoint (Idefics2)")
+                self.vlm = Idefics2VLM(self.model_path).load()
+                self.vlm_kind = "idefics2"
+                self.image_processor = (
+                    Idefics2ImageProcessor.from_pretrained(self.model_path)
+                )
             elif raw_cfg.get("model_type") == "internvl":
                 # InternVL 3: BEiT-style tower + pixel-shuffle connector
                 from ..models.internvl import InternVLModel
@@ -416,7 +428,8 @@ class BatchedEngine(BaseEngine):
                     f"'{raw_cfg.get('model_type')}' is not supported; "
                     "supported VLM families: llava, llava_next, llava_onevision, "
                     "qwen2_vl, qwen2_5_vl, qwen3_vl(_moe), gemma3, "
-                    "paligemma, pixtral, mistral3, idefics3/smolvlm, "
+                    "paligemma, pixtral, mistral3, idefics2, "
+                    "idefics3/smolvlm, "
                     "deepseek_vl, glm4v(_moe), internvl, aya_vision, "
                     "qwen2_audio"
                 )
@@ -947,6 +960,10 @@ class BatchedEngine(BaseEngine):
             return self._make_idefics3_request(
                 prompt, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "idefics2":
+            return self._make_idefics2_request(
+                prompt, media, request_id, **kwargs
+            )
         if getattr(self, "vlm_kind", "llava") == "internvl":
             return self._make_internvl_request(
                 prompt, media, request_id, **kwargs
@@ -1305,6 +1322,64 @@ class BatchedEngine(BaseEngine):
         r = 0
         for key, feats in zip(keys, features):
             cnt = feats.shape[0] * feats.shape[1]
+            rows_i = img_rows[r : r + cnt]
+            r += cnt
+            if len(rows_i):
+                spans.append((int(rows_i[0]), int(rows_i[-1]) + 1, key))
+        req.media_spans = spans or None
+        return req
+
+    def _make_idefics2_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Idefics2: per-image aspect-preserving sub-images (1, or 5
+        with do_image_splitting) each resampled to n_latents soft
+        tokens; <image> placeholders expand to fake-token-wrapped runs
+        with doubled fake tokens collapsed (HF processing_idefics2).
+        Fully causal."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        n_subs: List[int] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                subs = self.image_processor(load_image(im))
+                feats = self.vlm.encode_tiles(subs)
+                cached = (feats, len(subs))
+                self.vision_cache.put(key, cached)
+            features.append(cached[0])
+            n_subs.append(cached[1])
+        expanded = self.vlm.expand_image_tokens(prompt, n_subs)
+        ids = self._tokenizer.encode(expanded)
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        import numpy as _np
+
+        img_rows = _np.flatnonzero(mask)
+        spans = []
+        r = 0
+        for key, feats in zip(keys, features):
+            cnt = feats.shape[0]
             rows_i = img_rows[r : r + cnt]
             r += cnt
             if len(rows_i):

@@ -472,6 +472,83 @@ class Idefics3ImageProcessor:
         return np.stack(tiles), rows, cols
 
 
+class Idefics2ImageProcessor:
+    """Idefics2 preprocessing (HF image_processing_idefics2.py):
+    optional 2x2 split of the ORIGINAL + the original (5 sub-images),
+    then each resized aspect-preserving with longest edge capped at
+    ``longest_edge`` and both dims floored at ``shortest_edge``
+    (get_resize_output_image_size), rescale + normalize. Returns a
+    LIST of [3, H, W] float32 arrays (variable sizes)."""
+
+    def __init__(
+        self,
+        shortest_edge: int = 378,
+        longest_edge: int = 980,
+        mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+        std: Tuple[float, ...] = (0.5, 0.5, 0.5),
+        do_image_splitting: bool = False,
+    ) -> None:
+        self.shortest_edge = shortest_edge
+        self.longest_edge = longest_edge
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+        self.do_image_splitting = do_image_splitting
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "Idefics2ImageProcessor":
+        path = os.path.join(model_path, "preprocessor_config.json")
+        kw: Dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict):
+                if "shortest_edge" in size:
+                    kw["shortest_edge"] = size["shortest_edge"]
+                if "longest_edge" in size:
+                    kw["longest_edge"] = size["longest_edge"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+            kw["do_image_splitting"] = cfg.get("do_image_splitting", False)
+        return cls(**kw)
+
+    def _target(self, w: int, h: int) -> Tuple[int, int]:
+        """HF get_resize_output_image_size (width, height)."""
+        ar = w / h
+        if w >= h and w > self.longest_edge:
+            w = self.longest_edge
+            h = int(w / ar)
+        elif h > w and h > self.longest_edge:
+            h = self.longest_edge
+            w = int(h * ar)
+        return max(w, self.shortest_edge), max(h, self.shortest_edge)
+
+    def _one(self, image) -> np.ndarray:
+        from PIL import Image
+
+        w, h = self._target(*image.size)
+        arr = np.asarray(
+            image.resize((w, h), Image.BILINEAR), np.float32
+        ) / 255.0
+        return (arr.transpose(2, 0, 1) - self.mean) / self.std
+
+    def __call__(self, image) -> List[np.ndarray]:
+        if not self.do_image_splitting:
+            return [self._one(image)]
+        w, h = image.size
+        mw, mh = w // 2, h // 2
+        crops = [
+            image.crop((0, 0, mw, mh)),
+            image.crop((mw, 0, w, mh)),
+            image.crop((0, mh, mw, h)),
+            image.crop((mw, mh, w, h)),
+            image,
+        ]
+        return [self._one(c) for c in crops]
+
+
 class PixtralImageProcessor:
     """Pixtral preprocessing: keep aspect ratio, long edge capped at
     ``longest_edge``, dims rounded UP to patch multiples (HF
