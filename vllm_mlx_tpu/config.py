@@ -49,6 +49,19 @@ class ModelConfig:
     qk_norm_after_rope: bool = False
     # Persimmon: per-head qk LayerNorm with weight AND bias
     qk_norm_layernorm: bool = False
+    # Llama 4: weightless L2 norm (x * rsqrt(mean(x^2) + eps)) on q/k
+    # (HF Llama4TextL2Norm), applied AFTER rope and ONLY on rope layers
+    qk_norm_weightless: bool = False
+    qk_norm_rope_only: bool = False
+    # Llama 4 chunked attention: layer_types "chunked_attention" layers
+    # attend only within aligned position chunks of this size (HF
+    # create_chunked_causal_mask); NoPE layers stay full-causal
+    attn_chunk_size: Optional[int] = None
+    # Llama 4 attention temperature tuning (arXiv 2501.19399): on NoPE
+    # layers q *= log1p(floor((pos+1)/floor)) * scale + 1
+    attn_temp_tuning: bool = False
+    attn_temp_floor: float = 8192.0
+    attn_temp_scale: float = 0.1
     # OLMo/OLMoE/DBRX: clamp q/k/v projections to [-clip, clip]
     clip_qkv: Optional[float] = None
     # OLMo2 block: attention/MLP read the RAW residual stream; norms
@@ -1141,6 +1154,57 @@ class ModelConfig:
                 num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
                 moe_intermediate_size=cfg.get("intermediate_size", 14336),
                 norm_topk_prob=True,
+            )
+        if model_type == "llama4_text":
+            # Llama 4 Scout/Maverick text stack (HF Llama4ForCausalLM,
+            # modeling_llama4.py; reference serves the family via
+            # mlx-lm — docs/reference/models.md "Llama 3.x, 4.x"):
+            # interleaved-pair complex rope (the GLM map at full width),
+            # every-4th-layer NoPE with temperature-tuned queries and
+            # FULL attention, rope layers CHUNKED to
+            # attention_chunk_size, weightless L2 qk-norm after rope on
+            # rope layers only, interleaved dense(intermediate_size_mlp)
+            # / MoE layers where sigmoid router scores scale the expert
+            # INPUTS and an always-on shared expert rides beside
+            n_layers = cfg.get("num_hidden_layers", 48)
+            interval = cfg.get("no_rope_layer_interval", 4)
+            no_rope = cfg.get("no_rope_layers") or [
+                int((i + 1) % interval != 0) for i in range(n_layers)
+            ]
+            moe_layers = cfg.get("moe_layers")
+            if moe_layers is None:
+                step = cfg.get("interleave_moe_layer_step", 1)
+                moe_layers = list(range(step - 1, n_layers, step))
+            kw.update(
+                intermediate_size=cfg.get("intermediate_size_mlp", 16384),
+                nope_layers=[i for i, v in enumerate(no_rope) if not v],
+                layer_types=cfg.get("layer_types")
+                or [
+                    "chunked_attention" if v else "full_attention"
+                    for v in no_rope
+                ],
+                attn_chunk_size=cfg.get("attention_chunk_size", 8192),
+                use_qk_norm=cfg.get("use_qk_norm", True),
+                qk_norm_after_rope=True,
+                qk_norm_weightless=True,
+                qk_norm_rope_only=True,
+                attn_temp_tuning=cfg.get("attn_temperature_tuning", True),
+                attn_temp_floor=float(cfg.get("floor_scale", 8192)),
+                attn_temp_scale=float(cfg.get("attn_scale", 0.1)),
+                rope_glm=True,
+                moe_style="llama4",
+                num_experts=cfg.get("num_local_experts", 16),
+                num_experts_per_tok=cfg.get("num_experts_per_tok", 1),
+                moe_intermediate_size=cfg.get("intermediate_size", 8192),
+                moe_shared_intermediate=cfg.get("intermediate_size", 8192),
+                mlp_only_layers=[
+                    i for i in range(n_layers) if i not in moe_layers
+                ],
+                head_dim=cfg.get(
+                    "head_dim",
+                    cfg.get("hidden_size", 5120)
+                    // cfg.get("num_attention_heads", 40),
+                ),
             )
         if model_type == "gpt_oss":
             # GPT-OSS 20B/120B (HF GptOssForCausalLM): alternating

@@ -65,6 +65,17 @@ def _bnorm(cfg: ModelConfig, x, p: Params, name: str):
     return rms_norm(x, p[name], cfg.rms_norm_eps, cfg.rms_add_one)
 
 
+def _layer_chunk(cfg: ModelConfig, layer_idx: int) -> Optional[int]:
+    """Llama 4 chunked attention: the chunk size for layer_types
+    "chunked_attention" layers (queries attend only within their
+    aligned position chunk), None = causal."""
+    if cfg.attn_chunk_size is None or cfg.layer_types is None:
+        return None
+    if cfg.layer_types[layer_idx] == "chunked_attention":
+        return cfg.attn_chunk_size
+    return None
+
+
 def _layer_window(cfg: ModelConfig, layer_idx: int) -> Optional[int]:
     if cfg.sliding_window is None:
         return None
@@ -252,10 +263,29 @@ def _qkv(
     else:
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    if cfg.use_qk_norm and cfg.qk_norm_after_rope:
-        # Hunyuan: per-head norm AFTER rotary
-        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
-        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+    if (
+        cfg.use_qk_norm
+        and cfg.qk_norm_after_rope
+        and (use_rope or not cfg.qk_norm_rope_only)
+    ):
+        if cfg.qk_norm_weightless:
+            # Llama 4 L2 norm (HF Llama4TextL2Norm): weightless RMS,
+            # rope layers only (NoPE layers skip via qk_norm_rope_only)
+            def _l2(v):
+                vf = v.astype(jnp.float32)
+                return (
+                    vf
+                    * jax.lax.rsqrt(
+                        jnp.mean(vf * vf, axis=-1, keepdims=True)
+                        + cfg.rms_norm_eps
+                    )
+                ).astype(v.dtype)
+
+            q, k = _l2(q), _l2(k)
+        else:
+            # Hunyuan: per-head norm AFTER rotary
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps, cfg.rms_add_one)
     return q, k, v
 
 
@@ -317,6 +347,42 @@ def _routed_swiglu(
     weights = topk_p.reshape(-1)[order].astype(jnp.float32)
     y = y.astype(jnp.float32) * weights[:, None]
     out = jax.ops.segment_sum(y, sorted_token, num_segments=t)
+    return out.astype(x.dtype)
+
+
+def moe_mlp_llama4(
+    cfg: ModelConfig,
+    p: Params,
+    x: jax.Array,
+    moe_top_k: Optional[int] = None,
+) -> jax.Array:
+    """Llama 4 MoE (HF modeling_llama4.py Llama4TextMoe/Llama4Router):
+    top-k on raw router logits, SIGMOID of the selected logits scales
+    the expert INPUTS (not the outputs — the scaling passes through the
+    GLU nonlinearity), experts summed; the shared expert is added by
+    the caller (_mlp_block "shared_mlp")."""
+    t = x.shape[0]
+    e = cfg.num_experts
+    k = cfg.num_experts_per_tok
+    if moe_top_k is not None:
+        k = max(1, min(k, moe_top_k))
+    router_logits = linear(x, p["router"]).astype(jnp.float32)
+    topk_v, topk_i = jax.lax.top_k(router_logits, k)  # raw logits
+    weights = jax.nn.sigmoid(topk_v)  # [T, k]
+    order, _, sorted_token, group_sizes = _sort_by_expert(topk_i, t, k, e)
+    xs = (
+        x[sorted_token].astype(jnp.float32)
+        * weights.reshape(-1)[order][:, None]
+    ).astype(x.dtype)
+    g = jax.lax.ragged_dot(xs, p["gate_w"], group_sizes)
+    u = jax.lax.ragged_dot(xs, p["up_w"], group_sizes)
+    hidden = (
+        jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+    ).astype(x.dtype)
+    y = jax.lax.ragged_dot(hidden, p["down_w"], group_sizes)
+    out = jax.ops.segment_sum(
+        y.astype(jnp.float32), sorted_token, num_segments=t
+    )
     return out.astype(x.dtype)
 
 
@@ -526,6 +592,8 @@ def _mlp_block(
             out = moe_mlp_ernie(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style == "phimoe":
             out = moe_mlp_phimoe(cfg, p["moe"], x, moe_top_k)
+        elif cfg.moe_style == "llama4":
+            out = moe_mlp_llama4(cfg, p["moe"], x, moe_top_k)
         elif cfg.moe_style.startswith("deepseek"):
             out = moe_mlp_deepseek(cfg, p["moe"], x, moe_top_k)
         else:
@@ -720,6 +788,23 @@ def _stack(
             else (cos, sin)
         )
         q, k, v = _qkv(cfg, p, h, c_i, s_i, use_rope=use_rope)
+        if cfg.attn_temp_tuning and not use_rope:
+            # Llama 4 NoPE layers: temperature-tuned queries
+            # (HF Llama4TextAttention.forward, arXiv 2501.19399)
+            pos1 = positions[0] if positions.ndim > 1 else positions
+            t_scales = (
+                jnp.log1p(
+                    jnp.floor(
+                        (pos1.astype(jnp.float32) + 1.0)
+                        / cfg.attn_temp_floor
+                    )
+                )
+                * cfg.attn_temp_scale
+                + 1.0
+            )
+            q = (q.astype(jnp.float32) * t_scales[:, None, None]).astype(
+                q.dtype
+            )
         attn_out, kv_pool = attend(kv_pool, i, q, k, v, p.get("sinks"))
         t = attn_out.shape[0]
         if cfg.mla is not None:
@@ -930,6 +1015,7 @@ def unified_forward(
             decode_only=decode_only,
             bidir_lo=bidir_lo,
             bidir_hi=bidir_hi,
+            chunk_size=_layer_chunk(cfg, i),
         )
         return out, None
 
@@ -1152,7 +1238,7 @@ def prefill(
         pool = att.write_kv(pool, i, k, v, block_table, positions)
         out = att.paged_attention_prefill(
             q, pool, i, block_table, positions, scale, _layer_window(cfg, i),
-            cfg.attn_softcap,
+            cfg.attn_softcap, chunk=_layer_chunk(cfg, i),
         )
         return out, pool
 
@@ -1193,7 +1279,8 @@ def decode(
     def attend(pool, i, q, k, v, sinks=None):
         pool = att.write_kv_batch(pool, i, k, v, block_tables, positions)
         out = att.paged_attention_decode(
-            q, pool, i, block_tables, positions, scale, _layer_window(cfg, i)
+            q, pool, i, block_tables, positions, scale, _layer_window(cfg, i),
+            chunk=_layer_chunk(cfg, i),
         )
         return out, pool
 
@@ -1219,7 +1306,7 @@ def dense_forward(
     def attend(pool, i, q, k, v, sinks=None):
         out = att.dense_causal_attention(
             q, k, v, scale, _layer_window(cfg, i), cfg.attn_softcap,
-            sinks=sinks,
+            sinks=sinks, chunk=_layer_chunk(cfg, i),
         )
         return out, pool
 

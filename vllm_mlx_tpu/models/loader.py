@@ -479,6 +479,22 @@ def _parse_layer_tensor(
             "down_proj_bias": "down_b",
         }[sub]
         ld.setdefault("moe", {})[key] = put(tensor)
+    elif rest in (
+        "feed_forward.experts.gate_up_proj",
+        "feed_forward.experts.down_proj",
+    ):
+        # Llama 4 experts ship pre-stacked in ragged_dot's
+        # [E, contract, out] layout already (HF Llama4TextExperts:
+        # gate_up_proj [E, H, 2I], down_proj [E, I, H]); gate/up are
+        # the HALVES of the fused tensor (torch .chunk(2, dim=-1))
+        moe = ld.setdefault("moe", {})
+        t = np.asarray(tensor)
+        if rest.endswith("gate_up_proj"):
+            inter = t.shape[-1] // 2
+            moe["gate_w"] = put(t[..., :inter])
+            moe["up_w"] = put(t[..., inter:])
+        else:
+            moe["down_w"] = put(t)
     elif rest.startswith(
         (
             "mlp.experts.",
@@ -530,7 +546,12 @@ def _parse_layer_tensor(
     elif rest == "mlp.router.bias":
         ld.setdefault("moe", {})["router_bias"] = put(tensor)
     elif rest.startswith(
-        ("mlp.shared_experts.", "mlp.shared_expert.", "mlp.shared_mlp.")
+        (
+            "mlp.shared_experts.",
+            "mlp.shared_expert.",
+            "mlp.shared_mlp.",
+            "feed_forward.shared_expert.",  # Llama 4
+        )
     ):
         # shared experts: a dense MLP beside the routed experts
         # (DeepSeek plural / Qwen3-Next singular / Hunyuan shared_mlp)

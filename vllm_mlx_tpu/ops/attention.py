@@ -153,6 +153,7 @@ def paged_attention_prefill(
     scale: float,
     window: Optional[int] = None,
     softcap: Optional[float] = None,
+    chunk: Optional[int] = None,
 ) -> jax.Array:
     """Causal attention of a prefill chunk against the sequence's paged KV.
 
@@ -169,6 +170,9 @@ def paged_attention_prefill(
     mask = kv_pos[None, :] <= positions[:, None]
     if window is not None:
         mask &= kv_pos[None, :] > positions[:, None] - window
+    if chunk is not None:
+        # Llama 4 chunked attention: same-aligned-chunk keys only
+        mask &= kv_pos[None, :] >= (positions - positions % chunk)[:, None]
     return _grouped_attention(q, k, v, mask, scale, softcap)
 
 
@@ -180,6 +184,7 @@ def paged_attention_decode(
     positions: jax.Array,  # [S] absolute position of the new token per slot
     scale: float,
     window: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> jax.Array:
     """Batched decode attention over the paged pool.
 
@@ -187,14 +192,14 @@ def paged_attention_decode(
     layers); the gather-based XLA implementation below is the portable
     fallback (CPU tests, sliding-window layers until the kernel grows
     window support)."""
-    if window is None and jax.default_backend() == "tpu":
+    if window is None and chunk is None and jax.default_backend() == "tpu":
         from .paged_attention_pallas import paged_attention_decode_tpu
 
         return paged_attention_decode_tpu(
             q, kv_pool, layer, block_tables, positions + 1, scale
         )
     return _paged_attention_decode_xla(
-        q, kv_pool, layer, block_tables, positions, scale, window
+        q, kv_pool, layer, block_tables, positions, scale, window, chunk
     )
 
 
@@ -206,6 +211,7 @@ def _paged_attention_decode_xla(
     positions: jax.Array,
     scale: float,
     window: Optional[int] = None,
+    chunk: Optional[int] = None,
 ) -> jax.Array:
     """Gather-based decode attention (portable reference path)."""
     k_pool = kv_pool[layer, 0]
@@ -222,6 +228,9 @@ def _paged_attention_decode_xla(
         mask = kv_pos <= pos_i
         if window is not None:
             mask &= kv_pos > pos_i - window
+        if chunk is not None:
+            # Llama 4 chunked attention: same-aligned-chunk keys only
+            mask &= kv_pos >= pos_i - pos_i % chunk
         return _grouped_attention(q_i[None], k, v, mask[None], scale)[0]
 
     return jax.vmap(one_slot)(q, block_tables, positions)
@@ -235,12 +244,16 @@ def dense_causal_attention(
     window: Optional[int] = None,
     softcap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    chunk: Optional[int] = None,
 ) -> jax.Array:
     """Plain causal self-attention (no cache) — used for parity tests and
-    single-shot full-sequence forwards."""
+    single-shot full-sequence forwards. ``chunk`` = Llama 4 chunked
+    attention: keys before the query's aligned chunk start are masked."""
     t = q.shape[0]
     pos = jnp.arange(t)
     mask = pos[None, :] <= pos[:, None]
     if window is not None:
         mask &= pos[None, :] > pos[:, None] - window
+    if chunk is not None:
+        mask &= pos[None, :] >= (pos - pos % chunk)[:, None]
     return _grouped_attention(q, k, v, mask, scale, softcap, sinks=sinks)

@@ -151,8 +151,17 @@ def ragged_attention(
     decode_only: bool = False,
     bidir_lo: Optional[jax.Array] = None,  # [S] i32 bidir span start
     bidir_hi: Optional[jax.Array] = None,  # [S] i32 bidir span end
+    chunk_size: Optional[int] = None,
 ) -> jax.Array:
     """Mixed prefill/decode paged attention.
+
+    ``chunk_size`` = Llama 4 chunked attention (layer_types
+    "chunked_attention"): queries attend only within their aligned
+    position chunk. When the pool's static max context
+    (pages_per_seq * page_size) fits inside one chunk, the chunk mask
+    is unreachable and the causal fast kernels serve unchanged; only
+    beyond that does the layer take the XLA reference path (GSPMD
+    partitions it under TP — it is a plain einsum program).
 
     ``decode_only=True`` asserts the caller's static shape contract:
     row i is slot i's single query token (the zero-upload decode fast
@@ -178,6 +187,17 @@ def ragged_attention(
     token_type_ids or_mask semantics). ``lo >= hi`` = pure causal.
     Caller must guarantee ``hi <= kv_lens[s]`` (the scheduler never
     ends a prefill chunk strictly inside a span)."""
+    if chunk_size is not None:
+        # Static bypass: context can never span two chunks -> the
+        # chunk mask is a no-op and causal kernels are exact
+        if page_indices.shape[1] * pages.shape[1] <= chunk_size:
+            chunk_size = None
+        else:
+            return _ragged_attention_local(
+                q, pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+                scale, sliding_window, softcap, k_scale, v_scale,
+                sinks=sinks, chunk_size=chunk_size,
+            )
     if bidir_lo is not None and mesh is not None and "tp" in mesh.axis_names:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
@@ -354,12 +374,13 @@ def _ragged_attention_local(
     sinks: Optional[jax.Array] = None,
     bidir_lo: Optional[jax.Array] = None,
     bidir_hi: Optional[jax.Array] = None,
+    chunk_size: Optional[int] = None,
 ) -> jax.Array:
     if _ABLATE["skip_attention"]:
         return jnp.zeros_like(q)
     if _ABLATE["dummy_attention"]:
         return _dummy_pallas_attention(q)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and chunk_size is None:
         try:
             return _ragged_attention_pallas(
                 q, pages, kv_lens, page_indices, cu_q_lens, num_seqs,
@@ -386,7 +407,7 @@ def _ragged_attention_local(
     return ragged_attention_xla(
         q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale,
         sliding_window, softcap, k_scale, v_scale, sinks=sinks,
-        bidir_lo=bidir_lo, bidir_hi=bidir_hi,
+        bidir_lo=bidir_lo, bidir_hi=bidir_hi, chunk_size=chunk_size,
     )
 
 
@@ -405,6 +426,7 @@ def ragged_attention_xla(
     sinks: Optional[jax.Array] = None,
     bidir_lo: Optional[jax.Array] = None,
     bidir_hi: Optional[jax.Array] = None,
+    chunk_size: Optional[int] = None,
 ) -> jax.Array:
     """Masked reference implementation (any backend, O(T * max_ctx))."""
     t, num_q_heads, hd = q.shape
@@ -451,6 +473,10 @@ def ragged_attention_xla(
     )
     if sliding_window is not None:
         mask &= kv_pos[None, :] > q_pos[:, None] - sliding_window
+    if chunk_size is not None:
+        # Llama 4 chunked attention: keys before the query's aligned
+        # chunk start are masked (HF create_chunked_causal_mask)
+        mask &= kv_pos[None, :] >= (q_pos - q_pos % chunk_size)[:, None]
     if bidir_lo is not None:
         # bidirectional span un-mask (Gemma3/PaliGemma; see the kernel
         # fork's module docstring for the mask semantics + contract)
