@@ -59,7 +59,7 @@ _MLLM_MODEL_TYPES = {
     "qwen2_vl", "qwen2_5_vl", "qwen3_vl", "qwen3_vl_moe", "llava",
     "llava_next", "idefics", "idefics2", "idefics3", "smolvlm", "gemma3",
     "paligemma", "internvl", "pixtral", "mllama", "qwen2_audio",
-    "deepseek_vl", "glm4v", "glm4v_moe", "mistral3", "aya_vision", "llava_onevision",
+    "deepseek_vl", "glm4v", "glm4v_moe", "mistral3", "aya_vision", "llava_onevision", "llama4",
 }
 
 

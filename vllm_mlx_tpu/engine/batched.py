@@ -316,6 +316,20 @@ class BatchedEngine(BaseEngine):
                 self.image_processor = (
                     InternVLImageProcessor.from_pretrained(self.model_path)
                 )
+            elif raw_cfg.get("model_type") == "llama4":
+                # Llama 4 Scout/Maverick multimodal: unfold-embed ViT
+                # with 2-D complex rope + pixel-shuffle MLP2 adapter on
+                # the llama4_text stack (chunked attention + NoPE
+                # temperature tuning served natively)
+                from ..models.llama4_mm import Llama4VLM
+                from ..multimodal_processor import Llama4ImageProcessor
+
+                logger.info("loading multimodal checkpoint (Llama 4)")
+                self.vlm = Llama4VLM(self.model_path).load()
+                self.vlm_kind = "llama4"
+                self.image_processor = (
+                    Llama4ImageProcessor.from_pretrained(self.model_path)
+                )
             elif raw_cfg.get("model_type") in (
                 "llava_next", "llava_onevision",
             ):
@@ -431,7 +445,7 @@ class BatchedEngine(BaseEngine):
                     "paligemma, pixtral, mistral3, idefics2, "
                     "idefics3/smolvlm, "
                     "deepseek_vl, glm4v(_moe), internvl, aya_vision, "
-                    "qwen2_audio"
+                    "llama4, qwen2_audio"
                 )
             else:
                 from ..models.mllm import MultimodalLM
@@ -972,6 +986,10 @@ class BatchedEngine(BaseEngine):
             return self._make_aya_vision_request(
                 prompt, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "llama4":
+            return self._make_llama4_request(
+                prompt, media, request_id, **kwargs
+            )
         token_ids = self._tokenizer.encode(prompt)
         if getattr(self, "vlm_kind", "llava") in (
             "qwen_vl", "qwen3_vl", "glm4v",
@@ -1207,6 +1225,72 @@ class BatchedEngine(BaseEngine):
                     features[i].shape[0], features[i].shape[1]
                 )
             )
+        out.append(parts[-1])
+        ids = self._tokenizer.encode("".join(out))
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        import numpy as _np
+
+        img_rows = _np.flatnonzero(mask)
+        spans = []
+        r = 0
+        for key, feats in zip(keys, features):
+            cnt = feats.shape[0] * feats.shape[1]
+            rows_i = img_rows[r : r + cnt]
+            r += cnt
+            if len(rows_i):
+                spans.append((int(rows_i[0]), int(rows_i[-1]) + 1, key))
+        req.media_spans = spans or None
+        return req
+
+    def _make_llama4_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Llama 4: best-fit tiling + global tile; each <image>
+        placeholder becomes the structured <|image_start|> / local
+        <|patch|> runs with tile separators / <|image|> + global run /
+        <|image_end|> string (HF Llama4Processor._prompt_split_image)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        features: List[Any] = []
+        ratios: List[Any] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                tiles, ratio = self.image_processor(load_image(im))
+                cached = (self.vlm.encode_tiles(tiles), ratio)
+                self.vision_cache.put(key, cached)
+            features.append(cached[0])
+            ratios.append(cached[1])
+        parts = prompt.split("<image>")
+        if len(parts) - 1 != len(features):
+            raise ValueError(
+                f"prompt has {len(parts) - 1} <image> placeholders for "
+                f"{len(features)} images"
+            )
+        out = []
+        for i, part in enumerate(parts[:-1]):
+            out.append(part)
+            out.append(self.vlm.image_prompt_string(ratios[i]))
         out.append(parts[-1])
         ids = self._tokenizer.encode("".join(out))
         ids, embeds, mask = self.vlm.build_multimodal_prompt(ids, features)

@@ -549,6 +549,102 @@ class Idefics2ImageProcessor:
         return [self._one(c) for c in crops]
 
 
+class Llama4ImageProcessor:
+    """Llama 4 tiling (HF Llama4ImageProcessorFast._preprocess):
+    best-fit canvas from all (h_tiles x w_tiles) factorizations with
+    h*w <= max_patches (smallest upscaling factor if any >= 1 — capped
+    at one tile side — else least downscaling; ties broken by minimum
+    area), aspect-preserving BILINEAR resize, zero-pad to the canvas,
+    normalize (mean/std 0.5), split row-major; a GLOBAL tile (whole
+    image resized to one tile) is appended when tiled. Returns
+    (tiles [N, 3, S, S], (ratio_h, ratio_w))."""
+
+    def __init__(
+        self,
+        image_size: int = 336,
+        max_patches: int = 16,
+        mean: Tuple[float, ...] = (0.5, 0.5, 0.5),
+        std: Tuple[float, ...] = (0.5, 0.5, 0.5),
+    ) -> None:
+        self.image_size = image_size
+        self.max_patches = max_patches
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "Llama4ImageProcessor":
+        kw: Dict[str, Any] = {}
+        path = os.path.join(model_path, "preprocessor_config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict) and size.get("height"):
+                kw["image_size"] = size["height"]
+            if cfg.get("max_patches"):
+                kw["max_patches"] = cfg["max_patches"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+        return cls(**kw)
+
+    def _possible_resolutions(self) -> List[Tuple[int, int]]:
+        s = self.image_size
+        out = []
+        for chunks in range(self.max_patches, 0, -1):
+            for f in range(1, chunks + 1):
+                if chunks % f == 0:
+                    out.append((f * s, (chunks // f) * s))
+        return out
+
+    def _best_fit(self, h: int, w: int) -> Tuple[int, int]:
+        res = self._possible_resolutions()
+        scales = [min(th / h, tw / w) for th, tw in res]
+        ups = [sc for sc in scales if sc >= 1]
+        sel = min(ups) if ups else max(sc for sc in scales if sc < 1)
+        cands = [r for r, sc in zip(res, scales) if sc == sel]
+        return min(cands, key=lambda r: r[0] * r[1])
+
+    def _norm(self, arr: np.ndarray) -> np.ndarray:
+        return (arr.transpose(2, 0, 1) / 255.0 - self.mean) / self.std
+
+    def __call__(self, image) -> Tuple[np.ndarray, Tuple[int, int]]:
+        import math as _math
+
+        from PIL import Image
+
+        s = self.image_size
+        w, h = image.size
+        th, tw = self._best_fit(h, w)
+        # cap upscaling at one tile side (HF max_upscaling_size)
+        th = min(max(h, s), th)
+        tw = min(max(w, s), tw)
+        # aspect-preserving inner size (get_max_res_without_distortion)
+        scale_w, scale_h = tw / w, th / h
+        if scale_w < scale_h:
+            nw, nh = tw, min(_math.floor(h * scale_w), th)
+        else:
+            nh, nw = th, min(_math.floor(w * scale_h), tw)
+        canvas_h, canvas_w = self._best_fit(h, w)
+        resized = image.resize((max(nw, 1), max(nh, 1)), Image.BILINEAR)
+        arr = np.asarray(resized.convert("RGB"), np.float32)
+        padded = np.zeros((canvas_h, canvas_w, 3), np.float32)
+        padded[: arr.shape[0], : arr.shape[1]] = arr
+        norm = self._norm(padded)  # [3, H, W]
+        rh, rw = canvas_h // s, canvas_w // s
+        tiles = (
+            norm.reshape(3, rh, s, rw, s)
+            .transpose(1, 3, 0, 2, 4)
+            .reshape(rh * rw, 3, s, s)
+        )
+        if rh * rw > 1:
+            g = image.convert("RGB").resize((s, s), Image.BILINEAR)
+            gt = self._norm(np.asarray(g, np.float32))[None]
+            tiles = np.concatenate([tiles, gt], axis=0)
+        return tiles.astype(np.float32), (rh, rw)
+
+
 class PixtralImageProcessor:
     """Pixtral preprocessing: keep aspect ratio, long edge capped at
     ``longest_edge``, dims rounded UP to patch multiples (HF
