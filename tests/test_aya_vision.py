@@ -175,9 +175,20 @@ def test_aya_engine_matches_hf(tiny_aya, rng):
                     pixel_values=torch.tensor(tiles.astype(np.float32)),
                     do_sample=False,
                     max_new_tokens=6,
+                    output_scores=True,
+                    return_dict_in_generate=True,
                 )
-            theirs = hf[0].numpy().tolist()[len(ids):]
-            assert out.token_ids[: len(theirs)] == theirs
+            theirs = hf.sequences[0].numpy().tolist()[len(ids):]
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+            img_id = engine._tokenizer.convert_tokens_to_ids("<image>")
+            assert_tied_greedy(
+                out.token_ids, theirs, hf_scores_fn(hf.scores),
+                exclude_ids={img_id},
+            )
         finally:
             await engine.stop()
 

@@ -186,9 +186,19 @@ def test_deepseek_vl_engine_matches_hf(tiny_deepseek_vl, rng):
                     pixel_values=torch.tensor(pix.astype(np.float32)),
                     do_sample=False,
                     max_new_tokens=6,
+                    output_scores=True,
+                    return_dict_in_generate=True,
                 )
-            theirs = hf[0].numpy().tolist()[len(ids):]
-            assert out.token_ids[: len(theirs)] == theirs
+            theirs = hf.sequences[0].numpy().tolist()[len(ids):]
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+            assert_tied_greedy(
+                out.token_ids, theirs, hf_scores_fn(hf.scores),
+                exclude_ids={IMG},
+            )
         finally:
             await engine.stop()
 

@@ -108,6 +108,7 @@ def _hf_greedy(model, ids, pixels, steps):
     the bidirectional image-span mask."""
     seq = list(ids)
     out = []
+    scores = []
     with torch.no_grad():
         for _ in range(steps):
             tt = [1 if t == SOFT else 0 for t in seq]
@@ -119,8 +120,9 @@ def _hf_greedy(model, ids, pixels, steps):
             ).logits
             nxt = int(torch.argmax(logits[0, -1]))
             out.append(nxt)
+            scores.append(logits[:, -1])
             seq.append(nxt)
-    return out
+    return out, scores
 
 
 def test_gemma3_vision_feature_parity(tiny_gemma3, pixels):
@@ -204,8 +206,18 @@ def test_gemma3_engine_matches_hf(tiny_gemma3, rng):
             from PIL import Image
 
             pix = engine.image_processor.batch([Image.fromarray(arr)])
-            theirs = _hf_greedy(model, ids, pix.astype(np.float32), 6)
-            assert out.token_ids[: len(theirs)] == theirs
+            theirs, hf_scores = _hf_greedy(
+                model, ids, pix.astype(np.float32), 6
+            )
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+            assert_tied_greedy(
+                out.token_ids, theirs, hf_scores_fn(hf_scores),
+                exclude_ids={SOFT, BOI, EOI},
+            )
         finally:
             await engine.stop()
 
@@ -330,8 +342,18 @@ def test_gemma3_two_images_one_chunk(tiny_gemma3, rng):
             pix = engine.image_processor.batch(
                 [Image.fromarray(arr1), Image.fromarray(arr2)]
             )
-            theirs = _hf_greedy(model, ids, pix.astype(np.float32), 5)
-            assert out.token_ids[: len(theirs)] == theirs
+            theirs, hf_scores = _hf_greedy(
+                model, ids, pix.astype(np.float32), 5
+            )
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+            assert_tied_greedy(
+                out.token_ids, theirs, hf_scores_fn(hf_scores),
+                exclude_ids={SOFT, BOI, EOI},
+            )
         finally:
             await engine.stop()
 

@@ -156,13 +156,16 @@ def test_glm4v_served_matches_hf(tiny_glm4v, pixels):
     text_prompt = [3, 4, 5, 6, 7]
 
     with torch.no_grad():
-        ref_mm = hf_model.generate(
+        hf_out = hf_model.generate(
             input_ids=torch.tensor([prompt]),
             pixel_values=torch.from_numpy(flat).float(),
             image_grid_thw=torch.tensor(grid),
             max_new_tokens=12,
             do_sample=False,
-        )[0, len(prompt):].tolist()
+            output_scores=True,
+            return_dict_in_generate=True,
+        )
+        ref_mm = hf_out.sequences[0][len(prompt):].tolist()
         ref_txt = hf_model.generate(
             input_ids=torch.tensor([text_prompt]),
             max_new_tokens=12,
@@ -206,5 +209,19 @@ def test_glm4v_served_matches_hf(tiny_glm4v, pixels):
                 outs[out.request_id] = out
         steps += 1
         assert steps < 300
-    assert outs["mm"].output_token_ids == ref_mm
-    assert outs["txt"].output_token_ids == ref_txt
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from vlm_test_utils import (
+        assert_tied_greedy,
+        assert_tied_greedy_text,
+        hf_scores_fn,
+    )
+
+    assert_tied_greedy(
+        outs["mm"].output_token_ids, ref_mm, hf_scores_fn(hf_out.scores),
+        exclude_ids={IMG_TOK},
+    )
+    assert_tied_greedy_text(
+        outs["txt"].output_token_ids, ref_txt, hf_model, text_prompt
+    )

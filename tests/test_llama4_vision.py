@@ -209,9 +209,23 @@ def test_llama4_engine_matches_hf(tiny_llama4_vlm, rng):
                     pixel_values=torch.tensor(tiles.astype(np.float32)),
                     do_sample=False,
                     max_new_tokens=6,
+                    output_scores=True,
+                    return_dict_in_generate=True,
                 )
-            theirs = hf[0].numpy().tolist()[len(ids):]
-            assert out.token_ids[: len(theirs)] == theirs
+            theirs = hf.sequences[0].numpy().tolist()[len(ids):]
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+            img_ids = {
+                engine._tokenizer.convert_tokens_to_ids(t)
+                for t in IMG_SPECIALS
+            }
+            assert_tied_greedy(
+                out.token_ids, theirs, hf_scores_fn(hf.scores),
+                exclude_ids=img_ids,
+            )
         finally:
             await engine.stop()
 

@@ -259,8 +259,15 @@ class TestServed:
                     outs[o.request_id] = o
             steps += 1
             assert steps < 300
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import assert_tied_greedy_text
+
         for rid in prompts:
-            assert outs[rid].output_token_ids == refs[rid], rid
+            assert_tied_greedy_text(
+                outs[rid].output_token_ids, refs[rid], model, prompts[rid]
+            )
 
     def test_mamba1_served_matches_hf_generate(self, tiny_mamba1, rng):
         model, path = tiny_mamba1

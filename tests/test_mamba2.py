@@ -203,8 +203,17 @@ class TestStatefulStep:
                     outs[o.request_id] = o
             steps += 1
             assert steps < 300
-        assert outs["a"].output_token_ids == ref_a
-        assert outs["b"].output_token_ids == ref_b
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import assert_tied_greedy_text
+
+        assert_tied_greedy_text(
+            outs["a"].output_token_ids, ref_a, model, prompt_a
+        )
+        assert_tied_greedy_text(
+            outs["b"].output_token_ids, ref_b, model, prompt_b
+        )
 
     def test_mamba2_served_matches_hf_generate(self, tiny_mamba2, rng):
         """Pure-SSM model (no attention layers at all) end-to-end."""
@@ -243,7 +252,14 @@ class TestStatefulStep:
                     outs[o.request_id] = o
             steps += 1
             assert steps < 200
-        assert outs["m"].output_token_ids == ref
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import assert_tied_greedy_text
+
+        assert_tied_greedy_text(
+            outs["m"].output_token_ids, ref, model, prompt
+        )
 
     def test_padded_rows_are_noops(self, tiny_mamba2, rng):
         from vllm_mlx_tpu.models.mamba2 import (

@@ -111,9 +111,18 @@ def test_multimodal_generate_matches_hf(tiny_llava, pixels, rng):
             pixel_values=torch.tensor(pixels),
             do_sample=False,
             max_new_tokens=6,
+            output_scores=True,
+            return_dict_in_generate=True,
         )
-    theirs = out[0].numpy().tolist()[len(ids):]
-    assert ours == theirs
+    theirs = out.sequences[0].numpy().tolist()[len(ids):]
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+    assert_tied_greedy(
+        ours, theirs, hf_scores_fn(out.scores), exclude_ids={IMG_TOKEN}
+    )
 
 
 @pytest.fixture(scope="module")

@@ -182,7 +182,24 @@ def test_pixtral_engine_matches_hf(tiny_pixtral, rng):
                     max_new_tokens=6,
                 )
             theirs = hf[0].numpy().tolist()[len(ids):]
-            assert out.token_ids[: len(theirs)] == theirs
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_logits_fn
+
+            assert_tied_greedy(
+                out.token_ids,
+                theirs,
+                hf_logits_fn(
+                    model,
+                    ids,
+                    pixel_values=torch.tensor(
+                        pixel[None].astype(np.float32)
+                    ),
+                    image_sizes=torch.tensor([[48, 32]]),
+                ),
+                exclude_ids={IMG, BRK, END},
+            )
         finally:
             await engine.stop()
 
@@ -344,7 +361,24 @@ def test_mistral3_engine_matches_hf(tiny_mistral3, rng):
                     max_new_tokens=6,
                 )
             theirs = hf[0].numpy().tolist()[len(ids):]
-            assert out.token_ids[: len(theirs)] == theirs
+            import sys as _sys
+
+            _sys.path.insert(0, "tests")
+            from vlm_test_utils import assert_tied_greedy, hf_logits_fn
+
+            assert_tied_greedy(
+                out.token_ids,
+                theirs,
+                hf_logits_fn(
+                    model,
+                    ids,
+                    pixel_values=torch.tensor(
+                        pixel[None].astype(np.float32)
+                    ),
+                    image_sizes=torch.tensor([[64, 32]]),
+                ),
+                exclude_ids={IMG, BRK, END},
+            )
         finally:
             await engine.stop()
 

@@ -116,8 +116,10 @@ class TestGenerate:
                 feature_attention_mask=fam,
                 max_new_tokens=8,
                 do_sample=False,
+                output_scores=True,
+                return_dict_in_generate=True,
             )
-        ref = out[0, len(prompt):].tolist()
+        ref = out.sequences[0][len(prompt):].tolist()
 
         cfg = m.text_config
         cfg.dtype = "float32"
@@ -154,7 +156,15 @@ class TestGenerate:
                     outs[o.request_id] = o
             steps += 1
             assert steps < 300
-        assert outs["a"].output_token_ids == ref
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+        assert_tied_greedy(
+            outs["a"].output_token_ids, ref, hf_scores_fn(out.scores),
+            exclude_ids={AUDIO_TOK},
+        )
 
 
 class TestEngine:

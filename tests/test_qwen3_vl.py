@@ -255,14 +255,16 @@ class TestEngine:
         prompt = [1, 2, VSTART] + [IMG_TOK] * n_img + [VSTART + 1, 9, 11]
         text_prompt = [3, 4, 5, 6, 7]
         with torch.no_grad():
-            out = hf_model.generate(
+            hf_out = hf_model.generate(
                 input_ids=torch.tensor([prompt]),
                 pixel_values=torch.from_numpy(flat).float(),
                 image_grid_thw=torch.tensor(grid),
                 max_new_tokens=10,
                 do_sample=False,
+                output_scores=True,
+                return_dict_in_generate=True,
             )
-            ref_mm = out[0, len(prompt):].tolist()
+            ref_mm = hf_out.sequences[0][len(prompt):].tolist()
             ref_txt = hf_model.generate(
                 input_ids=torch.tensor([text_prompt]),
                 max_new_tokens=10,
@@ -319,5 +321,19 @@ class TestEngine:
                     outs[o.request_id] = o
             steps += 1
             assert steps < 300
-        assert outs["mm"].output_token_ids == ref_mm
-        assert outs["txt"].output_token_ids == ref_txt
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import (
+            assert_tied_greedy,
+            assert_tied_greedy_text,
+            hf_scores_fn,
+        )
+
+        assert_tied_greedy(
+            outs["mm"].output_token_ids, ref_mm,
+            hf_scores_fn(hf_out.scores), exclude_ids={IMG_TOK},
+        )
+        assert_tied_greedy_text(
+            outs["txt"].output_token_ids, ref_txt, hf_model, text_prompt
+        )

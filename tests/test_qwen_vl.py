@@ -277,14 +277,16 @@ class TestEngine:
         text_prompt = [3, 4, 5, 6, 7]
 
         with torch.no_grad():
-            out = hf_model.generate(
+            hf_out = hf_model.generate(
                 input_ids=torch.tensor([prompt]),
                 pixel_values=torch.from_numpy(flat).float(),
                 image_grid_thw=torch.tensor(grid),
                 max_new_tokens=12,
                 do_sample=False,
+                output_scores=True,
+                return_dict_in_generate=True,
             )
-            ref_mm = out[0, len(prompt):].tolist()
+            ref_mm = hf_out.sequences[0][len(prompt):].tolist()
             ref_txt = hf_model.generate(
                 input_ids=torch.tensor([text_prompt]),
                 max_new_tokens=12,
@@ -337,8 +339,22 @@ class TestEngine:
                     outs[out.request_id] = out
             steps += 1
             assert steps < 300
-        assert outs["mm"].output_token_ids == ref_mm
-        assert outs["txt"].output_token_ids == ref_txt
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import (
+            assert_tied_greedy,
+            assert_tied_greedy_text,
+            hf_scores_fn,
+        )
+
+        assert_tied_greedy(
+            outs["mm"].output_token_ids, ref_mm,
+            hf_scores_fn(hf_out.scores), exclude_ids={IMG_TOK},
+        )
+        assert_tied_greedy_text(
+            outs["txt"].output_token_ids, ref_txt, hf_model, text_prompt
+        )
 
     def test_qwen_vl_video_through_engine(self, tiny_qwen25_vl):
         """A smart-sampled video clip (grid_t > 1, absolute-time M-RoPE)
@@ -371,14 +387,17 @@ class TestEngine:
         spg = 2.0
         prompt = [1, VSTART] + [VID_TOK] * n_vid + [VSTART + 1, 9]
         with torch.no_grad():
-            ref = hf_model.generate(
+            hf_out = hf_model.generate(
                 input_ids=torch.tensor([prompt]),
                 pixel_values_videos=torch.from_numpy(flat).float(),
                 video_grid_thw=torch.tensor([list(grid)]),
                 second_per_grid_ts=torch.tensor([spg]),
                 max_new_tokens=8,
                 do_sample=False,
-            )[0, len(prompt):].tolist()
+                output_scores=True,
+                return_dict_in_generate=True,
+            )
+            ref = hf_out.sequences[0][len(prompt):].tolist()
 
         vlm = QwenVLModel(model_dir, dtype="float32").load()
         cfg = vlm.text_config
@@ -421,7 +440,15 @@ class TestEngine:
                     outs[out.request_id] = out
             steps += 1
             assert steps < 200
-        assert outs["vid"].output_token_ids == ref
+        import sys as _sys
+
+        _sys.path.insert(0, "tests")
+        from vlm_test_utils import assert_tied_greedy, hf_scores_fn
+
+        assert_tied_greedy(
+            outs["vid"].output_token_ids, ref,
+            hf_scores_fn(hf_out.scores), exclude_ids={VID_TOK},
+        )
 
 
 class TestMLLMPrefixCache:

@@ -111,22 +111,28 @@ def test_hybrid_prefix_hit_token_identical(tiny_bamba, rng):
             torch.tensor([longer]), max_new_tokens=10, do_sample=False
         )[0, len(longer):].tolist()
 
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from vlm_test_utils import assert_tied_greedy_text
+
     sched, ssm = _build(path)
     out_a = _run(sched, "a", prompt)
-    assert out_a.output_token_ids == ref_a
+    assert_tied_greedy_text(out_a.output_token_ids, ref_a, model, prompt)
     # one snapshot captured at the last full block boundary (32 tokens)
     stats = ssm.get_stats()
     assert stats["stored"] >= 1
 
     # same prompt again: resumes from the snapshot, still identical
+    # (engine-vs-engine identity stays strict — that's the invariant)
     out_a2 = _run(sched, "a2", prompt)
-    assert out_a2.output_token_ids == ref_a
+    assert out_a2.output_token_ids == out_a.output_token_ids
     assert ssm.get_stats()["hits"] >= 1
     assert out_a2.cached_tokens == 32
 
     # longer prompt sharing the prefix: restore + re-prefill the tail
     out_b = _run(sched, "b", longer)
-    assert out_b.output_token_ids == ref_b
+    assert_tied_greedy_text(out_b.output_token_ids, ref_b, model, longer)
     assert out_b.cached_tokens == 32
 
 
@@ -154,4 +160,9 @@ def test_hybrid_cache_disabled_still_works(tiny_bamba, rng):
         )[0, len(prompt):].tolist()
     sched, _ = _build(path, with_cache=False)
     out = _run(sched, "p", prompt, max_new=8)
-    assert out.output_token_ids == ref
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from vlm_test_utils import assert_tied_greedy_text
+
+    assert_tied_greedy_text(out.output_token_ids, ref, model, prompt)

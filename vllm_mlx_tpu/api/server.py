@@ -374,6 +374,8 @@ async def handle_chat_completions(request: web.Request) -> web.Response:
         if tools
         else None
     )
+    if tool_parser is not None:
+        tool_parser.set_tools(tools)
     reasoning_parser = None
     if state.get("reasoning_parser_name"):
         reasoning_parser = get_reasoning_parser(
@@ -784,6 +786,8 @@ async def handle_responses(request: web.Request) -> web.Response:
         if tools
         else None
     )
+    if tool_parser is not None:
+        tool_parser.set_tools(tools)
     reasoning_parser = (
         get_reasoning_parser(state["reasoning_parser_name"], engine.tokenizer)
         if state.get("reasoning_parser_name")
@@ -1440,6 +1444,8 @@ async def handle_anthropic_messages(request: web.Request) -> web.Response:
         if oai.get("tools")
         else None
     )
+    if tool_parser is not None:
+        tool_parser.set_tools(oai.get("tools"))
     reasoning_parser = None
     if state.get("reasoning_parser_name"):
         reasoning_parser = get_reasoning_parser(

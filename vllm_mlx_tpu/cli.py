@@ -397,6 +397,21 @@ def download_command(args: argparse.Namespace) -> None:
     print(path)
 
 
+def bench_kv_cache_quant_command(args: argparse.Namespace) -> None:
+    """``bench-kv-cache-quant`` (reference cli.py:1608): sweep decode
+    throughput over KV-cache page dtypes for one checkpoint."""
+    from . import benchmark
+
+    benchmark.bench_kv_quant(
+        args.model,
+        kv_dtypes=[d.strip() for d in args.kv_dtypes.split(",") if d.strip()],
+        quantization=args.quantization,
+        batch=args.batch,
+        prompt_len=args.prompt_len,
+        max_tokens=args.max_tokens,
+    )
+
+
 def bench_serve_command(args: argparse.Namespace) -> None:
     """``bench-serve`` subcommand (reference cli.py:889): thin wrapper
     over the bench_serve module with args passed through."""
@@ -491,6 +506,21 @@ def main(argv: Optional[List[str]] = None) -> None:
     bd_p.add_argument("model", help="checkpoint/tokenizer path")
     bd_p.add_argument("--tokens", type=int, default=2048)
     bd_p.set_defaults(func=bench_detok_command)
+
+    bkq_p = sub.add_parser(
+        "bench-kv-cache-quant",
+        help="decode throughput across KV-cache dtypes "
+             "(bf16 vs fp8 vs int8 pages; reference cli.py:1608)",
+    )
+    bkq_p.add_argument("model", help="checkpoint path")
+    bkq_p.add_argument("--kv-dtypes", default="bfloat16,fp8_e4m3,int8",
+                       help="comma-separated page dtypes to sweep")
+    bkq_p.add_argument("--quantization", default=None,
+                       choices=["int8", "int4"])
+    bkq_p.add_argument("--batch", type=int, default=8)
+    bkq_p.add_argument("--prompt-len", type=int, default=512)
+    bkq_p.add_argument("--max-tokens", type=int, default=128)
+    bkq_p.set_defaults(func=bench_kv_cache_quant_command)
 
     dl_p = sub.add_parser("download", help="download a model from HF hub")
     dl_p.add_argument("model")

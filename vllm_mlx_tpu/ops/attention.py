@@ -161,6 +161,10 @@ def paged_attention_prefill(
     attend), so past context and the current chunk are read uniformly.
     """
     block_size = kv_pool.shape[3]
+    if chunk is not None and block_table.shape[0] * block_size <= chunk:
+        # static bypass (mirrors ragged_attention): the pool's max
+        # context fits inside one chunk, so the chunk mask is a no-op
+        chunk = None
     k = jnp.take(kv_pool[layer, 0], block_table, axis=0)
     v = jnp.take(kv_pool[layer, 1], block_table, axis=0)
     m = k.shape[0] * block_size
@@ -192,6 +196,9 @@ def paged_attention_decode(
     layers); the gather-based XLA implementation below is the portable
     fallback (CPU tests, sliding-window layers until the kernel grows
     window support)."""
+    if chunk is not None and block_tables.shape[1] * kv_pool.shape[3] <= chunk:
+        # static bypass: max context can never cross a chunk boundary
+        chunk = None
     if window is None and chunk is None and jax.default_backend() == "tpu":
         from .paged_attention_pallas import paged_attention_decode_tpu
 

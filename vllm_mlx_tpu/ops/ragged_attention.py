@@ -193,6 +193,12 @@ def ragged_attention(
         if page_indices.shape[1] * pages.shape[1] <= chunk_size:
             chunk_size = None
         else:
+            # no chunked model has bidirectional media spans; fail loud
+            # if one ever does rather than silently dropping the mask
+            assert bidir_lo is None and bidir_hi is None, (
+                "chunked attention + bidirectional spans is not "
+                "implemented (the chunked path would drop the span mask)"
+            )
             return _ragged_attention_local(
                 q, pages, kv_lens, page_indices, cu_q_lens, num_seqs,
                 scale, sliding_window, softcap, k_scale, v_scale,

@@ -25,6 +25,7 @@ from . import llama  # noqa: F401, E402
 from . import mistral  # noqa: F401, E402
 from . import qwen  # noqa: F401, E402
 from . import misc_parsers  # noqa: F401, E402
+from . import poolside  # noqa: F401, E402
 from . import harmony  # noqa: F401, E402
 
 # Extra stop tokens some formats need (reference tool_parsers/__init__.py:68)

@@ -384,6 +384,10 @@ class ToolParser:
     def __init__(self, tokenizer=None) -> None:
         self.tokenizer = tokenizer
 
+    def set_tools(self, tools) -> None:
+        """Give schema-aware parsers (poolside_v1) the request's tool
+        declarations; a no-op for format-only parsers."""
+
     def extract_tool_calls(self, text: str) -> ExtractedToolCalls:
         raise NotImplementedError
 

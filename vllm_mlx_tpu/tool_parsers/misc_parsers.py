@@ -179,14 +179,11 @@ class KimiToolParser(ToolParser):
 
 @register_tool_parser("glm47")
 @register_tool_parser("glm4")
-@register_tool_parser("poolside_v1")
 class GlmToolParser(ToolParser):
     """GLM-4.x: ``<tool_call>name\\n<arg_key>k</arg_key><arg_value>v</arg_value>``.
 
-    Also registered as ``poolside_v1`` — the Poolside Laguna template
-    uses the same XML tool-call framing (reference
-    tool_parsers/poolside_v1_tool_parser.py subclasses its glm47
-    parser)."""
+    The Poolside Laguna template uses the same XML framing with
+    schema-aware string handling — see tool_parsers/poolside.py."""
 
     stream_markers = ["<tool_call>"]
     _BLOCK_RE = re.compile(
