@@ -108,9 +108,12 @@ def main():
         out = chain(q)
         np.asarray(out)  # real fetch = real sync
         best = min(best, time.perf_counter() - t0)
+    from vllm_mlx_tpu.ops import decode_attention_pallas as dap
+
     log(
         f"36 chained calls: {1e3*best:.2f} ms total, "
-        f"{1e6*best/36:.1f} us/call (bpc={os.environ.get('VLLM_MLX_TPU_DECODE_BPC', '2')}, ps={PS})"
+        f"{1e6*best/36:.1f} us/call (sb={dap.SEQ_BLOCK}, "
+        f"bpc={dap.PAGES_PER_CHUNK}, batched={dap.BATCHED_HEADS}, ps={PS})"
     )
 
 

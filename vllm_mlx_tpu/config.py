@@ -200,6 +200,12 @@ class ModelConfig:
     # forward). Keys: full_alpha/full_beta/linear_alpha/linear_beta
     # (attention combine per layer type), mlp_alpha/mlp_beta.
     residual_cfg: Optional[Dict[str, float]] = None
+    # Mllama (Llama-3.2-Vision) text stack: layer_types entries
+    # "cross_attention" attend per-slot CROSS-KV buffers (vision
+    # features) instead of the paged pool — tanh-gated attention/MLP
+    # with the full-text-row mask (HF MllamaCrossAttentionDecoderLayer;
+    # reference serves this family via mlx-vlm)
+    cross_attention_layers: Optional[List[int]] = None
     # Generation defaults
     bos_token_id: Optional[int] = None
     eos_token_ids: List[int] = field(default_factory=list)
@@ -228,6 +234,11 @@ class ModelConfig:
                 and "linear_attention" in self.layer_types
             )
         )
+
+    @property
+    def has_cross(self) -> bool:
+        """Any cross-attention layers (Mllama)."""
+        return bool(self.cross_attention_layers)
 
     def moe_layer_indices(self) -> List[int]:
         """Layers that use the sparse MoE block (Qwen3-MoE
@@ -292,6 +303,22 @@ class ModelConfig:
             kw["mrope_section"] = list(rs["mrope_section"])
         if cfg.get("partial_rotary_factor"):
             kw["partial_rotary_factor"] = float(cfg["partial_rotary_factor"])
+        if model_type == "mllama_text_model":
+            # Llama-3.2-Vision text stack (HF MllamaTextModel): standard
+            # Llama self-attention layers with tanh-gated CROSS-attention
+            # layers interleaved at cross_attention_layers; the <|image|>
+            # token is NOT expanded — vision reaches the LM only through
+            # the cross layers' per-request KV (models/mllama_mm.py)
+            xl = list(cfg.get("cross_attention_layers") or [])
+            n_layers = cfg.get("num_hidden_layers", 40)
+            kw.update(
+                cross_attention_layers=xl,
+                layer_types=[
+                    "cross_attention" if i in set(xl) else "full_attention"
+                    for i in range(n_layers)
+                ],
+            )
+            return cls(**kw)
         if model_type in ("mamba", "falcon_mamba"):
             # Mamba-1 / Falcon-Mamba (HF Mamba(FalconMamba)ForCausalLM):
             # pure selective-scan stack, block = norm -> mixer
@@ -1360,6 +1387,9 @@ class SchedulerConfig:
     # window are reclaimed, bounding per-sequence KV memory for long
     # generations (lossy beyond the window, like mlx RotatingKVCache).
     max_kv_size: Optional[int] = None
+    # Mllama cross-KV capacity per slot (kv positions = images x
+    # max_tiles x tokens_per_tile); None = model default (one image)
+    cross_capacity: Optional[int] = None
     # Chained decode steps per dispatch on the fast path (amortizes
     # host-side dispatch/fetch overhead; >1 coarsens streaming
     # granularity and adds up to N-1 zombie tokens after a stop).

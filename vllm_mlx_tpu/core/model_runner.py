@@ -107,6 +107,13 @@ class RunnerState:
     # patches/qwen3_5_mtp.py loads in-checkpoint heads). None unless an
     # MTP head is attached.
     last_hidden: Optional[jax.Array] = None  # [slots, H] f32
+    # Mllama cross-attention: per-cross-layer (K, V) buffers
+    # [slots, Lc, kvh, hd] (K post-k_norm) + per-kv-position token
+    # windows (tok_lo/tok_hi [slots, Lc] i32) and the request's padded
+    # cross width [slots] i32 (0 = text-only slot). None unless the
+    # model has cross layers.
+    cross_kv: Optional[List[Tuple[jax.Array, jax.Array]]] = None
+    cross_meta: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None
 
 
 @dataclass
@@ -184,6 +191,19 @@ class ModelRunner:
         self.pages_per_seq = max(
             1, -(-sched_cfg.max_model_len // cache_cfg.block_size)
         )
+        self.cross_capacity = 0
+        if cfg.has_cross:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "tensor parallelism is not wired for cross-attention "
+                    "(Mllama) models yet"
+                )
+            if not sched_cfg.cross_capacity:
+                raise ValueError(
+                    "cross-attention models need SchedulerConfig."
+                    "cross_capacity (images x max_tiles x tokens_per_tile)"
+                )
+            self.cross_capacity = int(sched_cfg.cross_capacity)
         buckets = sorted(set(sched_cfg.prefill_chunk_sizes))
         if buckets[0] > self.max_num_seqs:
             buckets = [self.max_num_seqs] + buckets
@@ -256,7 +276,10 @@ class ModelRunner:
             1
             for lt in self.cfg.layer_types
             if lt
-            not in ("mamba", "linear_attention", "gdn", "short_conv", "rg_lru")
+            not in (
+                "mamba", "linear_attention", "gdn", "short_conv",
+                "rg_lru", "cross_attention",
+            )
         )
 
     def _init_state(self) -> RunnerState:
@@ -323,8 +346,32 @@ class ModelRunner:
                             ),
                         )
                     )
+        cross_kv = cross_meta = None
+        if c.has_cross:
+            lc = self.cross_capacity
+            s = self.max_num_seqs
+            cross_kv = [
+                (
+                    jnp.zeros(
+                        (s, lc, c.num_key_value_heads, c.head_dim),
+                        jnp.bfloat16,
+                    ),
+                    jnp.zeros(
+                        (s, lc, c.num_key_value_heads, c.head_dim),
+                        jnp.bfloat16,
+                    ),
+                )
+                for _ in c.cross_attention_layers
+            ]
+            cross_meta = (
+                jnp.full((s, lc), 2**30, jnp.int32),  # tok_lo: never
+                jnp.zeros((s, lc), jnp.int32),  # tok_hi
+                jnp.zeros((s,), jnp.int32),  # width
+            )
         return RunnerState(
             ssm_states=ssm_states,
+            cross_kv=cross_kv,
+            cross_meta=cross_meta,
             kv_pages=make_kv_pages(
                 self.num_attn_layers,
                 self.num_pages,
@@ -400,6 +447,16 @@ class ModelRunner:
                 "row_slot": row_slot,
                 "from_device": from_device,
             }
+        cross_ctx = None
+        if state.cross_kv is not None:
+            cross_ctx = {
+                "kv": state.cross_kv,
+                "tok_lo": state.cross_meta[0],
+                "tok_hi": state.cross_meta[1],
+                "width": state.cross_meta[2],
+                "row_slot": row_slot,
+                "positions": positions,
+            }
         # speculative mode: the draft model's KV pool must track every
         # prefill/decode the target sees (same inputs, own pages)
         new_draft_pages = state.draft_pages
@@ -440,6 +497,7 @@ class ModelRunner:
             deepstack_embeds=deepstack_embeds,
             bidir_lo=bidir_lo,
             bidir_hi=bidir_hi,
+            cross_ctx=cross_ctx,
         )
         last_rows = jnp.maximum(cu_q_lens[1:] - 1, 0)  # [S]
         hs = hidden[last_rows]
@@ -545,6 +603,8 @@ class ModelRunner:
             draft_pages=new_draft_pages,
             ssm_states=new_ssm if new_ssm is not None else state.ssm_states,
             last_hidden=new_last_hidden,
+            cross_kv=state.cross_kv,
+            cross_meta=state.cross_meta,
         )
         return new_state, sampled, logprobs
 
@@ -617,7 +677,9 @@ class ModelRunner:
                 tok_pack[5:8] if tok_pack.shape[0] >= 8 else None
             ),
             row_slot=(
-                tok_pack[-1] if self.cfg.has_recurrent else None
+                tok_pack[-1]
+                if self.cfg.has_recurrent or self.cfg.has_cross
+                else None
             ),
             bidir_lo=bidir_lo,
             bidir_hi=bidir_hi,
@@ -633,6 +695,11 @@ class ModelRunner:
             raise ValueError(
                 "speculative decoding is not supported for "
                 "lightning-attention hybrids"
+            )
+        if self.cfg.has_cross:
+            raise ValueError(
+                "speculative decoding is not supported for "
+                "cross-attention (Mllama) models yet"
             )
 
     def enable_speculative(self, draft_params, draft_cfg, k: int) -> None:
@@ -1036,6 +1103,16 @@ class ModelRunner:
                 "row_slot": jnp.where(active, jnp.arange(s), s),
                 "from_device": jnp.ones((s,), bool),
             }
+        cross_ctx = None
+        if state.cross_kv is not None:
+            cross_ctx = {
+                "kv": state.cross_kv,
+                "tok_lo": state.cross_meta[0],
+                "tok_hi": state.cross_meta[1],
+                "width": state.cross_meta[2],
+                "row_slot": None,  # row i IS slot i
+                "positions": pos,
+            }
         hidden, new_pages, new_ssm = decoder.unified_forward(
             params,
             self.cfg,
@@ -1052,6 +1129,7 @@ class ModelRunner:
             mesh=self.mesh,
             ssm_ctx=ssm_ctx,
             decode_only=dense_batch,
+            cross_ctx=cross_ctx,
         )  # decode never overrides embeds
         new_draft_pages = state.draft_pages
         if draft_params is not None and state.draft_pages is not None:
@@ -1123,6 +1201,8 @@ class ModelRunner:
             draft_pages=new_draft_pages,
             ssm_states=new_ssm if new_ssm is not None else state.ssm_states,
             last_hidden=new_last_hidden,
+            cross_kv=state.cross_kv,
+            cross_meta=state.cross_meta,
         )
         return new_state, sampled, logprobs
 
@@ -1240,6 +1320,15 @@ class ModelRunner:
                 (conv.at[slot].set(0.0), ssm.at[slot].set(0.0))
                 for conv, ssm in ssm_states
             ]
+        cross_meta = state.cross_meta
+        if cross_meta is not None:
+            # fresh slots start text-only; admit_cross overwrites later
+            tok_lo, tok_hi, width = cross_meta
+            cross_meta = (
+                tok_lo.at[slot].set(2**30),
+                tok_hi.at[slot].set(0),
+                width.at[slot].set(0),
+            )
         return replace(
             state,
             sampling=sampling,
@@ -1248,6 +1337,7 @@ class ModelRunner:
             n_active=n_active,
             rope_deltas=state.rope_deltas.at[slot].set(rope_delta),
             ssm_states=ssm_states,
+            cross_meta=cross_meta,
         )
 
     def admit_slot(
@@ -1345,6 +1435,14 @@ class ModelRunner:
                 )
                 for conv, ssm in ssm_states
             ]
+        cross_meta = state.cross_meta
+        if cross_meta is not None:
+            tok_lo, tok_hi, width = cross_meta
+            cross_meta = (
+                tok_lo.at[slots].set(2**30, mode="drop"),
+                tok_hi.at[slots].set(0, mode="drop"),
+                width.at[slots].set(0, mode="drop"),
+            )
         return replace(
             state,
             sampling=sampling,
@@ -1353,6 +1451,7 @@ class ModelRunner:
             n_active=n_active,
             rope_deltas=put(state.rope_deltas, rope_delta),
             ssm_states=ssm_states,
+            cross_meta=cross_meta,
         )
 
     _ADMIT_BUCKETS = (1, 8)
@@ -1403,6 +1502,80 @@ class ModelRunner:
                 self.state, ipack, fpack, np.int32(n_active)
             )
 
+    def _admit_cross(
+        self,
+        state: RunnerState,
+        params: Params,
+        slot: jax.Array,
+        cross_states: jax.Array,  # [Lc_cap, H] (zero-padded)
+        tok_lo_row: jax.Array,  # [Lc_cap] i32
+        tok_hi_row: jax.Array,  # [Lc_cap] i32
+        width: jax.Array,  # scalar i32
+    ) -> RunnerState:
+        from ..ops.layers import linear, rms_norm
+
+        c = self.cfg
+        lc = cross_states.shape[0]
+        new_kv = []
+        for li, (ck, cv) in zip(
+            sorted(c.cross_attention_layers), state.cross_kv
+        ):
+            cp = params["layers"][li]["cross"]
+            cs = cross_states.astype(jnp.bfloat16)
+            k = linear(cs, cp["k_proj"]).reshape(
+                lc, c.num_key_value_heads, c.head_dim
+            )
+            k = rms_norm(k, cp["k_norm"], c.rms_norm_eps)
+            v = linear(cs, cp["v_proj"]).reshape(
+                lc, c.num_key_value_heads, c.head_dim
+            )
+            new_kv.append(
+                (
+                    ck.at[slot].set(k.astype(ck.dtype)),
+                    cv.at[slot].set(v.astype(cv.dtype)),
+                )
+            )
+        tok_lo, tok_hi, w = state.cross_meta
+        return replace(
+            state,
+            cross_kv=new_kv,
+            cross_meta=(
+                tok_lo.at[slot].set(tok_lo_row),
+                tok_hi.at[slot].set(tok_hi_row),
+                w.at[slot].set(width),
+            ),
+        )
+
+    def admit_cross(
+        self,
+        slot: int,
+        cross_states,  # [W, H] np/jax — the request's projected vision states
+        tok_lo_row: np.ndarray,  # [Lc_cap] i32 (build_cross_meta output)
+        tok_hi_row: np.ndarray,
+        width: int,
+    ) -> None:
+        """Write one request's cross-KV into its slot: per cross layer
+        K = k_norm(k_proj(states)), V = v_proj(states) (HF
+        MllamaTextCrossAttention.forward key/value path). Called at
+        admission AFTER admit_slots (which resets the slot text-only)."""
+        if not hasattr(self, "_admit_cross_jit"):
+            self._admit_cross_jit = jax.jit(
+                self._admit_cross, donate_argnums=(0,)
+            )
+        lc = self.cross_capacity
+        cs = jnp.asarray(cross_states)
+        if cs.shape[0] < lc:
+            cs = jnp.pad(cs, ((0, lc - cs.shape[0]), (0, 0)))
+        self.state = self._admit_cross_jit(
+            self.state,
+            self.params,
+            jnp.int32(slot),
+            cs,
+            jnp.asarray(tok_lo_row, jnp.int32),
+            jnp.asarray(tok_hi_row, jnp.int32),
+            jnp.int32(width),
+        )
+
     def _move_slot(
         self,
         state: RunnerState,
@@ -1419,6 +1592,11 @@ class ModelRunner:
         ssm_states = state.ssm_states
         if ssm_states is not None:
             ssm_states = [(mv(c), mv(h)) for c, h in ssm_states]
+        cross_kv = state.cross_kv
+        cross_meta = state.cross_meta
+        if cross_kv is not None:
+            cross_kv = [(mv(k), mv(v)) for k, v in cross_kv]
+            cross_meta = tuple(mv(a) for a in cross_meta)
         return replace(
             state,
             sampling=sampling,
@@ -1428,6 +1606,8 @@ class ModelRunner:
             n_active=n_active,
             rope_deltas=mv(state.rope_deltas),
             ssm_states=ssm_states,
+            cross_kv=cross_kv,
+            cross_meta=cross_meta,
         )
 
     def move_slot(self, dst: int, src: int, n_active: int) -> None:

@@ -100,6 +100,11 @@ class Request:
     # content hashes of media spans for prefix-cache keying
     # [(start_row, end_row, hash_hex)] over the expanded prompt
     media_spans: Optional[Any] = None
+    # Mllama cross-attention payload (models/mllama_mm.py): dict with
+    # cross_states (device [W, H]), tok_lo/tok_hi ([Lc_cap] i32 per-kv
+    # token windows), width (int). Written into the slot's cross-KV
+    # buffers at admission; persists for preempt->recompute.
+    cross_payload: Optional[Any] = None
     # bidirectional-attention spans [(lo, hi)) over the expanded prompt
     # (Gemma3 image runs / PaliGemma prefix-LM; HF token_type_ids mask
     # semantics). The scheduler never ends a prefill chunk strictly

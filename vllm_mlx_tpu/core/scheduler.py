@@ -345,7 +345,25 @@ class Scheduler:
         finally:
             if admissions:
                 # ONE device dispatch for the whole admission burst
-                self.runner.admit_slots(admissions, self._n_occupied)
+                self.runner.admit_slots(
+                    [
+                        {k: v for k, v in a.items() if k != "cross"}
+                        for a in admissions
+                    ],
+                    self._n_occupied,
+                )
+                for a in admissions:
+                    cp = a.get("cross")
+                    if cp is not None:
+                        # Mllama: project the request's vision states
+                        # into the slot's cross-KV buffers
+                        self.runner.admit_cross(
+                            a["slot"],
+                            cp["cross_states"],
+                            cp["tok_lo"],
+                            cp["tok_hi"],
+                            cp["width"],
+                        )
 
     def _collect_admissions(self, admissions: List[Dict]) -> None:
         from .model_runner import _MASK_BUCKET
@@ -459,6 +477,7 @@ class Scheduler:
                     prompt_tail=tokens[-20:],
                     seed=sp.seed if sp.seed is not None else -1,
                     rope_delta=getattr(req, "mrope_delta", 0) or 0,
+                    cross=getattr(req, "cross_payload", None),
                 )
             )
             if self.detok is not None and req.detok_state is None:
@@ -872,10 +891,12 @@ class Scheduler:
             if self.runner.cfg.mrope_section
             else None
         )
-        # hybrid SSM: slot per row for device-side state routing
+        # hybrid SSM / cross-attention: slot per row for device-side
+        # state routing (recurrent states or cross-KV buffers)
         row_slot = (
             np.full(total_t, s_max, np.int32)
             if getattr(self.runner, "has_ssm", False)
+            or getattr(self.runner.cfg, "has_cross", False)
             else None
         )
         # bidirectional spans (Gemma3/PaliGemma): per-seq [lo, hi)

@@ -428,8 +428,28 @@ class BatchedEngine(BaseEngine):
                     self.image_processor.patch_size = (
                         self.vlm.cfg.vision.patch_size * merge
                     )
+            elif raw_cfg.get("model_type") == "mllama":
+                # Llama-3.2-Vision: tiled ViT feeding per-request
+                # cross-attention KV (no token expansion); served via
+                # the decoder's cross_attention layer type
+                from ..models.mllama_mm import MllamaMultimodalLM
+                from ..multimodal_processor import MllamaImageProcessor
+
+                logger.info("loading multimodal checkpoint (Mllama)")
+                self.vlm = MllamaMultimodalLM(self.model_path).load()
+                self.vlm_kind = "mllama"
+                self.image_processor = MllamaImageProcessor.from_pretrained(
+                    self.model_path
+                )
+                if not self.scheduler_config.cross_capacity:
+                    # default: one image per request (images x tiles x
+                    # tokens_per_tile; SchedulerConfig.cross_capacity
+                    # raises the cap)
+                    self.scheduler_config.cross_capacity = (
+                        self.vlm.vision_cfg.max_num_tiles
+                        * self.vlm.tokens_per_tile
+                    )
             elif raw_cfg.get("model_type") in (
-                "mllama",  # cross-attention vision (decoder x-attends)
                 "idefics",  # v1 perceiver resampler
                 "gemma3n",
                 "qwen2_5_omni",
@@ -445,7 +465,7 @@ class BatchedEngine(BaseEngine):
                     "paligemma, pixtral, mistral3, idefics2, "
                     "idefics3/smolvlm, "
                     "deepseek_vl, glm4v(_moe), internvl, aya_vision, "
-                    "llama4, qwen2_audio"
+                    "llama4, mllama, qwen2_audio"
                 )
             else:
                 from ..models.mllm import MultimodalLM
@@ -483,6 +503,11 @@ class BatchedEngine(BaseEngine):
             w = self.scheduler_config.max_kv_size
             cfg.sliding_window = min(cfg.sliding_window or w, w)
             cfg.layer_types = None
+        if cfg.has_cross and not self.scheduler_config.cross_capacity:
+            # text-only serving of an mllama checkpoint: the cross
+            # layers still execute (width-0 slots reduce them to
+            # identity, matching HF's layer skip) with minimal buffers
+            self.scheduler_config.cross_capacity = 8
         self._model_config = cfg
         prequantized = False
         if params is None:
@@ -990,6 +1015,10 @@ class BatchedEngine(BaseEngine):
             return self._make_llama4_request(
                 prompt, media, request_id, **kwargs
             )
+        if getattr(self, "vlm_kind", "llava") == "mllama":
+            return self._make_mllama_request(
+                prompt, media, request_id, **kwargs
+            )
         token_ids = self._tokenizer.encode(prompt)
         if getattr(self, "vlm_kind", "llava") in (
             "qwen_vl", "qwen3_vl", "glm4v",
@@ -1053,6 +1082,89 @@ class BatchedEngine(BaseEngine):
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )
+        return req
+
+    def _make_mllama_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Mllama: the <|image|> tokens stay single tokens; each image's
+        tiles encode to cross-attention states written into the slot's
+        cross-KV buffers at admission (models/mllama_mm.py). Because
+        text rows BEFORE the first image still cross-attend the vision
+        values (HF's zeroed full rows), every prompt block is salted
+        with the combined image hash for prefix caching."""
+        import numpy as np
+
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..models.mllama_mm import (
+            build_cross_meta,
+            cross_attention_token_spans,
+        )
+        from ..multimodal_processor import image_bytes_key, load_image
+
+        images = [
+            resolve_media_source(m["src"], self.media_policy)
+            for m in media
+            if m.get("kind") == "image"
+        ]
+        if len(images) != len(media):
+            raise ValueError("video input requires a Qwen-VL-class model")
+        token_ids = self._tokenizer.encode(prompt)
+        states: List[Any] = []  # per image [max_tiles*np1, H] np
+        num_tiles: List[int] = []
+        keys: List[str] = []
+        for im in images:
+            key = image_hash(image_bytes_key(im))
+            keys.append(key)
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                proc = self.image_processor.batch([im])
+                cs = self.vlm.encode_images(
+                    proc["pixel_values"],
+                    proc["aspect_ratio_ids"],
+                    proc["aspect_ratio_mask"],
+                )
+                cached = {
+                    "states": np.asarray(cs, np.float32),
+                    "num_tiles": int(proc["num_tiles"][0]),
+                }
+                self.vision_cache.put(key, cached)
+            states.append(cached["states"])
+            num_tiles.append(cached["num_tiles"])
+        spans = cross_attention_token_spans(
+            token_ids, self.vlm.image_token_id, len(images)
+        )
+        if len(spans) != len(images):
+            raise ValueError(
+                f"prompt has {len(spans)} <|image|> tokens but "
+                f"{len(images)} images were supplied"
+            )
+        cap = self.scheduler_config.cross_capacity
+        tok_lo, tok_hi, width = build_cross_meta(
+            spans,
+            num_tiles,
+            self.vlm.vision_cfg.max_num_tiles,
+            self.vlm.tokens_per_tile,
+            cap,
+        )
+        req = self._make_request(token_ids, request_id, **kwargs)
+        req.is_multimodal = True
+        req.cross_payload = {
+            "cross_states": np.concatenate(states, axis=0)
+            if states
+            else np.zeros((0, self.vlm.text_cfg.hidden_size), np.float32),
+            "tok_lo": tok_lo,
+            "tok_hi": tok_hi,
+            "width": width,
+        }
+        if images:
+            combined = image_hash("|".join(keys).encode())
+            req.media_spans = [(0, len(token_ids), combined)]
         return req
 
     def _make_gemma3_request(

@@ -664,6 +664,106 @@ def _mlp_block(
 AttendFn = Callable[..., Tuple[jax.Array, jax.Array]]
 
 
+def cross_window_attention(
+    q: jax.Array,  # [T, qh, hd] (post q_norm)
+    ck: jax.Array,  # [S, Lc, kvh, hd] K (post k_norm) per slot
+    cv: jax.Array,  # [S, Lc, kvh, hd] V per slot
+    tok_lo: jax.Array,  # [S, Lc] i32: kv j visible iff lo <= p < hi
+    tok_hi: jax.Array,  # [S, Lc] i32
+    width: jax.Array,  # [S] i32 — the request's full padded cross width
+    row_slot: Optional[jax.Array],  # [T] i32 (None = row i IS slot i)
+    pos: jax.Array,  # [T] i32 text position of each query row
+    scale: float,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mllama text->vision cross attention (HF MllamaTextCrossAttention
+    + _prepare_cross_attention_mask semantics, modeling_mllama.py:48-73).
+
+    Every cross-KV position j carries the TOKEN window [tok_lo, tok_hi)
+    of text positions allowed to attend it (built from the processor's
+    per-image spans, processing_mllama.py get_cross_attention_token_mask;
+    padding tiles carry an empty window). HF's full-row fixup is
+    reproduced exactly: a query row with NO visible kv attends the
+    request's whole padded width with zero bias, and its returned
+    full_row flag is 0 (the caller multiplies the MLP path by it).
+    Rows whose slot has no images (width == 0) return zeros — combined
+    with full_row == 0 this reproduces HF's skip of the cross layer for
+    text-only inputs.
+
+    Returns (attn_out [T, qh, hd] in q.dtype, full_row [T] f32).
+    """
+    s, lc, kvh, hd = ck.shape
+    t, qh, _ = q.shape
+    g = qh // kvh
+    qf = q.reshape(t, kvh, g, hd)
+    if row_slot is None:
+        k_r, v_r = ck, cv  # decode fast path: row i == slot i
+        lo_r, hi_r, w_r = tok_lo, tok_hi, width
+        valid = jnp.ones((t,), bool)
+    else:
+        valid = row_slot < s
+        rs = jnp.minimum(row_slot, s - 1)
+        k_r, v_r = ck[rs], cv[rs]
+        lo_r, hi_r, w_r = tok_lo[rs], tok_hi[rs], width[rs]
+        w_r = jnp.where(valid, w_r, 0)
+    p1 = pos[:, None]
+    vis = (lo_r <= p1) & (p1 < hi_r) & valid[:, None]  # [T, Lc]
+    any_vis = jnp.any(vis, axis=-1)  # [T]
+    in_width = (
+        jnp.arange(lc, dtype=jnp.int32)[None, :] < w_r[:, None]
+    )  # [T, Lc]
+    allowed = jnp.where(any_vis[:, None], vis, in_width)
+    scores = jnp.einsum(
+        "tkgd,tlkd->tkgl", qf, k_r,
+        preferred_element_type=jnp.float32,
+    ) * scale
+    scores = jnp.where(allowed[:, None, None, :], scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.where(
+        jnp.isfinite(scores), jnp.exp(scores - m_safe), 0.0
+    )
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    w = (e / jnp.maximum(l, 1e-30)).astype(v_r.dtype)
+    out = jnp.einsum(
+        "tkgl,tlkd->tkgd", w, v_r, preferred_element_type=jnp.float32
+    )
+    full_row = (any_vis & valid).astype(jnp.float32)
+    return out.reshape(t, qh, hd).astype(q.dtype), full_row
+
+
+def _cross_block(
+    cfg: ModelConfig,
+    layer_idx: int,
+    p: Params,
+    x: jax.Array,
+    attn_fn: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
+    moe_top_k: Optional[int],
+) -> jax.Array:
+    """Mllama cross-attention decoder block (HF
+    MllamaCrossAttentionDecoderLayer.forward, modeling_mllama.py:673-723):
+    tanh-gated cross attention and tanh-gated MLP, the MLP masked by the
+    full-text-row flag. ``attn_fn(q_normed) -> (attn [T,qh,hd],
+    full_row [T])`` owns the KV source (serving buffers or dense)."""
+    cp = p["cross"]
+    t = x.shape[0]
+    residual = x
+    h = _bnorm(cfg, x, p, "input_layernorm")
+    q = linear(h, cp["q_proj"]).reshape(
+        t, cfg.num_attention_heads, cfg.head_dim
+    )
+    q = rms_norm(q, cp["q_norm"], cfg.rms_norm_eps)
+    attn, full_row = attn_fn(q)
+    attn = linear(attn.reshape(t, -1), cp["o_proj"])
+    gate_a = jnp.tanh(cp["attn_gate"].astype(jnp.float32)).astype(x.dtype)
+    x = residual + gate_a * attn
+    residual = x
+    h = _bnorm(cfg, x, p, "post_attention_layernorm")
+    mlp = _mlp_block(cfg, layer_idx, p, h, moe_top_k)
+    mlp = mlp * full_row[:, None].astype(mlp.dtype)
+    gate_m = jnp.tanh(cp["mlp_gate"].astype(jnp.float32)).astype(x.dtype)
+    return residual + gate_m * mlp
+
+
 def mixer_api(cfg: ModelConfig):
     """(mixer config, module) for layer_types "mamba": Mamba-2 SSD by
     default; Mamba-1 selective scan when mamba_cfg carries version=1
@@ -690,6 +790,7 @@ def _stack(
     embeds_mask: Optional[jax.Array] = None,  # [T] bool: use override row
     ssm_fn: Optional[Callable] = None,  # (layer, params, h) -> out
     deepstack_embeds: Optional[jax.Array] = None,  # [n_ds, T, H]
+    cross_fn: Optional[Callable] = None,  # (layer, params, x) -> x
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Shared layer stack. ``attend(kv_pool, layer, q, k, v) ->
     (attn_out, kv_pool)`` encapsulates cache writing + attention;
@@ -741,6 +842,15 @@ def _stack(
     rc = cfg.residual_cfg
     for i, p in enumerate(params["layers"]):
         # OLMo2 post-norm blocks: sublayers read the raw stream
+        if (
+            cfg.layer_types is not None
+            and cfg.layer_types[i] == "cross_attention"
+        ):
+            # Mllama cross-attention block: owns its norms/gates/MLP
+            # (full-text-row mask) — _cross_block via the caller's
+            # cross_fn, which binds the KV source
+            x = cross_fn(i, p, x)
+            continue
         h = x if cfg.post_norm_blocks else _bnorm(
             cfg, x, p, "input_layernorm"
         )
@@ -939,6 +1049,7 @@ def unified_forward(
     decode_only: bool = False,
     bidir_lo: Optional[jax.Array] = None,  # [S] bidir span start
     bidir_hi: Optional[jax.Array] = None,  # [S] bidir span end
+    cross_ctx: Optional[Dict[str, Any]] = None,
 ) -> Tuple[jax.Array, List[jax.Array], Optional[List[Tuple]]]:
     """One step for a ragged mixed prefill/decode batch.
 
@@ -973,13 +1084,15 @@ def unified_forward(
 
     scale = cfg.attn_scale or cfg.head_dim**-0.5
     new_pages: List[jax.Array] = []
-    # kv pool index per layer (hybrid models pool only attention layers)
+    # kv pool index per layer: hybrid models pool only attention layers;
+    # Mllama cross-attention layers use per-slot cross buffers instead
     _REC = ("mamba", "linear_attention", "gdn", "short_conv", "rg_lru")
+    _NONPAGED = _REC + ("cross_attention",)
     if cfg.layer_types is not None and any(
-        lt in _REC for lt in cfg.layer_types
+        lt in _NONPAGED for lt in cfg.layer_types
     ):
         attn_layers = [
-            i for i, lt in enumerate(cfg.layer_types) if lt not in _REC
+            i for i, lt in enumerate(cfg.layer_types) if lt not in _NONPAGED
         ]
         pool_of = {i: j for j, i in enumerate(attn_layers)}
         mamba_of = {
@@ -991,6 +1104,28 @@ def unified_forward(
     else:
         pool_of = None
         mamba_of = {}
+
+    cross_fn = None
+    if cross_ctx is not None:
+        cross_of = {
+            i: j for j, i in enumerate(sorted(cfg.cross_attention_layers))
+        }
+        c_pos = cross_ctx["positions"]
+        if c_pos.ndim > 1:
+            c_pos = c_pos[0]
+
+        def cross_fn(i, layer_p, x):
+            ck, cv = cross_ctx["kv"][cross_of[i]]
+
+            def attn_fn(qn):
+                return cross_window_attention(
+                    qn, ck, cv,
+                    cross_ctx["tok_lo"], cross_ctx["tok_hi"],
+                    cross_ctx["width"], cross_ctx.get("row_slot"),
+                    c_pos, scale,
+                )
+
+            return _cross_block(cfg, i, layer_p, x, attn_fn, moe_top_k)
 
     def attend(_, i, q, k, v, sinks=None):
         pi = pool_of[i] if pool_of is not None else i
@@ -1200,7 +1335,7 @@ def unified_forward(
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
         token_embeds, embeds_mask, ssm_fn=ssm_fn,
-        deepstack_embeds=deepstack_embeds,
+        deepstack_embeds=deepstack_embeds, cross_fn=cross_fn,
     )
     return hidden, new_pages, new_ssm_states
 
@@ -1299,6 +1434,7 @@ def dense_forward(
     embeds_mask: Optional[jax.Array] = None,
     positions: Optional[jax.Array] = None,  # [T] or [3, T] (mrope)
     deepstack_embeds: Optional[jax.Array] = None,
+    cross_ctx: Optional[Dict[str, Any]] = None,
 ) -> jax.Array:
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
@@ -1389,9 +1525,29 @@ def dense_forward(
             )
             return y
 
+    cross_fn = None
+    if cross_ctx is not None:
+        cross_of = {
+            i: j for j, i in enumerate(sorted(cfg.cross_attention_layers))
+        }
+        c_pos = positions[0] if positions.ndim > 1 else positions
+
+        def cross_fn(i, layer_p, x):
+            ck, cv = cross_ctx["kv"][cross_of[i]]
+
+            def attn_fn(qn):
+                return cross_window_attention(
+                    qn, ck, cv,
+                    cross_ctx["tok_lo"], cross_ctx["tok_hi"],
+                    cross_ctx["width"], cross_ctx.get("row_slot"),
+                    c_pos, scale,
+                )
+
+            return _cross_block(cfg, i, layer_p, x, attn_fn, moe_top_k)
+
     hidden, _ = _stack(
         params, cfg, token_ids, positions, None, attend, moe_top_k,
         token_embeds, embeds_mask, ssm_fn=ssm_fn,
-        deepstack_embeds=deepstack_embeds,
+        deepstack_embeds=deepstack_embeds, cross_fn=cross_fn,
     )
     return _logits(params, cfg, hidden)

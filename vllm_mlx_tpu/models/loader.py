@@ -177,6 +177,22 @@ def _parse_layer_tensor(
     dict ``ld`` (shared by load_params and load_mtp_params; ``stage``
     collects per-expert MoE weights for stacking, ``lt`` is the layer's
     layer_types entry or None)."""
+    if rest.startswith("cross_attn.") or rest.startswith("cross_attn_"):
+        # Mllama cross-attention layers (HF MllamaCrossAttentionDecoderLayer)
+        sub = rest.split(".", 1)[1] if "." in rest else rest
+        key = {
+            "q_proj.weight": "q_proj",
+            "k_proj.weight": "k_proj",
+            "v_proj.weight": "v_proj",
+            "o_proj.weight": "o_proj",
+            "q_norm.weight": "q_norm",
+            "k_norm.weight": "k_norm",
+            "cross_attn_attn_gate": "attn_gate",
+            "cross_attn_mlp_gate": "mlp_gate",
+        }.get(rest if rest.startswith("cross_attn_") else sub)
+        if key:
+            ld.setdefault("cross", {})[key] = put(tensor)
+        return
     if rest in (
         "input_layernorm.weight",
         "norm.weight",

@@ -645,6 +645,130 @@ class Llama4ImageProcessor:
         return tiles.astype(np.float32), (rh, rw)
 
 
+class MllamaImageProcessor:
+    """Mllama (Llama-3.2-Vision) tiling (HF image_processing_mllama.py):
+    pick the optimal tiled canvas (scale-then-min-area selection over
+    all (w, h) arrangements with w*h <= max_tiles), resize BILINEAR
+    preserving aspect ratio, pad bottom/right to the canvas, normalize,
+    split row-major into tiles, pad the tile axis to max_tiles.
+
+    Returns per batch: pixel_values [N, max_tiles, 3, S, S] f32,
+    aspect_ratio_ids [N] (index into the (w,h)-ordered supported list
+    of the (h,w) tuple + 1 — HF's exact lookup), aspect_ratio_mask
+    [N, max_tiles], num_tiles [N]."""
+
+    def __init__(
+        self,
+        tile_size: int = 448,
+        max_tiles: int = 4,
+        mean: Tuple[float, ...] = CLIP_MEAN,
+        std: Tuple[float, ...] = CLIP_STD,
+    ) -> None:
+        self.tile_size = tile_size
+        self.max_tiles = max_tiles
+        self.mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(std, np.float32).reshape(3, 1, 1)
+        # HF get_all_supported_aspect_ratios order: width-major
+        self.supported = [
+            (w, h)
+            for w in range(1, max_tiles + 1)
+            for h in range(1, max_tiles + 1)
+            if w * h <= max_tiles
+        ]
+
+    @classmethod
+    def from_pretrained(cls, model_path: str) -> "MllamaImageProcessor":
+        path = os.path.join(model_path, "preprocessor_config.json")
+        kw: Dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                cfg = json.load(f)
+            size = cfg.get("size", {})
+            if isinstance(size, dict) and "height" in size:
+                kw["tile_size"] = size["height"]
+            if cfg.get("max_image_tiles"):
+                kw["max_tiles"] = cfg["max_image_tiles"]
+            if cfg.get("image_mean"):
+                kw["mean"] = tuple(cfg["image_mean"])
+            if cfg.get("image_std"):
+                kw["std"] = tuple(cfg["image_std"])
+        return cls(**kw)
+
+    def _optimal_canvas(self, h: int, w: int) -> Tuple[int, int]:
+        """HF get_optimal_tiled_canvas verbatim (incl. its use of
+        arrangement[0] as the canvas HEIGHT over the (w, h)-ordered
+        list — both orientations are present so the set is the same,
+        but tie-breaks must match)."""
+        sizes = np.array(self.supported) * self.tile_size
+        th, tw = sizes.T
+        scale_h = th / h
+        scale_w = tw / w
+        scales = np.where(scale_w > scale_h, scale_h, scale_w)
+        up = scales[scales >= 1]
+        sel = np.min(up) if len(up) > 0 else np.max(scales[scales < 1])
+        chosen = sizes[scales == sel]
+        if len(chosen) > 1:
+            chosen = chosen[np.argmin(chosen[:, 0] * chosen[:, 1])][None]
+        return int(chosen[0][0]), int(chosen[0][1])
+
+    def __call__(self, image) -> Tuple[np.ndarray, Tuple[int, int]]:
+        """PIL image -> (tiles [num_tiles, 3, S, S] f32 normalized,
+        (tiles_h, tiles_w))."""
+        import math
+
+        from PIL import Image
+
+        image = image.convert("RGB")
+        w, h = image.size
+        s = self.tile_size
+        ch, cw = self._optimal_canvas(h, w)
+        th, tw = ch // s, cw // s
+        # get_image_size_fit_to_canvas
+        target_w = min(max(w, s), cw)
+        target_h = min(max(h, s), ch)
+        scale_h = target_h / h
+        scale_w = target_w / w
+        if scale_w < scale_h:
+            nw = target_w
+            nh = min(math.floor(h * scale_w) or 1, target_h)
+        else:
+            nh = target_h
+            nw = min(math.floor(w * scale_h) or 1, target_w)
+        image = image.resize((nw, nh), Image.BILINEAR)
+        arr = np.asarray(image, np.float32).transpose(2, 0, 1)  # [3,nh,nw]
+        canvas = np.zeros((3, ch, cw), np.float32)
+        canvas[:, :nh, :nw] = arr
+        canvas = (canvas / 255.0 - self.mean) / self.std
+        # split_to_tiles (row-major)
+        tiles = canvas.reshape(3, th, s, tw, s).transpose(1, 3, 0, 2, 4)
+        return tiles.reshape(th * tw, 3, s, s), (th, tw)
+
+    def batch(self, images: List[Any]) -> Dict[str, np.ndarray]:
+        n = len(images)
+        mt = self.max_tiles
+        s = self.tile_size
+        pixel_values = np.zeros((n, mt, 3, s, s), np.float32)
+        ar_ids = np.zeros(n, np.int64)
+        ar_mask = np.zeros((n, mt), np.int64)
+        ar_mask[:, 0] = 1  # HF build_aspect_ratio_mask quirk
+        num_tiles = np.zeros(n, np.int64)
+        for i, im in enumerate(images):
+            tiles, (th, tw) = self(load_image(im))
+            k = tiles.shape[0]
+            pixel_values[i, :k] = tiles
+            # HF convert_aspect_ratios_to_ids looks up the (h, w) tuple
+            # in the (w, h)-ordered supported list
+            ar_ids[i] = self.supported.index((th, tw)) + 1
+            ar_mask[i, :k] = 1
+            num_tiles[i] = k
+        return {
+            "pixel_values": pixel_values,
+            "aspect_ratio_ids": ar_ids,
+            "aspect_ratio_mask": ar_mask,
+            "num_tiles": num_tiles,
+        }
+
+
 class PixtralImageProcessor:
     """Pixtral preprocessing: keep aspect ratio, long edge capped at
     ``longest_edge``, dims rounded UP to patch multiples (HF

@@ -193,6 +193,10 @@ def fuse_projections(params: Any) -> Any:
         if not isinstance(node, dict):
             return node
         node = {k: walk(v) for k, v in node.items()}
+        if "mlp_gate" in node and "attn_gate" in node:
+            # Mllama cross-attention dict: q is per-step but k/v project
+            # the per-request vision states at ADMISSION — never fuse
+            return node
         qkv = [node.get(n) for n in ("q_proj", "k_proj", "v_proj")]
         biases = [node.get(n) for n in ("q_bias", "k_bias", "v_bias")]
         if (
