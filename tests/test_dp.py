@@ -119,3 +119,73 @@ def test_dp_abort_routes_home(tiny_model_dir):
             await eng.stop()
 
     asyncio.run(go())
+
+
+def test_dp_tp_composition(tiny_model_dir):
+    """dp=2 x tp=2 over the 8-virtual-device CPU mesh: each replica
+    owns a DISJOINT tp-submesh, greedy outputs are identical across
+    replicas and equal to a plain single-engine run (VERDICT r3 #9 —
+    the v5e-8 dp=2 x tp=4 shape at test scale)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+
+    from vllm_mlx_tpu.config import CacheConfig, SchedulerConfig
+    from vllm_mlx_tpu.engine.batched import BatchedEngine
+    from vllm_mlx_tpu.engine.dp import DPEngine
+
+    cache = dict(block_size=8, num_blocks=32, kv_dtype="float32")
+    sched = dict(
+        max_num_seqs=2, max_prefill_tokens=64,
+        prefill_chunk_sizes=[16, 64], max_model_len=256,
+    )
+
+    async def go():
+        # reference: a single tp=2 engine (tp=2 vs tp=1 identity is
+        # test_tp_serving's contract; here we isolate the DP routing)
+        ref_engine = BatchedEngine(
+            tiny_model_dir,
+            tp_size=2,
+            cache_config=CacheConfig(**cache),
+            scheduler_config=SchedulerConfig(**sched),
+        )
+        await ref_engine.start()
+        try:
+            ref = await ref_engine.generate(
+                "the quick brown", temperature=0.0, max_tokens=8
+            )
+        finally:
+            await ref_engine.stop()
+
+        eng = DPEngine(
+            tiny_model_dir,
+            dp_size=2,
+            tp_size=2,
+            cache_config=CacheConfig(**cache),
+            scheduler_config=SchedulerConfig(**sched),
+        )
+        await eng.start()
+        try:
+            meshes = [r.mesh for r in eng.replicas]
+            assert all(m is not None and m.shape["tp"] == 2 for m in meshes)
+            devs = [tuple(map(str, m.devices.flat)) for m in meshes]
+            assert not (set(devs[0]) & set(devs[1])), "submeshes overlap"
+
+            # sequential sends: concurrent requests would batch inside
+            # a replica, and a different ragged bucket can flip logits
+            # ties on this tiny random model (the round-robin tie-break
+            # still alternates replicas across sends)
+            results = [
+                await eng.generate(
+                    "the quick brown", request_id=f"dtp{i}",
+                    temperature=0.0, max_tokens=8,
+                )
+                for i in range(4)
+            ]
+            for r in results:
+                assert r.token_ids == ref.token_ids
+        finally:
+            await eng.stop()
+
+    asyncio.run(go())

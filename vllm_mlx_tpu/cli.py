@@ -187,11 +187,8 @@ def serve_command(args: argparse.Namespace) -> None:
         stt_engine = STTEngine(args.stt_model).load()
     engine_cls = SimpleEngine if args.engine == "simple" else BatchedEngine
     if args.dp_size > 1:
-        if args.tp_size > 1:
-            raise SystemExit(
-                "--dp-size and --tp-size cannot be combined yet: DP "
-                "replicas pin single devices while TP owns a mesh"
-            )
+        # dp=N alone pins one device per replica; dp=N x tp=M gives
+        # each replica its own disjoint tp-submesh (engine/dp.py)
         from .engine.dp import DPEngine
         import functools
 

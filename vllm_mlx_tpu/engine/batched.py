@@ -129,15 +129,18 @@ class BatchedEngine(BaseEngine):
         device=None,  # DP replica pinning (jax device)
         stt_engine=None,  # audio-in-chat transcription
         tp_size: int = 1,  # tensor-parallel mesh over local devices
+        mesh_devices=None,  # DPxTP: this replica's tp-submesh devices
     ) -> None:
         self.text_only = text_only
         self.device = device
         self.tp_size = int(tp_size)
         self.mesh = None
+        self.mesh_devices = mesh_devices
         if self.tp_size > 1 and device is not None:
             raise ValueError(
                 "tp_size and DP replica pinning are mutually exclusive "
-                "(a TP engine owns its own device mesh)"
+                "(a TP engine owns its own device mesh); use "
+                "mesh_devices to give a DPxTP replica its submesh"
             )
         self.stt_engine = stt_engine
         from ..media_fetch import FetchPolicy
@@ -553,7 +556,9 @@ class BatchedEngine(BaseEngine):
             from ..parallel.mesh import make_mesh, validate_tp
 
             validate_tp(cfg, self.tp_size)
-            self.mesh = make_mesh(dp=1, tp=self.tp_size)
+            self.mesh = make_mesh(
+                dp=1, tp=self.tp_size, devices=self.mesh_devices
+            )
             logger.info(
                 "tensor parallel: tp=%d over %s",
                 self.tp_size,

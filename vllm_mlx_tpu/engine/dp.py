@@ -34,14 +34,33 @@ class DPEngine(BaseEngine):
         self.model_path = model_path
         self.dp_size = dp_size
         devices = jax.local_devices()
-        self.replicas: List[BatchedEngine] = [
-            BatchedEngine(
-                model_path,
-                device=devices[i % len(devices)],
-                **kw,
-            )
-            for i in range(dp_size)
-        ]
+        tp = int(kw.get("tp_size") or 1)
+        if tp > 1:
+            # DP x TP composition: each replica owns a disjoint
+            # tp-submesh (a v5e-8 pod as dp=2 x tp=4). Collectives stay
+            # inside each replica's ICI group; the router needs none.
+            if len(devices) < dp_size * tp:
+                raise ValueError(
+                    f"dp={dp_size} x tp={tp} needs {dp_size * tp} "
+                    f"devices, have {len(devices)}"
+                )
+            self.replicas: List[BatchedEngine] = [
+                BatchedEngine(
+                    model_path,
+                    mesh_devices=devices[i * tp : (i + 1) * tp],
+                    **kw,
+                )
+                for i in range(dp_size)
+            ]
+        else:
+            self.replicas = [
+                BatchedEngine(
+                    model_path,
+                    device=devices[i % len(devices)],
+                    **kw,
+                )
+                for i in range(dp_size)
+            ]
         self._outstanding = [0] * dp_size
         self._rr = itertools.count()
         self._running = False

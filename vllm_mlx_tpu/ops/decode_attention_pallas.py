@@ -8,23 +8,24 @@ general kernel walks sequences through a sequential grid, so every
 program pays its own DMA latency chain. Decode has a much simpler
 shape — exactly ONE query row per slot — which this kernel exploits:
 
-  * grid over SEQ-BLOCKS (``VLLM_MLX_TPU_DECODE_SB`` slots per program,
-    default 32 = the whole batch in ONE program): each program issues
-    the page copies for all its slots in one wave, so DMA latency
-    amortizes across the block instead of serializing per sequence;
+  * grid over SEQ-BLOCKS (``VLLM_MLX_TPU_DECODE_SB`` slots per
+    program, default 8): each program issues the page copies for all
+    its slots in one wave, so DMA latency amortizes across the block
+    instead of serializing per sequence;
   * double-buffered page-chunk loop bounded by the slots' ACTUAL
     lengths (the page-count loop bound is the max over the block's
     slots, not the table width); ``VLLM_MLX_TPU_DECODE_BPC`` pages per
-    chunk (default 4) — bigger chunks = fewer loop iterations at the
+    chunk (default 2) — bigger chunks = fewer loop iterations at the
     cost of VMEM scratch (the kernel raises the pallas VMEM limit
-    above the 16 MB default to fit; v5e has 128 MB physical);
-  * ONE seq×head-batched dot pair per chunk (round-4): q is reshaped
-    ``[sb, kvh, g, hd] -> [sb*kvh, g, hd]`` (leading-dim merge — legal
-    in Mosaic) and K/V chunks are assembled per head then concatenated
-    on a leading axis, so the whole block's attention runs as a single
-    dot_general with one batch dim instead of ``kvh`` separate dot
-    pairs per chunk. At 8B decode geometry this cut the per-call cost
-    from ~110 µs to ~55 µs (chained micro-timing, real v5e).
+    above the 16 MB default when needed; v5e has 128 MB physical);
+  * optional seq×head-batched dot formulation
+    (``VLLM_MLX_TPU_DECODE_BATCHED=1``): q reshaped
+    ``[sb, kvh, g, hd] -> [sb*kvh, g, hd]`` (leading-dim merge) with
+    per-head K/V chunks lifted and concatenated on a leading axis so
+    each chunk runs ONE dot_general pair instead of ``kvh``. Measured
+    SLOWER on the real 8B batch-32 step (1,783 vs 2,146 tok/s) — the
+    per-head assembly copies cost more than the dot savings at decode
+    chunk sizes — kept off by default, retained for future geometries.
 
 Scope (falls back to the general kernel otherwise): no attention sinks,
 no logit softcap, no sliding window, single chip (the TP shard_map path
@@ -43,10 +44,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SEQ_BLOCK = int(os.environ.get("VLLM_MLX_TPU_DECODE_SB", 32))
-PAGES_PER_CHUNK = int(os.environ.get("VLLM_MLX_TPU_DECODE_BPC", 4))
-# escape hatch back to the round-3 per-head-dot formulation
-BATCHED_HEADS = os.environ.get("VLLM_MLX_TPU_DECODE_BATCHED", "1") != "0"
+# Defaults are the measured-best config on the real v5e at bench
+# geometry (8B batch-32: sb8/bpc2/per-head 2,146 tok/s vs sb16/bpc4/
+# batched 1,783 — bigger blocks and the seq×head-batched dot both LOST
+# on the real step despite looking competitive in the chained
+# micro-harness; see NOTES_TPU_ENV.md round-4 findings). Env knobs kept
+# for sweeps.
+SEQ_BLOCK = int(os.environ.get("VLLM_MLX_TPU_DECODE_SB", 8))
+PAGES_PER_CHUNK = int(os.environ.get("VLLM_MLX_TPU_DECODE_BPC", 2))
+BATCHED_HEADS = os.environ.get("VLLM_MLX_TPU_DECODE_BATCHED", "0") != "0"
 
 
 def _kernel(
