@@ -45,6 +45,28 @@ class STTEngine:
     def load(self) -> "STTEngine":
         if self._loaded:
             return self
+        import json as _json
+        import os as _os
+
+        try:
+            with open(_os.path.join(self.model_path, "config.json")) as f:
+                mt = _json.load(f).get("model_type", "")
+        except OSError:
+            mt = ""
+        if mt in ("parakeet_ctc", "parakeet_tdt"):
+            # FastConformer encoder + CTC/TDT decoding — the
+            # architecture the reference benchmarks as parakeet
+            # (models/parakeet.py)
+            from ..models.parakeet import ParakeetSTT
+
+            self._backend = ParakeetSTT(
+                self.model_path, dtype=self.dtype
+            ).load()
+            self.tokenizer = self._backend.tokenizer
+            self._loaded = True
+            logger.info("parakeet (%s) loaded: %s", mt, self.model_path)
+            return self
+        self._backend = None
         from ..models.whisper import (
             WhisperConfig,
             load_whisper_params,
@@ -182,6 +204,10 @@ class STTEngine:
     ) -> Dict[str, Any]:
         if not self._loaded:
             self.load()
+        if getattr(self, "_backend", None) is not None:
+            return self._backend.transcribe(
+                audio, language=language, max_new_tokens=max_new_tokens
+            )
         from ..models.whisper import init_self_kv
 
         t0 = time.time()
