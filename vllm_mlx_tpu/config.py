@@ -200,6 +200,13 @@ class ModelConfig:
     # forward). Keys: full_alpha/full_beta/linear_alpha/linear_beta
     # (attention combine per layer type), mlp_alpha/mlp_beta.
     residual_cfg: Optional[Dict[str, float]] = None
+    # Gemma-3n text stack (model_type "gemma3n_text"): AltUp 4-stream
+    # residuals, LAuReL, per-layer input embeddings, KV-shared layers
+    # (layer_types "*_shared" entries attend the SOURCE layer's pool
+    # without writing), activation-sparsity gelu. The dict holds the
+    # extra geometry (models/gemma3n_text.py); the layer stack runs
+    # through its own forward, not the generic _stack.
+    gemma3n_cfg: Optional[Dict[str, Any]] = None
     # Mllama (Llama-3.2-Vision) text stack: layer_types entries
     # "cross_attention" attend per-slot CROSS-KV buffers (vision
     # features) instead of the paged pool — tanh-gated attention/MLP
@@ -303,6 +310,61 @@ class ModelConfig:
             kw["mrope_section"] = list(rs["mrope_section"])
         if cfg.get("partial_rotary_factor"):
             kw["partial_rotary_factor"] = float(cfg["partial_rotary_factor"])
+        if model_type == "gemma3n_text":
+            # Gemma-3n (HF Gemma3nTextModel): AltUp + LAuReL + per-layer
+            # embeddings + KV sharing. The last num_kv_shared_layers
+            # layers reuse the KV written by the LAST non-shared layer
+            # of the SAME attention type — marked "*_shared" here so the
+            # runner allocates no pools for them.
+            n_layers = cfg.get("num_hidden_layers", 35)
+            lt = list(
+                cfg.get("layer_types")
+                or ["full_attention"] * n_layers
+            )
+            n_shared = cfg.get("num_kv_shared_layers", 0)
+            first_shared = n_layers - n_shared
+            marked = [
+                t + "_shared" if i >= first_shared and n_shared > 0 else t
+                for i, t in enumerate(lt)
+            ]
+            inter = cfg.get("intermediate_size", 16384)
+            if isinstance(inter, list):
+                inter_list = list(inter)
+                inter = inter[0]
+            else:
+                inter_list = [inter] * n_layers
+            kw.update(
+                layer_types=marked,
+                intermediate_size=inter,
+                use_qk_norm=True,
+                hidden_act=cfg.get("hidden_activation",
+                                   "gelu_pytorch_tanh"),
+                rope_local_theta=cfg.get("rope_local_base_freq", 10000.0),
+                attn_scale=1.0,
+                final_softcap=cfg.get("final_logit_softcapping"),
+                embed_scale=float(cfg.get("hidden_size", 2048)) ** 0.5,
+                tie_word_embeddings=True,
+                gemma3n_cfg=dict(
+                    altup_num_inputs=cfg.get("altup_num_inputs", 4),
+                    altup_active_idx=cfg.get("altup_active_idx", 0),
+                    altup_correct_scale=cfg.get("altup_correct_scale",
+                                                True),
+                    laurel_rank=cfg.get("laurel_rank", 64),
+                    hidden_size_per_layer_input=cfg.get(
+                        "hidden_size_per_layer_input", 256
+                    ),
+                    vocab_size_per_layer_input=cfg.get(
+                        "vocab_size_per_layer_input", 262144
+                    ),
+                    num_kv_shared_layers=n_shared,
+                    activation_sparsity_pattern=list(
+                        cfg.get("activation_sparsity_pattern")
+                        or [0.0] * n_layers
+                    ),
+                    intermediate_sizes=inter_list,
+                ),
+            )
+            return cls(**kw)
         if model_type == "mllama_text_model":
             # Llama-3.2-Vision text stack (HF MllamaTextModel): standard
             # Llama self-attention layers with tanh-gated CROSS-attention

@@ -280,6 +280,8 @@ class ModelRunner:
                 "mamba", "linear_attention", "gdn", "short_conv",
                 "rg_lru", "cross_attention",
             )
+            # Gemma-3n KV-shared layers alias earlier pools
+            and not lt.endswith("_shared")
         )
 
     def _init_state(self) -> RunnerState:

@@ -1083,6 +1083,40 @@ def unified_forward(
     )
 
     scale = cfg.attn_scale or cfg.head_dim**-0.5
+
+    if cfg.model_type == "gemma3n_text":
+        # Gemma-3n: AltUp/LAuReL/per-layer-embedding stack with
+        # KV-shared layers aliasing earlier pools (models/gemma3n_text.py)
+        from . import gemma3n_text
+
+        g_pool_of, g_writes = gemma3n_text.pool_plan(cfg)
+        g_pages = list(kv_pages)
+
+        def g_attend(i, q, k, v):
+            pi = g_pool_of[i]
+            if g_writes[i]:
+                g_pages[pi] = write_kv_pages(
+                    g_pages[pi], interleave_kv(k, v), kv_dest, kv_scale
+                )
+            window = (
+                cfg.sliding_window
+                if cfg.layer_types[i].startswith("sliding_attention")
+                else None
+            )
+            return ragged_attention(
+                q, g_pages[pi], kv_lens, page_indices, cu_q_lens,
+                num_seqs, scale, sliding_window=window,
+                k_scale=kv_scale, v_scale=kv_scale, mesh=mesh,
+                decode_only=decode_only,
+            )
+
+        hidden = gemma3n_text.forward(
+            params, cfg, token_ids,
+            positions[0] if positions.ndim > 1 else positions,
+            g_attend, token_embeds, embeds_mask,
+        )
+        return hidden, g_pages, None
+
     new_pages: List[jax.Array] = []
     # kv pool index per layer: hybrid models pool only attention layers;
     # Mllama cross-attention layers use per-slot cross buffers instead
@@ -1438,6 +1472,32 @@ def dense_forward(
 ) -> jax.Array:
     """Full-sequence causal forward without any KV cache -> logits [T, V]."""
     scale = cfg.attn_scale or cfg.head_dim**-0.5
+
+    if cfg.model_type == "gemma3n_text":
+        from . import gemma3n_text
+
+        last_kv: Dict[str, Tuple[jax.Array, jax.Array]] = {}
+
+        def g_attend(i, q, k, v):
+            lt = cfg.layer_types[i]
+            base = lt.replace("_shared", "")
+            if k is not None:
+                last_kv[base] = (k, v)
+            k, v = last_kv[base]
+            window = (
+                cfg.sliding_window
+                if base == "sliding_attention"
+                else None
+            )
+            return att.dense_causal_attention(q, k, v, scale, window, None)
+
+        if positions is None:
+            positions = jnp.arange(token_ids.shape[0])
+        hidden = gemma3n_text.forward(
+            params, cfg, token_ids, positions, g_attend,
+            token_embeds, embeds_mask,
+        )
+        return _logits(params, cfg, hidden)
 
     def attend(pool, i, q, k, v, sinks=None):
         out = att.dense_causal_attention(

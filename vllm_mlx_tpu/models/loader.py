@@ -641,6 +641,10 @@ def load_params(
     model_path: str, cfg: ModelConfig, dtype: Optional[str] = None
 ) -> Params:
     """Load a HF checkpoint directory into the decoder param pytree."""
+    if cfg.model_type == "gemma3n_text":
+        from . import gemma3n_text
+
+        return gemma3n_text.load_text_params(model_path, cfg, dtype)
     jdt = _DTYPES[dtype or cfg.dtype]
     layers: list = [dict() for _ in range(cfg.num_hidden_layers)]
     params: Params = {"layers": layers}
