@@ -452,9 +452,20 @@ class BatchedEngine(BaseEngine):
                         self.vlm.vision_cfg.max_num_tiles
                         * self.vlm.tokens_per_tile
                     )
+            elif raw_cfg.get("model_type") == "gemma3n":
+                # Gemma-3n ("Gemma 4", reference docs/reference/
+                # models.md:38): AltUp text stack + NATIVE audio via the
+                # USM conformer tower; vision is timm MobileNetV5 (no
+                # oracle in this image) so image input fails loud in
+                # _make_gemma3n_request
+                from ..models.gemma3n_mm import Gemma3nMultimodalLM
+
+                logger.info("loading multimodal checkpoint (Gemma-3n)")
+                self.vlm = Gemma3nMultimodalLM(self.model_path).load()
+                self.vlm_kind = "gemma3n"
+                self.image_processor = None
             elif raw_cfg.get("model_type") in (
                 "idefics",  # v1 perceiver resampler
-                "gemma3n",
                 "qwen2_5_omni",
             ):
                 # architectures with serving semantics this engine does
@@ -1022,6 +1033,10 @@ class BatchedEngine(BaseEngine):
             )
         if getattr(self, "vlm_kind", "llava") == "mllama":
             return self._make_mllama_request(
+                prompt, media, request_id, **kwargs
+            )
+        if getattr(self, "vlm_kind", "llava") == "gemma3n":
+            return self._make_gemma3n_request(
                 prompt, media, request_id, **kwargs
             )
         token_ids = self._tokenizer.encode(prompt)
@@ -1702,6 +1717,66 @@ class BatchedEngine(BaseEngine):
         req.embeds_mask = mask
         req.is_multimodal = True
         req.bidir_spans = [(0, len(ids))]
+        req.media_spans = _media_spans(
+            ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_gemma3n_request(
+        self,
+        prompt: str,
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Gemma-3n native audio-in-chat: expand each audio placeholder
+        to the processor's fixed 188-token sequence, encode waveforms
+        through the media-hash cache, fill the placeholder runs with
+        soft rows (hard multimodal ids embed by id inside the text
+        forward). Images fail loud — the vision tower is timm
+        MobileNetV5, absent from this environment."""
+        import base64
+        import tempfile
+
+        from ..audio.mel import load_wav
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+
+        if any(m.get("kind") != "audio" for m in media):
+            raise NotImplementedError(
+                "Gemma-3n image/video input is not supported (the vision "
+                "tower is timm MobileNetV5, unavailable here); audio and "
+                "text are served natively"
+            )
+        prompt = self.vlm.expand_audio_tokens(self._tokenizer, prompt)
+        token_ids = self._tokenizer.encode(prompt)
+        features: List[Any] = []
+        keys: List[str] = []
+        for m in media:
+            src = resolve_media_source(m.get("src"), self.media_policy)
+            if isinstance(src, str):
+                src = base64.b64decode(src)
+            key = image_hash(b"audio:" + src)
+            keys.append(key)
+            cached = self.vision_cache.get(key) if self.vision_cache else None
+            if cached is None:
+                with tempfile.NamedTemporaryFile(
+                    suffix=f".{m.get('format', 'wav')}"
+                ) as f:
+                    f.write(src)
+                    f.flush()
+                    audio = load_wav(f.name)
+                cached = self.vlm.encode_audio(audio)
+                if self.vision_cache is not None:
+                    self.vision_cache.put(key, cached)
+            features.append(cached)
+        ids, embeds, mask = self.vlm.build_multimodal_prompt(
+            token_ids, features
+        )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
         )

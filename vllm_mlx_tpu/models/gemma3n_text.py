@@ -176,6 +176,26 @@ def forward(
 
     x0 = embed(token_ids, params["embed_tokens"])
     x0 = x0 * jnp.asarray(cfg.embed_scale, x0.dtype)
+    if "embed_vision" in params:
+        # multimodal checkpoints embed ids >= the media vocab offsets
+        # through the hard multimodal embedders (HF Gemma3nModel id
+        # routing) — applies at BOTH prefill and decode; soft media
+        # features arrive separately via token_embeds overrides
+        from .gemma3n_audio import embed_hard
+
+        v_off = g["vision_vocab_offset"]
+        a_off = g["audio_vocab_offset"]
+        eps_mm = g.get("mm_rms_eps", 1e-6)
+        vis_ids = jnp.clip(token_ids, v_off, a_off - 1)
+        vis = embed_hard(params["embed_vision"], vis_ids, v_off, eps_mm)
+        aud_ids = jnp.clip(
+            token_ids, a_off, a_off + g["audio_vocab_size"] - 1
+        )
+        aud = embed_hard(params["embed_audio"], aud_ids, a_off, eps_mm)
+        x0 = jnp.where(
+            (token_ids >= a_off)[:, None], aud,
+            jnp.where((token_ids >= v_off)[:, None], vis, x0),
+        )
     if token_embeds is not None:
         mask = (
             embeds_mask[:, None]
