@@ -182,6 +182,25 @@ class ModelRunner:
             # data-parallel replica pinning: params/state committed to
             # this device; every jit dispatch follows its operands
             params = jax.device_put(params, device)
+        # stacked decode execution (ops/stacked_decode_pallas.py): for
+        # eligible dense int8 decoders on a single chip, restack layer
+        # weights [L, O, K] + use ONE stacked KV pool so the decode
+        # fast path runs the whole stack in a single pallas dispatch
+        # (the per-layer dispatch structure alone caps 8B batch-32 at
+        # 2,331 tok/s — NOTES_TPU_ENV.md round-4 ablation).
+        self.stacked = False
+        _stk = os.environ.get("VLLM_MLX_TPU_STACKED", "1")
+        if (
+            mesh is None
+            and _stk != "0"
+            and (jax.default_backend() == "tpu" or _stk == "force")
+        ):
+            from ..ops import stacked_decode_pallas as sdp
+
+            if sdp.eligible(cfg, params):
+                params = sdp.convert_params(params, cfg)
+                self.stacked = True
+                logger.info("stacked decode execution enabled")
         self.params = params
         self.cache_cfg = cache_cfg
         self.sched_cfg = sched_cfg
@@ -374,13 +393,28 @@ class ModelRunner:
             ssm_states=ssm_states,
             cross_kv=cross_kv,
             cross_meta=cross_meta,
-            kv_pages=make_kv_pages(
-                self.num_attn_layers,
-                self.num_pages,
-                self.page_size,
-                c.num_key_value_heads,
-                c.head_dim,
-                dtype=self.kv_dtype,
+            kv_pages=(
+                # stacked pool: layer l's pages at rows [l*P, (l+1)*P)
+                [
+                    jnp.zeros(
+                        (
+                            self.num_attn_layers * self.num_pages,
+                            self.page_size,
+                            2 * c.num_key_value_heads,
+                            c.head_dim,
+                        ),
+                        self.kv_dtype,
+                    )
+                ]
+                if self.stacked
+                else make_kv_pages(
+                    self.num_attn_layers,
+                    self.num_pages,
+                    self.page_size,
+                    c.num_key_value_heads,
+                    c.head_dim,
+                    dtype=self.kv_dtype,
+                )
             ),
             device_tokens=jnp.zeros((self.max_num_seqs,), jnp.int32),
             sampling=SamplingState.init(self.max_num_seqs, c.vocab_size),
@@ -1130,7 +1164,10 @@ class ModelRunner:
             kv_scale=self.kv_scale,
             mesh=self.mesh,
             ssm_ctx=ssm_ctx,
-            decode_only=dense_batch,
+            # stacked mode: always the single-dispatch megakernel (it
+            # wins at every occupancy); otherwise the occupancy tier
+            # picks between the slot-gridded and general kernels
+            decode_only=dense_batch or self.stacked,
             cross_ctx=cross_ctx,
         )  # decode never overrides embeds
         new_draft_pages = state.draft_pages
@@ -1708,23 +1745,43 @@ class ModelRunner:
         """Fetch one block's KV across all layers to host
         ([L, page_size, 2*kvh, hd]) — the spill-tier unit."""
         if not hasattr(self, "_read_block_jit"):
-            self._read_block_jit = jax.jit(
-                lambda state, b: jnp.stack(
-                    [p[b] for p in state.kv_pages], axis=0
+            if self.stacked:
+                offs = jnp.arange(
+                    self.num_attn_layers, dtype=jnp.int32
+                ) * self.num_pages
+                self._read_block_jit = jax.jit(
+                    lambda state, b: state.kv_pages[0][offs + b]
                 )
-            )
+            else:
+                self._read_block_jit = jax.jit(
+                    lambda state, b: jnp.stack(
+                        [p[b] for p in state.kv_pages], axis=0
+                    )
+                )
         return np.asarray(self._read_block_jit(self.state, jnp.int32(block)))
 
     def write_block(self, block: int, data: np.ndarray) -> None:
         """Restore a spilled block's KV into the pool."""
         if not hasattr(self, "_write_block_jit"):
+            if self.stacked:
+                offs = jnp.arange(
+                    self.num_attn_layers, dtype=jnp.int32
+                ) * self.num_pages
 
-            def _wr(state, b, d):
-                pages = [
-                    p.at[b].set(d[i].astype(p.dtype))
-                    for i, p in enumerate(state.kv_pages)
-                ]
-                return replace(state, kv_pages=pages)
+                def _wr(state, b, d):
+                    pool = state.kv_pages[0].at[offs + b].set(
+                        d.astype(state.kv_pages[0].dtype)
+                    )
+                    return replace(state, kv_pages=[pool])
+
+            else:
+
+                def _wr(state, b, d):
+                    pages = [
+                        p.at[b].set(d[i].astype(p.dtype))
+                        for i, p in enumerate(state.kv_pages)
+                    ]
+                    return replace(state, kv_pages=pages)
 
             self._write_block_jit = jax.jit(_wr, donate_argnums=(0,))
         self.state = self._write_block_jit(

@@ -1117,6 +1117,19 @@ def unified_forward(
         )
         return hidden, g_pages, None
 
+    if params.get("stacked_layers") is not None:
+        # stacked execution (ops/stacked_decode_pallas.py): weights are
+        # stacked [L, O, K] and the KV pool is ONE array with layer l's
+        # pages at rows [l*P, (l+1)*P). Decode steps run the whole
+        # stack in a single pallas dispatch; ragged prefill/verify
+        # steps run the normal layer loop over trace-time slices.
+        return _stacked_unified(
+            params, cfg, token_ids, positions, kv_pages, kv_dest,
+            kv_lens, page_indices, cu_q_lens, num_seqs, moe_top_k,
+            token_embeds, embeds_mask, kv_scale, decode_only,
+            bidir_lo, bidir_hi,
+        )
+
     new_pages: List[jax.Array] = []
     # kv pool index per layer: hybrid models pool only attention layers;
     # Mllama cross-attention layers use per-slot cross buffers instead
@@ -1372,6 +1385,116 @@ def unified_forward(
         deepstack_embeds=deepstack_embeds, cross_fn=cross_fn,
     )
     return hidden, new_pages, new_ssm_states
+
+
+def _stacked_unified(
+    params: Params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+    kv_pages: List[jax.Array],
+    kv_dest: jax.Array,
+    kv_lens: jax.Array,
+    page_indices: jax.Array,
+    cu_q_lens: jax.Array,
+    num_seqs: jax.Array,
+    moe_top_k: Optional[int],
+    token_embeds: Optional[jax.Array],
+    embeds_mask: Optional[jax.Array],
+    kv_scale: Optional[float],
+    decode_only: bool,
+    bidir_lo: Optional[jax.Array],
+    bidir_hi: Optional[jax.Array],
+) -> Tuple[jax.Array, List[jax.Array], None]:
+    """Stacked-layout forward (see ops/stacked_decode_pallas.py)."""
+    from ..ops import stacked_decode_pallas as sdp
+    from ..ops.ragged_attention import (
+        interleave_kv,
+        ragged_attention,
+        write_kv_pages,
+    )
+
+    sl: "sdp.StackedLayers" = params["stacked_layers"]
+    pages_all = kv_pages[0]
+    L = sl.qkv_w.shape[0]
+    P = pages_all.shape[0] // L
+    ps = pages_all.shape[1]
+    oob_flat = L * P * ps
+    scale = cfg.attn_scale or cfg.head_dim**-0.5
+
+    if decode_only:
+        assert bidir_lo is None and token_embeds is None
+        x = embed(token_ids, params["embed_tokens"])
+        if cfg.embed_scale:
+            x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+        cos, sin = rope_cos_sin(
+            positions, cfg.head_dim, cfg.rope_theta, cfg.rope_scaling
+        )
+        s = token_ids.shape[0]
+        hidden, kv_new = sdp.stacked_decode(
+            sl,
+            x,
+            cos,
+            sin,
+            pages_all,
+            page_indices,
+            kv_lens,
+            params["norm"],
+            num_heads=cfg.num_attention_heads,
+            num_kv_heads=cfg.num_key_value_heads,
+            scale=scale,
+            k_scale=kv_scale,
+            v_scale=kv_scale,
+            eps=cfg.rms_norm_eps,
+            interpret=jax.default_backend() != "tpu",
+        )
+        # ONE all-layer pool scatter (replaces L per-layer scatters)
+        offs = jnp.arange(L, dtype=jnp.int32)[:, None] * (P * ps)
+        dest = jnp.where(
+            kv_dest[None, :] < P * ps, kv_dest[None, :] + offs, oob_flat
+        ).reshape(-1)
+        kvh = cfg.num_key_value_heads
+        pages_all = write_kv_pages(
+            pages_all,
+            kv_new.reshape(L * s, 2 * kvh, cfg.head_dim),
+            dest,
+            kv_scale,
+        )
+        return hidden, [pages_all], None
+
+    # ragged prefill/verify steps: normal layer loop over trace-time
+    # slices of the stacked arrays (measured copy-free on TPU)
+    holder = [pages_all]
+
+    def attend(_, i, q, k, v, sinks=None):
+        dest = jnp.where(
+            kv_dest < P * ps, kv_dest + i * P * ps, oob_flat
+        )
+        holder[0] = write_kv_pages(
+            holder[0], interleave_kv(k, v), dest, kv_scale
+        )
+        out = ragged_attention(
+            q,
+            holder[0],
+            kv_lens,
+            page_indices + i * P,
+            cu_q_lens,
+            num_seqs,
+            scale,
+            k_scale=kv_scale,
+            v_scale=kv_scale,
+            bidir_lo=bidir_lo,
+            bidir_hi=bidir_hi,
+        )
+        return out, None
+
+    pview = {k: v for k, v in params.items() if k != "stacked_layers"}
+    pview["layers"] = sdp.layer_views(sl, cfg)
+    hidden, _ = _stack(
+        pview, cfg, token_ids, positions, None, attend, moe_top_k,
+        token_embeds, embeds_mask,
+    )
+    return hidden, [holder[0]], None
 
 
 def compute_logits(params: Params, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:

@@ -33,23 +33,30 @@ DEFAULT_GROUP = 128
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("w_q", "scale"),
-    meta_fields=("bits", "group_size"),
+    meta_fields=("bits", "group_size", "transposed"),
 )
 @dataclass
 class QuantizedTensor:
-    """Quantized weight leaf; ``bits``/``group_size`` are static pytree
-    metadata so jit tracing never sees them as values."""
+    """Quantized weight leaf; ``bits``/``group_size``/``transposed`` are
+    static pytree metadata so jit tracing never sees them as values.
+
+    ``transposed``: codes stored [K, O] instead of the HF [O, K]
+    (stacked-decode down_proj layout — ops/stacked_decode_pallas.py);
+    the scale stays per-OUTPUT-channel [O, 1]."""
 
     w_q: jax.Array
     scale: jax.Array
     bits: int = 8
     group_size: int = 0
+    transposed: bool = False
 
     @property
     def shape(self):
         if self.bits == 4:
             # int4 is stored nibble-packed [O, K/2]; report logical K
             return (*self.w_q.shape[:-1], self.w_q.shape[-1] * 2)
+        if self.transposed:
+            return (self.w_q.shape[1], self.w_q.shape[0])
         return self.w_q.shape
 
     @property
@@ -110,8 +117,9 @@ def unpack_int4(q: QuantizedTensor) -> jax.Array:
 
 def dequantize(q: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
     if q.bits == 8:
+        w = q.w_q.T if q.transposed else q.w_q
         return (
-            q.w_q.astype(jnp.float32) * q.scale.astype(jnp.float32)
+            w.astype(jnp.float32) * q.scale.astype(jnp.float32)
         ).astype(dtype)
     g = q.group_size
     codes = unpack_int4(q)
@@ -138,7 +146,7 @@ def quant_matmul(x: jax.Array, q: QuantizedTensor) -> jax.Array:
         y = jax.lax.dot_general(
             x_q,
             q.w_q,
-            (((x.ndim - 1,), (1,)), ((), ())),
+            (((x.ndim - 1,), (0 if q.transposed else 1,)), ((), ())),
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         return y * x_scale * q.scale.astype(jnp.float32)[:, 0]
