@@ -884,16 +884,45 @@ def _scale_row(w) -> jax.Array:
     return w.scale.astype(jnp.float32).reshape(1, -1)
 
 
+@functools.lru_cache(maxsize=None)
+def _row_setter(shape, dtype):
+    """Donated in-place row write: stack = stack.at[l].set(row).
+
+    Donation keeps the restack's peak HBM at ~(original weights + the
+    stack under construction + ONE layer's transient) — the eager
+    jnp.stack-of-lists formulation peaked near 2x the model size at 8B
+    scale, which overcommitted the device (the OOM surfaced lazily at
+    the FIRST execution after convert, not during it)."""
+    del shape, dtype
+
+    def _set(stack, l, row):
+        return stack.at[l].set(row)
+
+    return jax.jit(_set, donate_argnums=(0,))
+
+
+def _stack_rows(rows_iter, L, row_shape, dtype):
+    """Build [L, *row_shape] incrementally with a donated buffer."""
+    out = jnp.zeros((L,) + tuple(row_shape), dtype)
+    setter = _row_setter(tuple(row_shape), jnp.dtype(dtype).name)
+    for l, row in enumerate(rows_iter):
+        out = setter(out, jnp.int32(l), row.astype(dtype))
+    return out
+
+
 def convert_params(params: Params, cfg) -> Params:
     """Restack an eligible model's layer weights for stacked execution.
 
     Replaces ``params["layers"]`` with ``params["stacked_layers"]``
-    (a :class:`StackedLayers`). Originals are dropped layer-by-layer so
-    peak HBM stays ~one projection-kind above steady state.
-    """
+    (a :class:`StackedLayers`). Rows are written into donated stack
+    buffers layer-by-layer and the originals are popped as consumed, so
+    peak HBM stays ~one layer above the model size (the full-list
+    jnp.stack formulation transiently held originals + fused copies +
+    the stack at once — ~2x the model — and OOM'd at 8B scale)."""
     from .quant import QuantizedTensor, fuse_quantized
 
     layers = params.pop("layers")
+    L = len(layers)
     nh = cfg.num_attention_heads
     kvh = cfg.num_key_value_heads
     hd = cfg.head_dim or cfg.hidden_size // nh
@@ -911,51 +940,69 @@ def convert_params(params: Params, cfg) -> Params:
             return m.pop("gate_up_proj")
         return fuse_quantized([m.pop("gate_proj"), m.pop("up_proj")])
 
-    qkv = [take_qkv(lyr) for lyr in layers]
-    qkv_w = jnp.stack([q.w_q for q in qkv])
-    qkv_s = jnp.stack([_scale_row(q) for q in qkv])
-    del qkv
-    o = [lyr.pop("o_proj") for lyr in layers]
-    o_w = jnp.stack([q.w_q for q in o])
-    o_s = jnp.stack([_scale_row(q) for q in o])
-    del o
-    gu = [take_gu(lyr) for lyr in layers]
-    gu_w = jnp.stack([q.w_q for q in gu])
-    gu_s = jnp.stack([_scale_row(q) for q in gu])
-    del gu
-    dn = [lyr["mlp"].pop("down_proj") for lyr in layers]
-    d_wt = jnp.stack([q.w_q.T for q in dn])
-    d_s = jnp.stack([_scale_row(q) for q in dn])
-    del dn
+    def stack_kind(take, L):
+        """(codes [L,O,K], scales [L,1,O]) via donated row writes; the
+        per-layer fused tensor is transient and the original is popped
+        (freed) before the next layer's is built."""
+        w = s = None
+        for l, lyr in enumerate(layers):
+            q = take(lyr)
+            if w is None:
+                w = jnp.zeros((L,) + q.w_q.shape, q.w_q.dtype)
+                s = jnp.zeros((L, 1, q.w_q.shape[0]), jnp.float32)
+            wset = _row_setter(q.w_q.shape, q.w_q.dtype.name)
+            sset = _row_setter((1, q.w_q.shape[0]), "float32")
+            w = wset(w, jnp.int32(l), q.w_q)
+            s = sset(s, jnp.int32(l), _scale_row(q))
+        return w, s
 
-    def norm_row(name):
-        return jnp.stack(
-            [
-                lyr.pop(name).astype(jnp.float32).reshape(1, -1)
-                for lyr in layers
-            ]
+    qkv_w, qkv_s = stack_kind(take_qkv, L)
+    o_w, o_s = stack_kind(lambda lyr: lyr.pop("o_proj"), L)
+    gu_w, gu_s = stack_kind(take_gu, L)
+
+    d_wt = d_s = None
+    for l, lyr in enumerate(layers):
+        q = lyr["mlp"].pop("down_proj")
+        row = q.w_q.T
+        if d_wt is None:
+            d_wt = jnp.zeros((L,) + row.shape, row.dtype)
+            d_s = jnp.zeros((L, 1, row.shape[1]), jnp.float32)
+        d_wt = _row_setter(row.shape, row.dtype.name)(
+            d_wt, jnp.int32(l), row
+        )
+        d_s = _row_setter((1, row.shape[1]), "float32")(
+            d_s, jnp.int32(l), _scale_row(q)
         )
 
-    in_ln = norm_row("input_layernorm")
-    post_ln = norm_row("post_attention_layernorm")
+    def norm_stack(name):
+        h = params["norm"].shape[-1]
+        return _stack_rows(
+            (lyr.pop(name).reshape(1, -1) for lyr in layers),
+            L, (1, h), jnp.float32,
+        )
+
+    in_ln = norm_stack("input_layernorm")
+    post_ln = norm_stack("post_attention_layernorm")
     qn = kn = None
     if cfg.use_qk_norm:
-        qn = jnp.stack(
-            [
+        qn = _stack_rows(
+            (
                 jnp.broadcast_to(
                     lyr.pop("q_norm").astype(jnp.float32)[None], (nh, hd)
                 )
                 for lyr in layers
-            ]
+            ),
+            L, (nh, hd), jnp.float32,
         )
-        kn = jnp.stack(
-            [
+        kn = _stack_rows(
+            (
                 jnp.broadcast_to(
                     lyr.pop("k_norm").astype(jnp.float32)[None],
                     (kvh, hd),
                 )
                 for lyr in layers
-            ]
+            ),
+            L, (kvh, hd), jnp.float32,
         )
     params["stacked_layers"] = StackedLayers(
         qkv_w=qkv_w, qkv_s=qkv_s, o_w=o_w, o_s=o_s, gu_w=gu_w,
