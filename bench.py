@@ -138,8 +138,49 @@ def run_batch(sched, n_streams, prompt_len, max_tokens, seed=0):
     return wall, ttft, total_tokens
 
 
+def quick(sched):
+    """--quick: regression smoke against BENCH_FLOOR.json.
+
+    One warm single-stream round + one batch-32 round; refuses (exit 1)
+    if either lands below the committed floor. The end-of-round ritual
+    (PLAN template / NOTES_TPU_ENV) runs this after the LAST
+    compute-path commit — a snapshot must never ship a perf regression
+    the repo's own bench can see (round-4 post-mortem)."""
+    import os
+
+    t0 = time.time()
+    run_batch(sched, 1, 64, 4, seed=99)
+    run_batch(sched, 32, 64, 4, seed=96)
+    log(f"quick warmup(compile): {time.time()-t0:.1f}s")
+    wall, ttft, total = run_batch(sched, 1, 64, 128, seed=1)
+    ss = (total - 1) / (wall - ttft) if ttft else total / wall
+    wall_b, ttft_b, total_b = run_batch(sched, 32, 64, 128, seed=34)
+    b32 = total_b / wall_b
+    floor_path = os.path.join(os.path.dirname(__file__), "BENCH_FLOOR.json")
+    floor = json.load(open(floor_path))
+    ok = ss >= floor["single_stream"] and b32 >= floor["batch32"]
+    print(
+        json.dumps(
+            {
+                "metric": "quick_smoke",
+                "single_stream": round(ss, 1),
+                "batch32": round(b32, 1),
+                "ttft_ms": round(1000 * ttft, 1),
+                "floor": floor,
+                "ok": ok,
+            }
+        )
+    )
+    if not ok:
+        log("REGRESSION: below BENCH_FLOOR.json — do not snapshot")
+        sys.exit(1)
+
+
 def main():
     sched = build()
+    if "--quick" in sys.argv[1:]:
+        quick(sched)
+        return
 
     # Warmup: compile every bucket each scenario will touch (single-stream
     # prefill, 8- and 32-way admission mixes, decode fast path).

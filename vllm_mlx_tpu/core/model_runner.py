@@ -182,17 +182,21 @@ class ModelRunner:
             # data-parallel replica pinning: params/state committed to
             # this device; every jit dispatch follows its operands
             params = jax.device_put(params, device)
-        # stacked decode execution (ops/stacked_decode_pallas.py): for
-        # eligible dense int8 decoders on a single chip, restack layer
-        # weights [L, O, K] + use ONE stacked KV pool so the decode
-        # fast path runs the whole stack in a single pallas dispatch
-        # (the per-layer dispatch structure alone caps 8B batch-32 at
-        # 2,331 tok/s — NOTES_TPU_ENV.md round-4 ablation).
+        # stacked decode execution (ops/stacked_decode_pallas.py):
+        # restack layer weights [L, O, K] + one stacked KV pool so the
+        # decode fast path runs the whole stack in a single pallas
+        # dispatch. OPT-IN ONLY (VLLM_MLX_TPU_STACKED=1): measured on
+        # the real v5e chip it LOSES end-to-end — 0.6B single-stream
+        # 183 vs 830 tok/s, 8B batch-32 1,975 vs 1,983 (BENCH_r04 +
+        # same-tree A/B, NOTES_TPU_ENV.md round-5) — the single serial
+        # dispatch defeats XLA's overlap of weight DMA with the rest of
+        # the step and the 8/32-step decode bundles' dispatch
+        # amortization. Kept for measurement and future geometries.
         self.stacked = False
-        _stk = os.environ.get("VLLM_MLX_TPU_STACKED", "1")
+        _stk = os.environ.get("VLLM_MLX_TPU_STACKED", "0")
         if (
             mesh is None
-            and _stk != "0"
+            and _stk not in ("0", "")
             and (jax.default_backend() == "tpu" or _stk == "force")
         ):
             from ..ops import stacked_decode_pallas as sdp
@@ -1164,9 +1168,9 @@ class ModelRunner:
             kv_scale=self.kv_scale,
             mesh=self.mesh,
             ssm_ctx=ssm_ctx,
-            # stacked mode: always the single-dispatch megakernel (it
-            # wins at every occupancy); otherwise the occupancy tier
-            # picks between the slot-gridded and general kernels
+            # stacked mode (opt-in, see __init__): the single-dispatch
+            # megakernel; otherwise the occupancy tier picks between
+            # the slot-gridded and general kernels
             decode_only=dense_batch or self.stacked,
             cross_ctx=cross_ctx,
         )  # decode never overrides embeds

@@ -902,7 +902,15 @@ def _row_setter(shape, dtype):
 
 
 def _stack_rows(rows_iter, L, row_shape, dtype):
-    """Build [L, *row_shape] incrementally with a donated buffer."""
+    """Build [L, *row_shape] incrementally with a donated buffer.
+
+    On backends without buffer donation (CPU under STACKED=force) each
+    donated .at[l].set would copy the whole stack — O(L^2); fall back
+    to a plain jnp.stack there (tiny test shapes, peak HBM moot)."""
+    if jax.default_backend() != "tpu":
+        return jnp.stack(
+            [row.astype(dtype) for row in rows_iter], axis=0
+        )
     out = jnp.zeros((L,) + tuple(row_shape), dtype)
     setter = _row_setter(tuple(row_shape), jnp.dtype(dtype).name)
     for l, row in enumerate(rows_iter):
@@ -940,6 +948,17 @@ def convert_params(params: Params, cfg) -> Params:
             return m.pop("gate_up_proj")
         return fuse_quantized([m.pop("gate_proj"), m.pop("up_proj")])
 
+    on_tpu = jax.default_backend() == "tpu"
+
+    def set_row(stack, l, row):
+        # donated in-place write on TPU; plain functional set elsewhere
+        # (no donation support → donated path copies the whole stack)
+        if on_tpu:
+            return _row_setter(row.shape, row.dtype.name)(
+                stack, jnp.int32(l), row
+            )
+        return stack.at[l].set(row)
+
     def stack_kind(take, L):
         """(codes [L,O,K], scales [L,1,O]) via donated row writes; the
         per-layer fused tensor is transient and the original is popped
@@ -950,10 +969,8 @@ def convert_params(params: Params, cfg) -> Params:
             if w is None:
                 w = jnp.zeros((L,) + q.w_q.shape, q.w_q.dtype)
                 s = jnp.zeros((L, 1, q.w_q.shape[0]), jnp.float32)
-            wset = _row_setter(q.w_q.shape, q.w_q.dtype.name)
-            sset = _row_setter((1, q.w_q.shape[0]), "float32")
-            w = wset(w, jnp.int32(l), q.w_q)
-            s = sset(s, jnp.int32(l), _scale_row(q))
+            w = set_row(w, l, q.w_q)
+            s = set_row(s, l, _scale_row(q))
         return w, s
 
     qkv_w, qkv_s = stack_kind(take_qkv, L)
@@ -967,15 +984,11 @@ def convert_params(params: Params, cfg) -> Params:
         if d_wt is None:
             d_wt = jnp.zeros((L,) + row.shape, row.dtype)
             d_s = jnp.zeros((L, 1, row.shape[1]), jnp.float32)
-        d_wt = _row_setter(row.shape, row.dtype.name)(
-            d_wt, jnp.int32(l), row
-        )
-        d_s = _row_setter((1, row.shape[1]), "float32")(
-            d_s, jnp.int32(l), _scale_row(q)
-        )
+        d_wt = set_row(d_wt, l, row)
+        d_s = set_row(d_s, l, _scale_row(q))
 
     def norm_stack(name):
-        h = params["norm"].shape[-1]
+        h = layers[0][name].shape[-1]
         return _stack_rows(
             (lyr.pop(name).reshape(1, -1) for lyr in layers),
             L, (1, h), jnp.float32,
@@ -1009,6 +1022,9 @@ def convert_params(params: Params, cfg) -> Params:
         gu_s=gu_s, d_wt=d_wt, d_s=d_s, in_ln=in_ln, post_ln=post_ln,
         qn=qn, kn=kn,
     )
+    # the jitted row setters (and their compiled executables) are only
+    # needed during this one-time conversion — drop them
+    _row_setter.cache_clear()
     return params
 
 
