@@ -17,7 +17,9 @@ from __future__ import annotations
 import json
 import logging
 import os
+import queue
 import re
+import threading
 import time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -62,6 +64,9 @@ class HostKVTier:
         self._disk_index: Dict[str, str] = {}
         self._expected_shape: Optional[Tuple[int, ...]] = None
         self._expected_dtype: Optional[str] = None
+        # the async spill writer stores from its own thread while the
+        # engine thread fetches — all public entry points lock
+        self._lock = threading.RLock()
         if disk_dir:
             os.makedirs(disk_dir, exist_ok=True)
             self._load_disk_index()
@@ -77,6 +82,10 @@ class HostKVTier:
 
     def store(self, block_hash: str, kv: np.ndarray) -> None:
         """Spill one block's KV (host numpy, already fetched off device)."""
+        with self._lock:
+            self._store_locked(block_hash, kv)
+
+    def _store_locked(self, block_hash: str, kv: np.ndarray) -> None:
         if self._expected_shape is None:
             self._expected_shape = kv.shape
             self._expected_dtype = str(kv.dtype)
@@ -97,21 +106,26 @@ class HostKVTier:
 
     def lookup_chain(self, hashes: Sequence[str]) -> List[np.ndarray]:
         """Longest available prefix of the hash chain (memory, then disk)."""
-        out: List[np.ndarray] = []
-        for h in hashes:
-            kv = self._entries.get(h)
-            if kv is not None:
-                self._entries.move_to_end(h)
-            else:
-                kv = self._load_from_disk(h)
-            if kv is None:
-                break
-            out.append(kv)
-        self.stats["restored_blocks"] += len(out)
-        return out
+        with self._lock:
+            out: List[np.ndarray] = []
+            for h in hashes:
+                kv = self._entries.get(h)
+                if kv is not None:
+                    self._entries.move_to_end(h)
+                else:
+                    kv = self._load_from_disk(h)
+                if kv is None:
+                    break
+                out.append(kv)
+            self.stats["restored_blocks"] += len(out)
+            return out
 
     def contains(self, block_hash: str) -> bool:
-        return block_hash in self._entries or block_hash in self._disk_index
+        with self._lock:
+            return (
+                block_hash in self._entries
+                or block_hash in self._disk_index
+            )
 
     def flush_to_disk(self) -> int:
         """Persist every in-memory entry to the disk layer (shutdown
@@ -119,16 +133,18 @@ class HostKVTier:
         Entries stay resident; returns the number written."""
         if not self.disk_dir:
             return 0
-        n = 0
-        for h, kv in self._entries.items():
-            if h not in self._disk_index:
-                self._spill_to_disk(h, kv)
-                n += 1
-        return n
+        with self._lock:
+            n = 0
+            for h, kv in self._entries.items():
+                if h not in self._disk_index:
+                    self._spill_to_disk(h, kv)
+                    n += 1
+            return n
 
     def clear(self) -> None:
-        self._entries.clear()
-        self._bytes = 0
+        with self._lock:
+            self._entries.clear()
+            self._bytes = 0
 
     # ------------------------------------------------------------------- disk
     def _index_path(self) -> str:
@@ -234,9 +250,102 @@ class HostKVTier:
             return None
 
     def get_stats(self) -> Dict:
-        return {
-            **self.stats,
-            "entries": self.num_entries,
-            "bytes": self._bytes,
-            "disk_entries": len(self._disk_index),
-        }
+        with self._lock:
+            return {
+                **self.stats,
+                "entries": self.num_entries,
+                "bytes": self._bytes,
+                "disk_entries": len(self._disk_index),
+            }
+
+
+class AsyncSpillWriter:
+    """Background writer draining device->host KV spills off the
+    scheduler hot path.
+
+    The reference ran SSD spills on a writer thread behind a queue
+    (reference ssd_cache.py:702-854); the blocking analogue here was
+    worse: a synchronous per-block ``read_block`` costs ~30 ms on this
+    platform (dispatch + blocking fetch, NOTES_TPU_ENV.md), so an
+    admission evicting a 32-block chain stalled the engine ~1 s.
+
+    Now an eviction wave costs the engine thread ONE batched gather
+    dispatch (~micro­seconds) + ``copy_to_host_async``; the device
+    array is handed to this writer, which blocks on the host copy and
+    stores each block into the tier from its own thread. The gather is
+    dispatched before the evicted blocks can be rewritten (allocation
+    happens strictly before the step that overwrites them is
+    dispatched), so the snapshot is consistent regardless of when the
+    copy completes.
+
+    Pending entries are visible synchronously: ``flush_hashes`` (used
+    by the prefix-cache fetch path) and ``flush`` (shutdown save)
+    materialize in-flight spills before lookups that need them."""
+
+    def __init__(self, tier: HostKVTier) -> None:
+        self.tier = tier
+        self._pending: Dict[str, Tuple] = {}  # hash -> (devarray, row)
+        self._lock = threading.Lock()
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(
+            target=self._run, name="kv-spill-writer", daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, dev_array, hashes: Sequence[str]) -> None:
+        """Queue a batched gather ([N, ...] device array, one row per
+        hash) for background store. Returns immediately."""
+        with self._lock:
+            for i, h in enumerate(hashes):
+                self._pending[h] = (dev_array, i)
+        self._queue.put((dev_array, list(hashes)))
+
+    def pending(self, block_hash: str) -> bool:
+        with self._lock:
+            return block_hash in self._pending
+
+    def _materialize(self, dev_array, hashes: Sequence[str]) -> None:
+        host = np.asarray(dev_array)  # blocks THIS thread only
+        with self._lock:
+            for i, h in enumerate(hashes):
+                if self._pending.get(h, (None, None))[0] is dev_array:
+                    del self._pending[h]
+                    self.tier.store(h, host[i])
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                self._queue.task_done()
+                return
+            try:
+                self._materialize(*item)
+            except Exception:  # pragma: no cover - spill best-effort
+                logger.exception("async KV spill failed")
+            finally:
+                self._queue.task_done()
+
+    def flush_hashes(self, hashes: Sequence[str]) -> None:
+        """Synchronously land any pending spills among ``hashes`` in the
+        tier (fetch path: a chain about to be restored must see blocks
+        still in flight)."""
+        with self._lock:
+            todo = {
+                id(self._pending[h][0]): self._pending[h][0]
+                for h in hashes
+                if h in self._pending
+            }
+        for arr in todo.values():
+            with self._lock:
+                hs = [
+                    h for h, (a, _) in self._pending.items() if a is arr
+                ]
+            self._materialize(arr, hs)
+
+    def flush(self) -> None:
+        """Drain the whole queue (shutdown save)."""
+        self._queue.join()
+
+    def close(self) -> None:
+        self._queue.put(None)
+        self._thread.join(timeout=5)

@@ -28,6 +28,8 @@ import logging
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..core.block_manager import BlockManager, hash_block_tokens
 
 logger = logging.getLogger(__name__)
@@ -91,17 +93,38 @@ class PrefixCache:
         self.enabled = enabled
         self.host_tier = host_tier
         self.runner = runner
+        self.spiller = None
         self.stats = PrefixCacheStats()
 
     def attach_spill(self, block_mgr: BlockManager, runner) -> None:
-        """Wire the pool-eviction spill hook."""
+        """Wire the pool-eviction spill hook.
+
+        Spills are asynchronous: the eviction wave is gathered in ONE
+        device dispatch (runner.read_blocks_async) and handed to a
+        background writer (cache/host_tier.py AsyncSpillWriter), so
+        admission latency doesn't scale with evicted-chain length —
+        the architecture of the reference's SSD writer thread
+        (reference ssd_cache.py:702-854) on the TPU host tier."""
         self.runner = runner
         if self.host_tier is None:
             return
+        from .host_tier import AsyncSpillWriter
 
-        def on_evict(block: int, h: str) -> None:
-            if not self.host_tier.contains(h):
-                self.host_tier.store(h, runner.read_block(block))
+        if self.spiller is not None:
+            self.spiller.close()
+        self.spiller = AsyncSpillWriter(self.host_tier)
+
+        def on_evict(pairs) -> None:
+            todo = [
+                (b, h)
+                for b, h in pairs
+                if not self.host_tier.contains(h)
+                and not self.spiller.pending(h)
+            ]
+            if not todo:
+                return
+            arr = runner.read_blocks_async([b for b, _ in todo])
+            self.spiller.submit(arr, [h for _, h in todo])
 
         block_mgr.evict_callback = on_evict
 
@@ -149,6 +172,9 @@ class PrefixCache:
             and self.runner is not None
             and len(blocks) < len(hashes)
         ):
+            if self.spiller is not None:
+                # land in-flight spills this chain needs before lookup
+                self.spiller.flush_hashes(hashes[len(blocks):])
             restored = self.host_tier.lookup_chain(hashes[len(blocks):])
             for i, kv in enumerate(restored):
                 fresh = block_mgr.allocate(1)
@@ -217,14 +243,22 @@ class PrefixCache:
         shape/dtype checks)."""
         if self.host_tier is None or self.runner is None:
             return 0
-        saved = 0
+        if self.spiller is not None:
+            self.spiller.flush()  # land in-flight eviction spills first
+        todo = []
         for b in list(block_mgr._cached_lru):
             h = block_mgr.block_hash.get(b)
             if h is not None and not self.host_tier.contains(h):
-                self.host_tier.store(h, self.runner.read_block(b))
-                saved += 1
+                todo.append((b, h))
+        if todo:
+            # one batched gather + one blocking fetch for the whole set
+            kvs = np.asarray(
+                self.runner.read_blocks_async([b for b, _ in todo])
+            )
+            for i, (_, h) in enumerate(todo):
+                self.host_tier.store(h, kvs[i])
         self.host_tier.flush_to_disk()
-        return saved
+        return len(todo)
 
     def clear(self, block_mgr: BlockManager) -> int:
         """Drop every refcount-0 cached block back to the free list

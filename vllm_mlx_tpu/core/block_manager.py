@@ -53,8 +53,11 @@ class BlockManager:
         self.block_hash: Dict[int, str] = {}
         # cached (ref 0) blocks in LRU order (oldest first)
         self._cached_lru: "OrderedDict[int, None]" = OrderedDict()
-        # called as (block, hash) just before a cached block is reclaimed
-        # (spill hook for the host/disk KV tier)
+        # called ONCE per allocation wave as ([(block, hash), ...]) just
+        # before reclaimed cached blocks are handed out (spill hook for
+        # the host/disk KV tier) — batched so the spill path can gather
+        # the whole wave in one device dispatch instead of one blocking
+        # fetch per block
         self.evict_callback = None
 
     # ------------------------------------------------------------------ stats
@@ -79,20 +82,23 @@ class BlockManager:
         if not self.can_allocate(n):
             return None
         out: List[int] = []
+        evicted: List[Tuple[int, str]] = []
         for _ in range(n):
             if self._free:
                 b = self._free.pop()
             else:
                 b, _ = self._cached_lru.popitem(last=False)
                 h = self.block_hash.get(b)
-                if h is not None and self.evict_callback is not None:
-                    try:
-                        self.evict_callback(b, h)
-                    except Exception:  # pragma: no cover - spill best-effort
-                        pass
+                if h is not None:
+                    evicted.append((b, h))
                 self._drop_hash(b)
             self.ref_count[b] = 1
             out.append(b)
+        if evicted and self.evict_callback is not None:
+            try:
+                self.evict_callback(evicted)
+            except Exception:  # pragma: no cover - spill best-effort
+                pass
         return out
 
     def _drop_hash(self, block: int) -> None:

@@ -1764,6 +1764,47 @@ class ModelRunner:
                 )
         return np.asarray(self._read_block_jit(self.state, jnp.int32(block)))
 
+    def read_blocks_async(self, blocks: Sequence[int]) -> jax.Array:
+        """Gather many blocks' KV in ONE dispatch ([N, L, page_size,
+        2*kvh, hd]) and start the device->host copy without blocking.
+
+        The eviction spill path (cache/host_tier.py AsyncSpillWriter)
+        calls this from the scheduler thread: dispatch is ~17 us here
+        while a blocking per-block fetch is ~30 ms (NOTES_TPU_ENV.md),
+        so admission latency no longer scales with evicted-chain
+        length. Wave sizes are bucketed to powers of two (pad rows
+        repeat block 0 and are sliced off) to bound compile count."""
+        n = len(blocks)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if not hasattr(self, "_read_blocks_jit"):
+            if self.stacked:
+                offs = jnp.arange(
+                    self.num_attn_layers, dtype=jnp.int32
+                ) * self.num_pages
+
+                def _rd(state, bs):
+                    idx = offs[None, :] + bs[:, None]  # [N, L]
+                    return state.kv_pages[0][idx]
+
+            else:
+
+                def _rd(state, bs):
+                    return jnp.stack(
+                        [p[bs] for p in state.kv_pages], axis=1
+                    )
+
+            self._read_blocks_jit = jax.jit(_rd)
+        padded = np.zeros(bucket, np.int32)
+        padded[:n] = np.asarray(blocks, np.int32)
+        out = self._read_blocks_jit(self.state, jnp.asarray(padded))[:n]
+        try:
+            out.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - backend-dependent
+            pass
+        return out
+
     def write_block(self, block: int, data: np.ndarray) -> None:
         """Restore a spilled block's KV into the pool."""
         if not hasattr(self, "_write_block_jit"):
