@@ -150,6 +150,40 @@ def main():
         QUANT = "int4"
         log("weights: packed-int4 (fused dequant-matmul kernel)")
         argv = [a for a in argv if a != "int4"]
+    # stacked-megakernel sweeps: "stacked" turns it on; "sabl=noattn"/
+    # "sabl=nokvdma" are timing-only ablations inside the kernel;
+    # "sch=N" overrides the weight-chunk row cap (default 2048)
+    if "stacked" in argv:
+        import os
+
+        os.environ["VLLM_MLX_TPU_STACKED"] = "1"
+        log("stacked megakernel: ON")
+        argv.remove("stacked")
+    s_abl, s_tune = {}, {}
+    tune_keys = {
+        "sch": "ch_cap", "sda": "depth_a", "sdb": "depth_b",
+        "sbpc": "kv_bpc",
+    }
+    for a in list(argv):
+        if a.startswith("sabl="):
+            s_abl[a.split("=")[1]] = True
+            argv.remove(a)
+        elif a.split("=")[0] in tune_keys:
+            k, v = a.split("=")
+            s_tune[tune_keys[k]] = int(v)
+            argv.remove(a)
+    if s_abl or s_tune:
+        from vllm_mlx_tpu.ops.stacked_decode_pallas import (
+            set_stacked_ablation,
+            set_stacked_tuning,
+        )
+
+        if s_abl:
+            set_stacked_ablation(**s_abl)
+            log(f"stacked ablation: {s_abl}")
+        if s_tune:
+            set_stacked_tuning(**s_tune)
+            log(f"stacked tuning: {s_tune}")
     block_size = 32
     for a in list(argv):
         if a.startswith("block="):

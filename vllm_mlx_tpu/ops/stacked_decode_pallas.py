@@ -67,6 +67,41 @@ KV_BPC = 2
 DEPTH_A = 3
 DEPTH_B = 2
 
+# timing-only ablations (WRONG OUTPUTS) — attribute megakernel step
+# time between the weight-stream pipeline, KV page DMAs, and attention
+# compute. Driven by bench_8b.py / bench.py argv, never by serving.
+_ABLATION = {"noattn": False, "nokvdma": False}
+
+
+def set_stacked_ablation(
+    noattn: bool = False, nokvdma: bool = False
+) -> None:
+    _ABLATION["noattn"] = noattn
+    _ABLATION["nokvdma"] = nokvdma
+
+
+# pipeline geometry (results-preserving; tunable for on-chip sweeps).
+# Deep weight rings are the round-5 fix for the round-4 megakernel
+# regression: the attention phase consumes no weight chunks, so with
+# shallow rings the DMA engines idle for its whole duration every
+# layer (~130 us x 36 at 8B — the measured 4.7 ms/step gap between
+# full and noattn ablations). Ring capacity must buffer the stream
+# across that bubble, and several outstanding copies are also what
+# lets the DMA engines reach peak HBM bandwidth.
+_TUNING = {
+    "ch_cap": 2048,
+    "depth_a": DEPTH_A,
+    "depth_b": DEPTH_B,
+    "kv_bpc": KV_BPC,
+}
+
+
+def set_stacked_tuning(**kw) -> None:
+    for k, v in kw.items():
+        if k not in _TUNING:
+            raise KeyError(k)
+        _TUNING[k] = int(v)
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -101,53 +136,62 @@ class StackedLayers:
 
 
 def _chunk_rows(qko: int, h: int, i2: int, i_sz: int) -> int:
-    """Largest chunk row count <= 2048 dividing every A-ring row count
-    (qkv, gate_up, down-transposed) and H (o chunks)."""
+    """Largest chunk row count <= ch_cap (default 2048) dividing every
+    A-ring row count (qkv, gate_up, down-transposed) and H (o chunks)."""
     g = np.gcd.reduce([qko, i2, i_sz, h])
     ch = int(g)
-    while ch > 2048:
+    while ch > _TUNING["ch_cap"]:
         ch //= 2
     return ch
 
 
-def _build_schedule(nq: int, no: int, ng: int, nd: int):
-    """Static per-layer chunk schedule.
+def _build_schedule(
+    nq: int, no: int, ng: int, nd: int, da: int, db: int
+):
+    """Static per-layer chunk schedule with ring-depth-deep prefetch.
 
     Returns (chunks, starts_after, prologue) where chunks[t] =
     (kind, idx, ring, slot) in consumption order and starts_after[t]
     lists (chunk_pos, next_layer) DMA starts issued after computing
-    chunk t. Verified by simulation: a slot is never overwritten before
-    its previous occupant is consumed.
-    """
+    chunk t. Each ring runs at its FULL depth: ring chunk i starts the
+    moment its slot's previous occupant (ring chunk i-D) is consumed,
+    so up to D-1 chunks are in flight/buffered ahead — enough to keep
+    the DMA engines busy through the attention phase (which consumes
+    no weight chunks) and to hold several outstanding copies (DMA
+    engines need that to reach peak HBM bandwidth). The first D chunks
+    of each ring belong to the prologue for layer 0 and, for layer
+    l+1, start as soon as their slot's LAST layer-l occupant is
+    consumed — deep cross-layer prefetch. Verified by simulation: a
+    slot is never overwritten before its previous occupant is
+    consumed."""
     chunks = []
-    a_idx = b_idx = 0
-    for c in range(nq):
-        chunks.append(("qkv", c, "A", a_idx % DEPTH_A))
-        a_idx += 1
-    for c in range(no):
-        chunks.append(("o", c, "B", b_idx % DEPTH_B))
-        b_idx += 1
-    for c in range(ng):
-        chunks.append(("gu", c, "A", a_idx % DEPTH_A))
-        a_idx += 1
-    for c in range(nd):
-        chunks.append(("d", c, "A", a_idx % DEPTH_A))
-        a_idx += 1
+    a_list: List[int] = []
+    b_list: List[int] = []
+    for kind, n in (("qkv", nq), ("o", no), ("gu", ng), ("d", nd)):
+        ring = "B" if kind == "o" else "A"
+        lst = b_list if ring == "B" else a_list
+        depth = db if ring == "B" else da
+        for c in range(n):
+            chunks.append((kind, c, ring, len(lst) % depth))
+            lst.append(len(chunks) - 1)
     nch = len(chunks)
     assert nq >= 2 and nch >= 4, "geometry too small for the pipeline"
     starts_after: List[List[Tuple[int, bool]]] = [[] for _ in range(nch)]
-    # in-layer chunks t >= 2 start after computing chunk t-2
-    for t in range(2, nch):
-        starts_after[t - 2].append((t, False))
-    # next layer's chunks 0..1 start at the tail, delayed past the last
-    # same-slot consumption
-    for c in range(2):
-        ring, slot = chunks[c][2], chunks[c][3]
-        t_last = max(
-            t for t, ck in enumerate(chunks)
-            if ck[2] == ring and ck[3] == slot
-        )
-        starts_after[max(nch - 2 + c, t_last)].append((c, True))
+    prologue: List[int] = []
+    for idxs, depth in ((a_list, da), (b_list, db)):
+        for i, t in enumerate(idxs):
+            if i < depth:
+                prologue.append(t)
+                # layer l+1's copy of this chunk: start once its slot's
+                # last layer-l occupant is consumed
+                slot = chunks[t][3]
+                t_last = max(
+                    tt for tt in idxs if chunks[tt][3] == slot
+                )
+                starts_after[t_last].append((t, True))
+            else:
+                starts_after[idxs[i - depth]].append((t, False))
+    prologue.sort()
     # --- simulate slot reuse: consumption at t, start per starts_after
     start_of = {}
     for t, lst in enumerate(starts_after):
@@ -167,7 +211,6 @@ def _build_schedule(nq: int, no: int, ng: int, nd: int):
             prev = [t for t in same if t < c]
             if prev:
                 assert max(prev) <= t_start, (chunks[c], t_start)
-    prologue = [0, 1]  # layer-0 chunks started before the loop
     return chunks, starts_after, prologue
 
 
@@ -205,7 +248,7 @@ def _kernel(
     osem,  # DMA (kv_out)
     *,
     L: int, S: int, H: int, NH: int, KVH: int, HD: int, I: int,
-    CH: int, ps: int, P: int,
+    CH: int, ps: int, P: int, kv_bpc: int,
     schedule,
     s_mult: float,  # attn scale * (k_scale or 1)
     v_scale: Optional[float],
@@ -215,6 +258,8 @@ def _kernel(
     use_qk_norm: bool,
     eps: float,
     interpret: bool,
+    noattn: bool = False,
+    nokvdma: bool = False,
 ):
     chunks, starts_after, prologue = schedule
     NCH = len(chunks)
@@ -223,8 +268,8 @@ def _kernel(
     QO = NH * HD
     KO = KVH * HD
     QKO = QO + 2 * KO
-    ct = KV_BPC * ps
-    bpc = KV_BPC
+    ct = kv_bpc * ps
+    bpc = kv_bpc
     f32 = jnp.float32
 
     def wdma(kind, l, c, slot):
@@ -272,6 +317,9 @@ def _kernel(
     for j in range(1, S):
         plen_max = jnp.maximum(plen_max, jnp.maximum(lens_ref[j] - 1, 0))
     n_kv_chunks = pl.cdiv(plen_max, ct)
+    if noattn or nokvdma:
+        # timing ablation: no past-KV page DMAs / flash chunks
+        n_kv_chunks = jnp.int32(0)
     plens2 = jnp.concatenate(
         [
             jnp.full((1, 1), jnp.maximum(lens_ref[j] - 1, 0), jnp.int32)
@@ -527,7 +575,11 @@ def _kernel(
         # expansions; all pieces feeding the final concat are FRESH
         # offset-0 values (only those concat cleanly on chip)
         active2 = lens2 > 0  # [S, 1]
-        for h in range(KVH):
+        if noattn:
+            # timing ablation (WRONG OUTPUTS): attention output is
+            # zeros — isolates weight streaming + projections
+            attn_buf[...] = jnp.zeros((S, NHHD), jnp.bfloat16)
+        for h in range(0 if noattn else KVH):
             k_hf = kq[:, h, :].astype(f32)  # [S, HD]
             v_hf = vq[:, h, :].astype(f32)
             if v_scale is not None:
@@ -655,7 +707,12 @@ def stacked_decode(
     P = LP // L
     CH = _chunk_rows(QKO, H, 2 * I, I)
     nq, no, ng, nd = QKO // CH, H // CH, 2 * I // CH, I // CH
-    schedule = _build_schedule(nq, no, ng, nd)
+    # ring depths clamp to per-layer chunk counts (deeper would need
+    # >1-layer lookahead, which the per-layer loop can't express)
+    depth_a = min(_TUNING["depth_a"], nq + ng + nd)
+    depth_b = min(_TUNING["depth_b"], no)
+    kv_bpc = _TUNING["kv_bpc"]
+    schedule = _build_schedule(nq, no, ng, nd, depth_a, depth_b)
 
     pad_s = (-S) % 8
     if pad_s:
@@ -665,7 +722,7 @@ def stacked_decode(
         kv_lens = jnp.pad(kv_lens, (0, pad_s))
         block_tables = jnp.pad(block_tables, ((0, pad_s), (0, 0)))
     sp = S + pad_s
-    pad_b = (-block_tables.shape[1]) % KV_BPC
+    pad_b = (-block_tables.shape[1]) % kv_bpc
     if pad_b:
         block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_b)))
 
@@ -696,6 +753,7 @@ def stacked_decode(
     kernel = functools.partial(
         _kernel,
         L=L, S=sp, H=H, NH=NH, KVH=KVH, HD=HD, I=I, CH=CH, ps=ps, P=P,
+        kv_bpc=kv_bpc,
         schedule=schedule,
         s_mult=scale * (k_scale if k_scale is not None else 1.0),
         v_scale=v_scale,
@@ -705,11 +763,13 @@ def stacked_decode(
         use_qk_norm=use_qk_norm,
         eps=eps,
         interpret=interpret,
+        noattn=_ABLATION["noattn"],
+        nokvdma=_ABLATION["nokvdma"],
     )
     vmem_limit = min(
         122 * 2**20,
-        (DEPTH_A * CH * H + DEPTH_B * CH * NHHD)
-        + 2 * sp * KV_BPC * ps * 2 * KVH * HD * pages.dtype.itemsize
+        (depth_a * CH * H + depth_b * CH * NHHD)
+        + 2 * sp * kv_bpc * ps * 2 * KVH * HD * pages.dtype.itemsize
         + 48 * 2**20,
     )
     hidden, kv_new = pl.pallas_call(
@@ -734,10 +794,10 @@ def stacked_decode(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((DEPTH_A, CH, H), jnp.int8),
-            pltpu.VMEM((DEPTH_B, CH, NHHD), jnp.int8),
+            pltpu.VMEM((depth_a, CH, H), jnp.int8),
+            pltpu.VMEM((depth_b, CH, NHHD), jnp.int8),
             pltpu.VMEM(
-                (2, sp, KV_BPC, ps, 2 * KVH, HD), pages.dtype
+                (2, sp, kv_bpc, ps, 2 * KVH, HD), pages.dtype
             ),
             pltpu.VMEM((sp, H), jnp.bfloat16),
             pltpu.VMEM((sp, NHHD), jnp.bfloat16),
@@ -750,9 +810,9 @@ def stacked_decode(
             pltpu.VMEM((1, 2 * I), jnp.float32),
             pltpu.VMEM((qn.shape[1], HD), jnp.float32),
             pltpu.VMEM((kn.shape[1], HD), jnp.float32),
-            pltpu.SemaphoreType.DMA((DEPTH_A,)),
-            pltpu.SemaphoreType.DMA((DEPTH_B,)),
-            pltpu.SemaphoreType.DMA((2, sp, KV_BPC)),
+            pltpu.SemaphoreType.DMA((depth_a,)),
+            pltpu.SemaphoreType.DMA((depth_b,)),
+            pltpu.SemaphoreType.DMA((2, sp, kv_bpc)),
             pltpu.SemaphoreType.DMA((8,)),
             pltpu.SemaphoreType.DMA,
         ],
