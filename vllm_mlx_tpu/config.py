@@ -302,8 +302,11 @@ class ModelConfig:
             kw["use_qk_norm"] = True
         if model_type in ("qwen3_vl_text", "qwen3_vl_moe_text"):
             kw["mrope_interleaved"] = True
-        if model_type in ("qwen2_vl_text", "qwen2_5_vl_text", "qwen2_vl", "qwen2_5_vl"):
-            # Qwen-VL text stacks are Qwen2-style (qkv bias)
+        if model_type in (
+            "qwen2_vl_text", "qwen2_5_vl_text", "qwen2_vl", "qwen2_5_vl",
+            "qwen2_5_omni_text",
+        ):
+            # Qwen-VL / Omni-thinker text stacks are Qwen2-style (qkv bias)
             kw["attention_bias"] = True
         rs = cfg.get("rope_scaling") or {}
         if rs.get("mrope_section"):

@@ -465,11 +465,26 @@ class BatchedEngine(BaseEngine):
                 self.vlm_kind = "gemma3n"
                 self.image_processor = None
             elif raw_cfg.get("model_type") in (
-                "idefics",  # v1 perceiver resampler
-                "qwen2_5_omni",
+                "qwen2_5_omni", "qwen2_5_omni_thinker",
             ):
-                # architectures with serving semantics this engine does
-                # not implement yet — fail loud rather than mis-serving
+                # Qwen2.5-Omni thinker: audio + vision + video chat with
+                # TMRoPE (reference models/mllm.py:964,1304,1578-1618
+                # omni handling). Speech output (talker/token2wav) is
+                # out of scope — text-only responses.
+                from ..models.qwen_omni import QwenOmniModel
+                from ..multimodal_processor import QwenVLImageProcessor
+
+                logger.info(
+                    "loading multimodal checkpoint (Qwen2.5-Omni thinker)"
+                )
+                self.vlm = QwenOmniModel(self.model_path).load()
+                self.vlm_kind = "qwen_omni"
+                self.image_processor = QwenVLImageProcessor.from_pretrained(
+                    self.model_path
+                )
+            elif raw_cfg.get("model_type") == "idefics":
+                # v1 perceiver resampler — serving semantics this engine
+                # does not implement; fail loud rather than mis-serving
                 # through the generic LLaVA path
                 raise NotImplementedError(
                     f"multimodal architecture "
@@ -479,7 +494,7 @@ class BatchedEngine(BaseEngine):
                     "paligemma, pixtral, mistral3, idefics2, "
                     "idefics3/smolvlm, "
                     "deepseek_vl, glm4v(_moe), internvl, aya_vision, "
-                    "llama4, mllama, qwen2_audio"
+                    "llama4, mllama, qwen2_audio, qwen2_5_omni(_thinker)"
                 )
             else:
                 from ..models.mllm import MultimodalLM
@@ -1063,6 +1078,10 @@ class BatchedEngine(BaseEngine):
             )
         if getattr(self, "vlm_kind", "llava") == "qwen2_audio":
             return self._make_qwen2_audio_request(
+                token_ids, media, request_id, **kwargs
+            )
+        if getattr(self, "vlm_kind", "llava") == "qwen_omni":
+            return self._make_qwen_omni_request(
                 token_ids, media, request_id, **kwargs
             )
         from ..media_fetch import resolve_media_source
@@ -1831,6 +1850,123 @@ class BatchedEngine(BaseEngine):
         req.is_multimodal = True
         req.media_spans = _media_spans(
             ids, mask, keys, [f.shape[0] for f in features]
+        )
+        return req
+
+    def _make_qwen_omni_request(
+        self,
+        token_ids: List[int],
+        media: List[Dict[str, Any]],
+        request_id: Optional[str] = None,
+        **kwargs,
+    ) -> Request:
+        """Qwen2.5-Omni thinker: audio, image, and video media through
+        their towers (content-hash cached), TMRoPE positions + decode
+        delta. A video item carrying ``audio_src`` becomes the
+        use_audio_in_video interleave (reference mllm.py:1578-1618
+        A/V fusion; container audio demux needs ffmpeg — absent here —
+        so the soundtrack arrives as a paired audio source)."""
+        from ..cache.vision_embedding_cache import image_hash
+        from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import (
+            extract_video_frames,
+            image_bytes_key,
+            load_image,
+            video_bytes_key,
+        )
+
+        def decode_audio(src, fmt):
+            import base64
+            import tempfile
+
+            from ..audio.mel import load_wav
+
+            if isinstance(src, str):
+                src = base64.b64decode(src)
+            key = image_hash(b"audio:" + src)
+            cached = (
+                self.vision_cache.get(key) if self.vision_cache else None
+            )
+            if cached is None:
+                with tempfile.NamedTemporaryFile(
+                    suffix=f".{fmt or 'wav'}"
+                ) as f:
+                    f.write(src)
+                    f.flush()
+                    wav = load_wav(f.name)
+                cached = self.vlm.encode_audio(wav)
+                if self.vision_cache is not None:
+                    self.vision_cache.put(key, cached)
+            return key, cached
+
+        items: List[Dict[str, Any]] = []
+        keys: List[str] = []
+        for m in media:
+            kind = m.get("kind", "image")
+            if kind == "audio":
+                src = resolve_media_source(m.get("src"), self.media_policy)
+                key, feats = decode_audio(src, m.get("format"))
+                items.append({"kind": "audio", "features": feats})
+                keys.append(key)
+                continue
+            src = resolve_media_source(m.get("src"), self.media_policy)
+            key = image_hash(
+                (b"video:" if kind == "video" else b"image:")
+                + (
+                    video_bytes_key(src)
+                    if kind == "video"
+                    else image_bytes_key(src)
+                )
+            )
+            cached = self.vision_cache.get(key)
+            if cached is None:
+                if kind == "video":
+                    frames, spg = extract_video_frames(src)
+                else:
+                    frames, spg = [load_image(src)], 1.0
+                flat, grid = self.image_processor.patchify(frames)
+                feats = self.vlm.encode_media(flat, grid)
+                self.vision_cache.put(key, (feats, grid, spg))
+            else:
+                feats, grid, spg = cached
+            item = {
+                "kind": kind,
+                "features": feats,
+                "grid": grid,
+                "second_per_grid": spg,
+            }
+            if kind == "video" and m.get("audio_src"):
+                asrc = resolve_media_source(
+                    m["audio_src"], self.media_policy
+                )
+                akey, afeats = decode_audio(asrc, m.get("audio_format"))
+                key = image_hash((key + akey).encode())
+                item["kind"] = "video_audio"
+                item["audio_features"] = afeats
+            items.append(item)
+            keys.append(key)
+        ids, embeds, mask, positions, delta = (
+            self.vlm.build_multimodal_prompt(token_ids, items)
+        )
+        req = self._make_request(ids, request_id, **kwargs)
+        req.prompt_embeds = embeds
+        req.embeds_mask = mask
+        req.is_multimodal = True
+        req.mrope_positions = positions
+        req.mrope_delta = delta
+        req.media_spans = _media_spans(
+            ids,
+            mask,
+            keys,
+            [
+                i["features"].shape[0]
+                + (
+                    i["audio_features"].shape[0]
+                    if "audio_features" in i
+                    else 0
+                )
+                for i in items
+            ],
         )
         return req
 

@@ -153,6 +153,8 @@ def _strip(name: str) -> str:
     for prefix in (
         "model.language_model.",  # Qwen-VL (new transformers layout)
         "model.text_model.",  # Idefics3/SmolVLM
+        "thinker.model.",  # Qwen2.5-Omni (thinker LM inside the omni tree)
+        "thinker.",  # Qwen2.5-Omni thinker lm_head
         "model.",
         "language_model.model.",
         "language_model.",

@@ -1112,6 +1112,16 @@ def video_bytes_key(source: Any) -> bytes:
     raise TypeError(f"unsupported video source type {type(source)}")
 
 
+def _attach_video_audio(item: Dict[str, Any], part: Dict[str, Any]) -> None:
+    """Pair a video part's soundtrack (``"audio": {"data", "format"}``)
+    for Qwen2.5-Omni use_audio_in_video (container demux needs ffmpeg —
+    absent — so the audio track is supplied alongside the frames)."""
+    audio = part.get("audio")
+    if isinstance(audio, dict) and audio.get("data"):
+        item["audio_src"] = audio["data"]
+        item["audio_format"] = audio.get("format", "wav")
+
+
 def extract_media_from_messages(
     messages: List[Dict[str, Any]],
 ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
@@ -1146,11 +1156,15 @@ def extract_media_from_messages(
                 url = c.get("video_url")
                 if isinstance(url, dict):
                     url = url.get("url", "")
-                media.append({"kind": "video", "src": url})
+                item = {"kind": "video", "src": url}
+                _attach_video_audio(item, c)
+                media.append(item)
                 parts.append({"type": "video"})
             elif ctype == "video":
                 if "video" in c:
-                    media.append({"kind": "video", "src": c["video"]})
+                    item = {"kind": "video", "src": c["video"]}
+                    _attach_video_audio(item, c)
+                    media.append(item)
                 parts.append({"type": "video"})
             elif ctype == "input_audio":
                 ia = c.get("input_audio") or {}
