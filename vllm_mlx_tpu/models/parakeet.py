@@ -667,7 +667,9 @@ class ParakeetSTT:
             audio = load_wav(audio)
         audio = np.asarray(audio, np.float32)
         duration = len(audio) / 16000.0
-        feats, mask = extract_features(audio)
+        feats, mask = extract_features(
+            audio, n_mels=self.cfg.num_mel_bins
+        )
         lengths = mask.sum(-1).astype(np.int32)
         hidden, out_len = self._encode_jit(
             self.enc_params, jnp.asarray(feats), jnp.asarray(lengths)
