@@ -159,6 +159,12 @@ def main():
         os.environ["VLLM_MLX_TPU_STACKED"] = "1"
         log("stacked megakernel: ON")
         argv.remove("stacked")
+    if "nofusedkv" in argv:
+        import os
+
+        os.environ["VLLM_MLX_TPU_FUSED_KV"] = "0"
+        log("fused KV write: OFF (separate scatter per layer)")
+        argv.remove("nofusedkv")
     s_abl, s_tune = {}, {}
     tune_keys = {
         "sch": "ch_cap", "sda": "depth_a", "sdb": "depth_b",

@@ -87,3 +87,61 @@ def test_decode_kernel_uneven_seq_block(rng):
         q, pages, lens, tables, 0.125, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+class TestFusedKVWrite:
+    """decode_paged_attention_write: in-kernel pool-row write + VMEM
+    patch of the current token (replaces the per-layer XLA scatter on
+    the decode fast path) must match write_kv_pages + the unfused
+    kernel exactly — attention output AND updated pool."""
+
+    def _run(self, rng, kv_scale=None, S=16, B=4):
+        from vllm_mlx_tpu.ops.decode_attention_pallas import (
+            decode_paged_attention,
+            decode_paged_attention_write,
+        )
+        from vllm_mlx_tpu.ops.ragged_attention import write_kv_pages
+
+        q, pages, lens, tables = _setup(rng, S=S, B=B)
+        ps = pages.shape[1]
+        kvh = pages.shape[2] // 2
+        hd = pages.shape[3]
+        s = q.shape[0]
+        if kv_scale is not None:
+            pages = jnp.clip(
+                jnp.round(pages / kv_scale), -127, 127
+            ).astype(jnp.int8)
+        lens = lens.at[3].set(0)  # inactive slot: no write, masked out
+        kv_new = jnp.asarray(
+            rng.standard_normal((s, 2 * kvh, hd)), jnp.float32
+        )
+        pos = jnp.maximum(lens - 1, 0)
+        dest = tables[jnp.arange(s), pos // ps] * ps + pos % ps
+        kv_dest = jnp.where(lens > 0, dest, pages.shape[0] * ps)
+
+        ref_pages = write_kv_pages(pages, kv_new, kv_dest, kv_scale)
+        ref_out = decode_paged_attention(
+            q, ref_pages, lens, tables, 0.125,
+            k_scale=kv_scale, v_scale=kv_scale, interpret=True,
+        )
+        got_out, got_pages = decode_paged_attention_write(
+            q, pages, kv_new, lens, tables, 0.125,
+            k_scale=kv_scale, v_scale=kv_scale, interpret=True,
+        )
+        mask = np.asarray(lens) > 0
+        np.testing.assert_allclose(
+            np.asarray(got_out)[mask], np.asarray(ref_out)[mask],
+            atol=3e-5 if kv_scale is None else 4e-3,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_pages), np.asarray(ref_pages)
+        )
+
+    def test_fused_matches_scatter_then_attend(self, rng):
+        self._run(rng)
+
+    def test_fused_int8_pool(self, rng):
+        self._run(rng, kv_scale=0.05)
+
+    def test_fused_uneven_seq_block(self, rng):
+        self._run(rng, S=11, B=3)

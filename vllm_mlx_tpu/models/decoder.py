@@ -1077,6 +1077,7 @@ def unified_forward(
     models).
     """
     from ..ops.ragged_attention import (
+        attention_with_kv_write,
         interleave_kv,
         ragged_attention,
         write_kv_pages,
@@ -1176,13 +1177,11 @@ def unified_forward(
 
     def attend(_, i, q, k, v, sinks=None):
         pi = pool_of[i] if pool_of is not None else i
-        pages_i = write_kv_pages(
-            kv_pages[pi], interleave_kv(k, v), kv_dest, kv_scale
-        )
-        new_pages.append(pages_i)
-        out = ragged_attention(
+        out, pages_i = attention_with_kv_write(
             q,
-            pages_i,
+            kv_pages[pi],
+            interleave_kv(k, v),
+            kv_dest,
             kv_lens,
             page_indices,
             cu_q_lens,
@@ -1199,6 +1198,7 @@ def unified_forward(
             bidir_hi=bidir_hi,
             chunk_size=_layer_chunk(cfg, i),
         )
+        new_pages.append(pages_i)
         return out, None
 
     ssm_fn = None

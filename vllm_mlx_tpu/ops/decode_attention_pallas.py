@@ -67,6 +67,48 @@ def _kernel(
     # scratch
     kv_buf,  # [2, SB, bpc, ps, 2*kvh, hd] VMEM
     sems,  # [2, SB, bpc] DMA
+    **kw,
+):
+    _impl(
+        tables_ref, lens_ref, q_ref, pages_hbm, None, out_ref, None,
+        kv_buf, sems, None, **kw,
+    )
+
+
+def _kernel_fused(
+    # scalar prefetch
+    tables_ref,
+    lens_ref,
+    # inputs
+    q_ref,
+    pages_hbm,
+    kvn_ref,  # [SB, 2*kvh, hd] VMEM — current token's K/V (pool dtype)
+    # outputs
+    out_ref,
+    pages_out_ref,  # aliased with pages_hbm (in-place pool update)
+    # scratch
+    kv_buf,
+    sems,
+    wsem,  # [SB] DMA — per-slot pool-row write
+    **kw,
+):
+    _impl(
+        tables_ref, lens_ref, q_ref, pages_hbm, kvn_ref, out_ref,
+        pages_out_ref, kv_buf, sems, wsem, **kw,
+    )
+
+
+def _impl(
+    tables_ref,
+    lens_ref,
+    q_ref,
+    pages_hbm,
+    kvn_ref,
+    out_ref,
+    pages_out_ref,
+    kv_buf,
+    sems,
+    wsem,
     *,
     sb: int,
     bpc: int,
@@ -82,6 +124,36 @@ def _kernel(
     i = pl.program_id(0)
     s0 = i * sb
     ct = bpc * ps
+    fused = kvn_ref is not None
+
+    def row_writes():
+        """One async HBM row write per active slot: the current token's
+        K/V lands at flat position ``len - 1`` of its page chain while
+        attention reads overlap (the in-flight chunk row is PATCHED in
+        VMEM below, so the read value of that row never matters)."""
+        out = []
+        for j in range(sb):
+            ln = lens_ref[s0 + j]
+            pos = jnp.maximum(ln - 1, 0)  # ln=0 slots never start
+            out.append(
+                (
+                    ln > 0,
+                    pltpu.make_async_copy(
+                        kvn_ref.at[j],
+                        pages_out_ref.at[
+                            tables_ref[s0 + j, pos // ps], pos % ps
+                        ],
+                        wsem.at[j],
+                    ),
+                )
+            )
+        return out
+
+    if fused:
+        for cond, w in row_writes():
+            @pl.when(cond)
+            def _():
+                w.start()
 
     # per-slot lengths (0 = inactive -> fully masked, no DMA); Mosaic
     # rejects 1D scalar-stacks, so keep everything scalar or 2D
@@ -244,6 +316,10 @@ def _kernel(
             jnp.int32, (sb, ct, 1), 1
         )
         vvalid = vcols < lens2[:, :, None]  # [sb, ct, 1]
+        if fused:
+            # the current token's row is being DMA-written to HBM
+            # concurrently — substitute the VMEM copy of its K/V
+            newmask = vcols == lens2[:, :, None] - 1  # [sb, ct, 1]
         m_new_l, l_new_l, acc_l = [], [], []
         for h in range(kvh):
             k_h = jnp.concatenate(
@@ -252,6 +328,11 @@ def _kernel(
             v_h = jnp.concatenate(
                 [kv[:, b, :, 2 * h + 1, :] for b in range(bpc)], axis=1
             )
+            if fused:
+                k_h = jnp.where(newmask, kvn_ref[:, 2 * h, :][:, None], k_h)
+                v_h = jnp.where(
+                    newmask, kvn_ref[:, 2 * h + 1, :][:, None], v_h
+                )
             if k_h.dtype not in (jnp.bfloat16, jnp.float32):
                 k_h = k_h.astype(jnp.bfloat16)
                 v_h = v_h.astype(jnp.bfloat16)
@@ -282,6 +363,7 @@ def _kernel(
         return m_new, l_new, acc
 
     if batched_heads:
+        assert not fused, "fused KV write requires the per-head path"
         init = (
             jnp.full((sb * kvh, g), -jnp.inf, jnp.float32),
             jnp.zeros((sb * kvh, g), jnp.float32),
@@ -300,6 +382,11 @@ def _kernel(
         m, l, acc = jax.lax.fori_loop(0, n_chunks, body_per_head, init)
         l_safe = jnp.where(l > 0, l, 1.0)
         out_ref[...] = (acc / l_safe[..., None]).astype(out_ref.dtype)
+    if fused:
+        for cond, w in row_writes():
+            @pl.when(cond)
+            def _():
+                w.wait()
 
 
 @functools.partial(
@@ -383,3 +470,127 @@ def decode_paged_attention(
         interpret=interpret,
     )(block_tables.astype(jnp.int32), kv_lens.astype(jnp.int32), q4, pages)
     return out.reshape(sp, qh, hd)[:s]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "k_scale", "v_scale", "interpret"),
+)
+def decode_paged_attention_write(
+    q: jax.Array,  # [S, qh, hd] — row i belongs to SLOT i
+    pages: jax.Array,  # [P, ps, 2*kvh, hd] (DONATED via aliasing)
+    kv_new: jax.Array,  # [S, 2*kvh, hd] current token's K/V (unquantized)
+    kv_lens: jax.Array,  # [S] valid length INCL. current token (0 = skip)
+    block_tables: jax.Array,  # [S, B]
+    scale: float,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused decode attention + KV-pool write.
+
+    The separate per-layer XLA scatter (ops/ragged_attention.py
+    write_kv_pages) costs ~40 µs/layer of fixed dispatch inside the 8B
+    decode step (round-5 ablation: dummyattn - noattn = 2.6 ms/step =
+    scatters + 36 trivial calls). This variant writes the current
+    token's pool row from INSIDE the kernel (one async HBM row copy per
+    slot, overlapped with the chunk loop) and substitutes the row's
+    VMEM value in the in-flight chunk, eliminating the scatter op
+    entirely. ``pages`` is aliased into the second output — callers
+    must treat the input as consumed.
+    """
+    if BATCHED_HEADS:
+        raise NotImplementedError("fused write requires per-head path")
+    s, qh, hd = q.shape
+    _, ps, ch, _ = pages.shape
+    kvh = ch // 2
+    g = qh // kvh
+    sb = min(SEQ_BLOCK, s)
+    pad_s = (-s) % sb
+    # pool-dtype conversion outside the kernel (cheap XLA elementwise;
+    # int8 pools store value / k_scale — write_kv_pages semantics)
+    if pages.dtype == jnp.int8:
+        scaled = kv_new.astype(jnp.float32) * (1.0 / (k_scale or 1.0))
+        kvn = jnp.clip(jnp.round(scaled), -127, 127).astype(jnp.int8)
+    else:
+        kvn = kv_new.astype(pages.dtype)
+    if pad_s:
+        q = jnp.pad(q, ((0, pad_s), (0, 0), (0, 0)))
+        kv_lens = jnp.pad(kv_lens, (0, pad_s))
+        block_tables = jnp.pad(block_tables, ((0, pad_s), (0, 0)))
+        kvn = jnp.pad(kvn, ((0, pad_s), (0, 0), (0, 0)))
+    sp = s + pad_s
+    bpc = min(PAGES_PER_CHUNK, block_tables.shape[1])
+    pad_b = (-block_tables.shape[1]) % bpc
+    if pad_b:
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_b)))
+
+    q4 = q.reshape(sp, kvh, g, hd)
+    kernel = functools.partial(
+        _kernel_fused,
+        sb=sb,
+        bpc=bpc,
+        ps=ps,
+        kvh=kvh,
+        g=g,
+        hd=hd,
+        scale=scale,
+        k_scale=k_scale,
+        v_scale=v_scale,
+        batched_heads=False,
+    )
+    kv_buf_bytes = 2 * sb * bpc * ps * 2 * kvh * hd * pages.dtype.itemsize
+    chunk_bytes = 2 * sb * kvh * bpc * ps * hd * 2
+    vmem_limit = min(
+        120 * 2**20, max(24 * 2**20, 2 * kv_buf_bytes + 3 * chunk_bytes)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(sp // sb,),
+        in_specs=[
+            pl.BlockSpec(
+                (sb, kvh, g, hd),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (sb, 2 * kvh, hd),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (sb, kvh, g, hd),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, sb, bpc, ps, 2 * kvh, hd), pages.dtype),
+            pltpu.SemaphoreType.DMA((2, sb, bpc)),
+            pltpu.SemaphoreType.DMA((sb,)),
+        ],
+    )
+    out, new_pages = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, kvh, g, hd), q.dtype),
+            jax.ShapeDtypeStruct(pages.shape, pages.dtype),
+        ],
+        # flattened input index 3 = pages (after 2 scalar-prefetch args
+        # and q4); output index 1 = the pass-through pool
+        input_output_aliases={3: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(
+        block_tables.astype(jnp.int32),
+        kv_lens.astype(jnp.int32),
+        q4,
+        pages,
+        kvn,
+    )
+    return out.reshape(sp, qh, hd)[:s], new_pages

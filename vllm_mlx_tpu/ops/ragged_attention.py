@@ -134,6 +134,59 @@ def write_kv_pages(
     return flat.reshape(np_, ps, ch, hd)
 
 
+def attention_with_kv_write(
+    q: jax.Array,  # [T, num_q_heads, hd]
+    pages: jax.Array,
+    kv_new: jax.Array,  # [T, 2*kvh, hd] interleaved (unquantized)
+    kv_dest: jax.Array,  # [T] flat page slot (fallback scatter path)
+    kv_lens: jax.Array,
+    page_indices: jax.Array,
+    cu_q_lens: jax.Array,
+    num_seqs: jax.Array,
+    scale: float,
+    **kw,
+):
+    """KV write + attention for one layer, fused into the
+    decode-specialized kernel when eligible (decode fast path, single
+    chip, no sinks/softcap/window) — eliminates the per-layer XLA
+    scatter's ~40 µs dispatch from the decode step (round-5 NOTES
+    anatomy). Returns (attn_out, updated_pages); ``pages`` must be
+    treated as consumed (aliased/donated either way)."""
+    import os as _os
+
+    if (
+        kw.get("decode_only")
+        and kw.get("mesh") is None
+        and kw.get("sinks") is None
+        and kw.get("softcap") is None
+        and kw.get("sliding_window") is None
+        and kw.get("bidir_lo") is None
+        and kw.get("chunk_size") is None
+        and jax.default_backend() == "tpu"
+        and not any(_ABLATE.values())
+        and q.shape[0] == kv_lens.shape[0]
+        # OPT-IN: same-session 8B batch-32 A/B measured the fused path
+        # at 1,846 vs 1,966 tok/s for the scatter path (second rounds
+        # identical at ~1,754) — no win, default stays off
+        # (.bench_logs/8b_r5b_*; round-5 NOTES)
+        and _os.environ.get("VLLM_MLX_TPU_FUSED_KV", "0") == "1"
+    ):
+        from .decode_attention_pallas import decode_paged_attention_write
+
+        try:
+            return decode_paged_attention_write(
+                q, pages, kv_new, kv_lens, page_indices, scale,
+                k_scale=kw.get("k_scale"), v_scale=kw.get("v_scale"),
+            )
+        except Exception:  # noqa: BLE001 — trace-time geometry reject
+            pass
+    pages = write_kv_pages(pages, kv_new, kv_dest, kw.get("k_scale"))
+    out = ragged_attention(
+        q, pages, kv_lens, page_indices, cu_q_lens, num_seqs, scale, **kw
+    )
+    return out, pages
+
+
 def ragged_attention(
     q: jax.Array,  # [T, num_q_heads, hd]
     pages: jax.Array,  # [num_pages, page_size, 2*kvh, hd]
