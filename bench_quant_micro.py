@@ -46,6 +46,24 @@ def make_weights(kind, rng):
             ws.append(w.astype(jnp.bfloat16))
         elif kind == "int8":
             ws.append(quantize_int8(w))
+        elif kind == "s4":
+            # XLA-native s4 storage, per-row scale: codes live in HBM
+            # as 4-bit, the convert fuses into the dot (if Mosaic
+            # supports it, weight DMA halves vs int8)
+            scale = jnp.max(jnp.abs(w), 1, keepdims=True) / 7.0
+            codes = jnp.clip(jnp.round(w / scale), -8, 7).astype(jnp.int4)
+            ws.append((codes, scale.astype(jnp.bfloat16)))
+        elif kind == "s4g":
+            # XLA-native s4 with PER-GROUP scales [O, K/g] — groups as
+            # a batch dim of one dot_general, scales applied to the
+            # [G, T, O] partials post-contraction (accuracy-preserving
+            # int4 without any pallas kernel)
+            g = 128
+            o, k = w.shape
+            wg = w.reshape(o, k // g, g)
+            scale = jnp.max(jnp.abs(wg), 2, keepdims=True) / 7.0
+            codes = jnp.clip(jnp.round(wg / scale), -8, 7).astype(jnp.int4)
+            ws.append((codes, scale[..., 0].astype(jnp.bfloat16)))
         elif kind.startswith("int4"):
             ws.append(quantize_int4(w, 128))
     return ws
@@ -84,6 +102,25 @@ def matmul_variant(kind, x, q):
         from vllm_mlx_tpu.ops.quant_pallas import int4_matmul
 
         return int4_matmul(x, q).astype(jnp.bfloat16)
+    if kind == "s4":
+        codes, scale = q
+        y = jax.lax.dot_general(
+            x, codes.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (y * scale.astype(jnp.float32)[:, 0]).astype(jnp.bfloat16)
+    if kind == "s4g":
+        codes, scale = q  # codes [O, G, g] s4, scale [O, G]
+        o, ng, g = codes.shape
+        xg = x.reshape(x.shape[0], ng, g)
+        # batch over G, contract g: [G, T, O] f32 partials
+        part = jax.lax.dot_general(
+            xg, codes.astype(jnp.bfloat16),
+            (((2,), (2,)), ((1,), (1,))),
+            preferred_element_type=jnp.float32,
+        )
+        y = jnp.einsum("gto,og->to", part, scale.astype(jnp.float32))
+        return y.astype(jnp.bfloat16)
     raise ValueError(kind)
 
 
