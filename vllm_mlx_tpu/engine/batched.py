@@ -455,15 +455,28 @@ class BatchedEngine(BaseEngine):
             elif raw_cfg.get("model_type") == "gemma3n":
                 # Gemma-3n ("Gemma 4", reference docs/reference/
                 # models.md:38): AltUp text stack + NATIVE audio via the
-                # USM conformer tower; vision is timm MobileNetV5 (no
-                # oracle in this image) so image input fails loud in
-                # _make_gemma3n_request
+                # USM conformer tower; vision serves through the
+                # MobileNetV5 reconstruction when the checkpoint's tower
+                # layout matches (models/gemma3n_vision.py), else image
+                # input fails loud in _make_gemma3n_request
                 from ..models.gemma3n_mm import Gemma3nMultimodalLM
+                from ..multimodal_processor import ImageProcessor
 
                 logger.info("loading multimodal checkpoint (Gemma-3n)")
                 self.vlm = Gemma3nMultimodalLM(self.model_path).load()
                 self.vlm_kind = "gemma3n"
-                self.image_processor = None
+                if self.vlm.vision_params is not None:
+                    # SiglipImageProcessorFast defaults: square resize
+                    # to vision image_size, mean/std 0.5
+                    self.image_processor = ImageProcessor(
+                        image_size=self.vlm.vision_cfg.image_size,
+                        mean=(0.5, 0.5, 0.5),
+                        std=(0.5, 0.5, 0.5),
+                        do_center_crop=False,
+                        resample="bilinear",
+                    )
+                else:
+                    self.image_processor = None
             elif raw_cfg.get("model_type") in (
                 "qwen2_5_omni", "qwen2_5_omni_thinker",
             ):
@@ -1748,49 +1761,66 @@ class BatchedEngine(BaseEngine):
         request_id: Optional[str] = None,
         **kwargs,
     ) -> Request:
-        """Gemma-3n native audio-in-chat: expand each audio placeholder
-        to the processor's fixed 188-token sequence, encode waveforms
-        through the media-hash cache, fill the placeholder runs with
-        soft rows (hard multimodal ids embed by id inside the text
-        forward). Images fail loud — the vision tower is timm
-        MobileNetV5, absent from this environment."""
+        """Gemma-3n native multimodal chat: expand each audio/image
+        placeholder to the processor's fixed sequence (188 audio / 256
+        image soft tokens), encode media through the media-hash cache,
+        fill the placeholder runs with soft rows (hard multimodal ids
+        embed by id inside the text forward). Images fail loud when the
+        checkpoint's tower layout doesn't match the MobileNetV5
+        reconstruction (self.vlm.vision_error carries the diff)."""
         import base64
         import tempfile
 
         from ..audio.mel import load_wav
         from ..cache.vision_embedding_cache import image_hash
         from ..media_fetch import resolve_media_source
+        from ..multimodal_processor import image_bytes_key, load_image
 
-        if any(m.get("kind") != "audio" for m in media):
+        kinds = [m.get("kind") for m in media]
+        if any(k not in ("audio", "image") for k in kinds):
             raise NotImplementedError(
-                "Gemma-3n image/video input is not supported (the vision "
-                "tower is timm MobileNetV5, unavailable here); audio and "
-                "text are served natively"
+                "Gemma-3n serves audio and image input; video is not "
+                "part of the family's HF processor"
+            )
+        if "image" in kinds and self.image_processor is None:
+            raise NotImplementedError(
+                "Gemma-3n image input unavailable for this checkpoint: "
+                f"{self.vlm.vision_error}"
             )
         prompt = self.vlm.expand_audio_tokens(self._tokenizer, prompt)
+        prompt = self.vlm.expand_image_tokens(self._tokenizer, prompt)
         token_ids = self._tokenizer.encode(prompt)
         features: List[Any] = []
         keys: List[str] = []
         for m in media:
             src = resolve_media_source(m.get("src"), self.media_policy)
-            if isinstance(src, str):
-                src = base64.b64decode(src)
-            key = image_hash(b"audio:" + src)
+            kind = m.get("kind")
+            if kind == "image":
+                key = image_hash(b"image:" + image_bytes_key(src))
+            else:
+                if isinstance(src, str):
+                    src = base64.b64decode(src)
+                key = image_hash(b"audio:" + src)
             keys.append(key)
             cached = self.vision_cache.get(key) if self.vision_cache else None
             if cached is None:
-                with tempfile.NamedTemporaryFile(
-                    suffix=f".{m.get('format', 'wav')}"
-                ) as f:
-                    f.write(src)
-                    f.flush()
-                    audio = load_wav(f.name)
-                cached = self.vlm.encode_audio(audio)
+                if kind == "image":
+                    cached = self.vlm.encode_image(
+                        self.image_processor(load_image(src))
+                    )
+                else:
+                    with tempfile.NamedTemporaryFile(
+                        suffix=f".{m.get('format', 'wav')}"
+                    ) as f:
+                        f.write(src)
+                        f.flush()
+                        audio = load_wav(f.name)
+                    cached = self.vlm.encode_audio(audio)
                 if self.vision_cache is not None:
                     self.vision_cache.put(key, cached)
             features.append(cached)
         ids, embeds, mask = self.vlm.build_multimodal_prompt(
-            token_ids, features
+            token_ids, features, media_kinds=kinds
         )
         req = self._make_request(ids, request_id, **kwargs)
         req.prompt_embeds = embeds

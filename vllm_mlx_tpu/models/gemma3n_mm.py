@@ -12,14 +12,20 @@ sequence; soft rows flow to the unified engine as embeds-override rows
 embedded INSIDE the text forward via id routing, so decode-time special
 tokens match HF exactly.
 
-The VISION tower is timm MobileNetV5 — absent from this image, so
-image input fails loud (the one oracle-less piece of this family);
-hard vision ids in text still embed correctly via embed_vision.
+VISION: HF's tower is timm MobileNetV5 (absent from this image — no
+oracle); `models/gemma3n_vision.py` carries a best-effort
+reconstruction with timm-compatible naming. Checkpoints whose tower
+layout matches load and serve images natively; mismatches fail loud
+at load with the full key diff, and image requests then fail loud
+with that reason (text+audio keep serving). Everything downstream of
+the tower — sqrt(C) scaling, soft-token embedder, placeholder
+filling, generation — is HF-parity-tested with a stub tower.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -69,6 +75,21 @@ class Gemma3nMultimodalLM:
         self.audio_seq_len = cfg.get("audio_soft_tokens_per_image", 188)
         self.vision_vocab_offset = vision_cfg.get("vocab_offset", 262_144)
         self.vision_vocab_size = vision_cfg.get("vocab_size", 128)
+        self.boi_token_id = cfg.get("boi_token_id", 255_999)
+        self.eoi_token_id = cfg.get("eoi_token_id", 262_144)
+        self.image_seq_len = cfg.get("vision_soft_tokens_per_image", 256)
+        from .gemma3n_vision import Gemma3nVisionCfg
+
+        self.vision_cfg = Gemma3nVisionCfg(
+            hidden_size=vision_cfg.get("hidden_size", 2048),
+            # HF keeps the input size in preprocessor_config.json, not
+            # the vision config; 768 is the released models' size
+            image_size=vision_cfg.get("image_size", 768),
+            rms_norm_eps=vision_cfg.get("rms_norm_eps", 1e-6),
+            vocab_offset=self.vision_vocab_offset,
+            vocab_size=self.vision_vocab_size,
+            soft_tokens_per_image=self.image_seq_len,
+        )
         # wire the id-routing geometry into the text stack (decode-time
         # hard embedding; models/gemma3n_text.py forward)
         self.cfg.gemma3n_cfg.update(
@@ -84,16 +105,39 @@ class Gemma3nMultimodalLM:
         from . import loader
 
         tower: Dict[str, np.ndarray] = {}
+        vis_tower_t: Dict[str, np.ndarray] = {}
         embed_audio_t: Dict[str, np.ndarray] = {}
         embed_vision_t: Dict[str, np.ndarray] = {}
         for name, tensor in loader.iter_safetensors(self.model_path):
             if "audio_tower." in name:
                 tower[name.split("audio_tower.", 1)[1]] = tensor
+            elif "vision_tower." in name:
+                vn = name.split("vision_tower.", 1)[1]
+                if vn.startswith("timm_model."):
+                    vn = vn[len("timm_model."):]
+                vis_tower_t[vn] = tensor
             elif "embed_audio." in name:
                 embed_audio_t[name.split("embed_audio.", 1)[1]] = tensor
             elif "embed_vision." in name:
                 embed_vision_t[name.split("embed_vision.", 1)[1]] = tensor
         self.audio_params = load_audio_params(tower, self.audio_cfg, jdt)
+        # vision tower: load if the checkpoint layout matches the
+        # MobileNetV5 reconstruction; remember the reason if not, so
+        # image requests fail loud with it (text+audio keep serving)
+        self.vision_params = None
+        self.vision_error: Optional[str] = (
+            "checkpoint has no vision tower weights"
+        )
+        if vis_tower_t:
+            from .gemma3n_vision import load_vision_params
+
+            try:
+                self.vision_params = load_vision_params(
+                    vis_tower_t, self.vision_cfg, jdt
+                )
+                self.vision_error = None
+            except ValueError as e:  # layout mismatch — fail loud later
+                self.vision_error = str(e)
         self.params = gemma3n_text.load_text_params(
             self.model_path, self.cfg, self._dtype
         )
@@ -104,6 +148,14 @@ class Gemma3nMultimodalLM:
         self._encode_jit = jax.jit(partial(encode, cfg=self.audio_cfg))
         self._embed_soft_jit = jax.jit(
             partial(embed_soft, eps=self.audio_cfg.rms_norm_eps)
+        )
+        from .gemma3n_vision import encode_image as _vis_encode
+
+        self._vis_encode_jit = jax.jit(
+            partial(_vis_encode, cfg=self.vision_cfg)
+        )
+        self._embed_vis_soft_jit = jax.jit(
+            partial(embed_soft, eps=self.vision_cfg.rms_norm_eps)
         )
         self._loaded = True
         return self
@@ -160,46 +212,98 @@ class Gemma3nMultimodalLM:
         pad = np.repeat(pad_row, self.audio_seq_len - feats.shape[0], axis=0)
         return np.concatenate([feats, pad], axis=0)
 
+    def embed_image_features(self, feats: np.ndarray) -> np.ndarray:
+        """Tower-space features [N, C_vision] -> soft rows [N, H_text]
+        (HF get_image_features: scale by sqrt(C), then the multimodal
+        embedder's soft path)."""
+        scaled = jnp.asarray(feats, jnp.float32) * math.sqrt(
+            self.vision_cfg.hidden_size
+        )
+        return np.asarray(
+            self._embed_vis_soft_jit(self.params["embed_vision"], scaled),
+            np.float32,
+        )
+
+    def encode_image(self, pixels: np.ndarray) -> np.ndarray:
+        """pixel_values [3, S, S] (SigLIP-normalized NCHW) -> EXACTLY
+        image_seq_len (256) soft rows [L, H_text]."""
+        if self.vision_params is None:
+            raise NotImplementedError(
+                "Gemma-3n image input unavailable for this checkpoint: "
+                f"{self.vision_error}"
+            )
+        feats = self._vis_encode_jit(
+            self.vision_params, jnp.asarray(pixels, jnp.float32)[None]
+        )[0]
+        return self.embed_image_features(np.asarray(feats, np.float32))
+
     # --------------------------------------------------------- prompt building
+    def expand_image_tokens(self, tokenizer, prompt: str) -> str:
+        """HF Gemma3nProcessor: each image placeholder becomes
+        ``\\n\\n<start_of_image> + 256 soft tokens + <end_of_image>\\n\\n``."""
+        img_tok = tokenizer.convert_ids_to_tokens(self.image_token_id)
+        boi = tokenizer.convert_ids_to_tokens(self.boi_token_id)
+        eoi = tokenizer.convert_ids_to_tokens(self.eoi_token_id)
+        if not img_tok or img_tok not in prompt:
+            return prompt  # tokenizer/prompt without image tokens
+        full = f"\n\n{boi or ''}{img_tok * self.image_seq_len}{eoi or ''}\n\n"
+        return prompt.replace(img_tok, full)
+
     def expand_audio_tokens(self, tokenizer, prompt: str) -> str:
         """HF Gemma3nProcessor: each audio placeholder becomes
         ``\\n\\n<start_of_audio> + 188 soft tokens + <end_of_audio>\\n\\n``."""
         audio_tok = tokenizer.convert_ids_to_tokens(self.audio_token_id)
         boa = tokenizer.convert_ids_to_tokens(self.boa_token_id)
         eoa = tokenizer.convert_ids_to_tokens(self.eoa_token_id)
-        full = f"\n\n{boa}{audio_tok * self.audio_seq_len}{eoa}\n\n"
+        if not audio_tok or audio_tok not in prompt:
+            return prompt  # tokenizer/prompt without audio tokens
+        full = f"\n\n{boa or ''}{audio_tok * self.audio_seq_len}{eoa or ''}\n\n"
         return prompt.replace(audio_tok, full)
 
     def build_multimodal_prompt(
         self,
         token_ids: List[int],
         media_features: List[np.ndarray],
+        media_kinds: Optional[List[str]] = None,
     ) -> Tuple[List[int], np.ndarray, np.ndarray]:
-        """Fill each 188-token audio placeholder run with its feature
-        rows. Hard multimodal ids need NO override rows — the text
-        forward embeds them by id. Returns (ids, embeds [T, H], mask)."""
+        """Fill each placeholder run (188-token audio / 256-token image)
+        with its feature rows, in prompt order. Hard multimodal ids need
+        NO override rows — the text forward embeds them by id. Returns
+        (ids, embeds [T, H], mask)."""
+        kinds = media_kinds or ["audio"] * len(media_features)
+        seq_len = {"audio": self.audio_seq_len, "image": self.image_seq_len}
+        tok_of = {
+            "audio": self.audio_token_id, "image": self.image_token_id,
+        }
         h = self.cfg.hidden_size
         ids = list(token_ids)
         embeds = np.zeros((len(ids), h), np.float32)
         mask = np.zeros(len(ids), bool)
         mi = 0
         i = 0
+        placeholder_ids = set(tok_of.values())
         while i < len(ids):
-            if ids[i] == self.audio_token_id and mi < len(media_features):
+            if ids[i] in placeholder_ids and mi < len(media_features):
+                kind = kinds[mi]
+                if ids[i] != tok_of[kind]:
+                    raise ValueError(
+                        f"media #{mi} is {kind} but the next placeholder "
+                        f"run in the prompt is id {ids[i]}"
+                    )
                 feats = media_features[mi]
                 run = 0
                 while (
                     i + run < len(ids)
-                    and ids[i + run] == self.audio_token_id
+                    and ids[i + run] == ids[i]
                     and run < feats.shape[0]
                 ):
                     embeds[i + run] = feats[run]
                     mask[i + run] = True
                     run += 1
-                if run != self.audio_seq_len:
+                if run != seq_len[kind]:
                     raise ValueError(
-                        f"audio placeholder run of {run} tokens != "
-                        f"audio_seq_len {self.audio_seq_len}"
+                        f"{kind} placeholder run of {run} tokens != "
+                        f"{kind}_seq_len {seq_len[kind]}"
                     )
                 mi += 1
                 i += run
@@ -207,7 +311,7 @@ class Gemma3nMultimodalLM:
                 i += 1
         if mi != len(media_features):
             raise ValueError(
-                f"{len(media_features)} audio clips but only {mi} "
+                f"{len(media_features)} media items but only {mi} "
                 "placeholder runs in the prompt"
             )
         return ids, embeds, mask
