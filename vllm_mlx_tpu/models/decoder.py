@@ -333,7 +333,19 @@ def _routed_swiglu(
     e: int,
 ) -> jax.Array:
     """Expert-sorted grouped-matmul SwiGLU over separate gate/up/down
-    expert stacks (Qwen3-MoE / Mixtral / DeepSeek routed experts)."""
+    expert stacks (Qwen3-MoE / Mixtral / DeepSeek routed experts).
+
+    Quantized expert stacks (ops.moe_quant_pallas — the only way
+    30B-class MoE fits a 16 GB chip) route to the gathered dequant
+    kernel; bf16 stacks keep XLA's ragged_dot."""
+    from ..ops.quant import is_quantized
+
+    if is_quantized(p["gate_w"]):
+        from ..ops.moe_quant_pallas import routed_swiglu_quant
+
+        return routed_swiglu_quant(
+            x, topk_p, topk_i, p["gate_w"], p["up_w"], p["down_w"], e
+        )
     t = x.shape[0]
     k = topk_i.shape[1]
     order, _, sorted_token, group_sizes = _sort_by_expert(topk_i, t, k, e)
@@ -369,6 +381,15 @@ def moe_mlp_llama4(
     router_logits = linear(x, p["router"]).astype(jnp.float32)
     topk_v, topk_i = jax.lax.top_k(router_logits, k)  # raw logits
     weights = jax.nn.sigmoid(topk_v)  # [T, k]
+    from ..ops.quant import is_quantized
+
+    if is_quantized(p["gate_w"]):
+        from ..ops.moe_quant_pallas import routed_swiglu_quant
+
+        return routed_swiglu_quant(
+            x, weights, topk_i, p["gate_w"], p["up_w"], p["down_w"], e,
+            input_scaled=True,
+        )
     order, _, sorted_token, group_sizes = _sort_by_expert(topk_i, t, k, e)
     xs = (
         x[sorted_token].astype(jnp.float32)

@@ -255,16 +255,41 @@ _QUANT_BIAS_SUFFIX = "_bias"
 
 def quantize_params(
     params: Any, bits: int = 8, group_size: int = DEFAULT_GROUP,
-    quantize_embedding: bool = False,
+    quantize_embedding: bool = False, quantize_experts: bool = True,
 ) -> Any:
     """Quantize all 2-D+ projection weights in a decoder param tree."""
     fn = quantize_int8 if bits == 8 else (
         lambda w: quantize_int4(w, group_size)
     )
 
+    _EXPERT_STACKS = ("gate_w", "up_w", "down_w")
+
     def walk(node, name=""):
         if isinstance(node, dict):
-            return {k: walk(v, k) for k, v in node.items()}
+            # routed-SwiGLU expert dict (separate gate/up/down stacks):
+            # quantize the stacks over the CONTRACTION axis for the
+            # gathered dequant kernel (ops.moe_quant_pallas) — the only
+            # way 30B-class MoE fits a 16 GB chip. ragged_dot can't
+            # consume quantized operands, so families with OTHER expert
+            # layouts (gpt_oss gate_up_w, granitemoe input_w) keep bf16
+            # stacks; their "down_w" (gpt_oss) must then stay bf16 too.
+            is_swiglu_moe = (
+                quantize_experts
+                and all(k in node for k in _EXPERT_STACKS)
+                and "gate_up_w" not in node
+                and all(
+                    getattr(node[k], "ndim", 0) == 3 for k in _EXPERT_STACKS
+                )
+            )
+            out = {}
+            for k, v in node.items():
+                if is_swiglu_moe and k in _EXPERT_STACKS:
+                    from .moe_quant_pallas import quantize_expert_stack
+
+                    out[k] = quantize_expert_stack(v, bits, group_size)
+                else:
+                    out[k] = walk(v, k)
+            return out
         if isinstance(node, list):
             return [walk(v, name) for v in node]
         if not hasattr(node, "ndim") or node.ndim < 2:
@@ -273,10 +298,9 @@ def quantize_params(
             return node
         if name == "embed_tokens" and not quantize_embedding:
             return node
-        if name in ("gate_w", "up_w", "down_w"):
-            # MoE expert stacks [E, K, N]: quantize per (E, N) over K —
-            # ragged_dot can't consume int8 directly yet; dequantized
-            # lazily in moe_mlp. Keep bf16 for now.
+        if node.ndim == 3:
+            # unsupported expert-stack layout (gpt_oss/granitemoe fused
+            # projections) — ragged_dot needs dense operands
             return node
         return fn(node)
 
