@@ -53,10 +53,21 @@ def _media_spans(ids, mask, keys, counts):
     return spans or None
 
 
-def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
+def _auto_num_blocks(
+    cfg: ModelConfig, cache_cfg: CacheConfig, params,
+    max_cached_tokens: int = 0,
+) -> int:
     """Size the KV pool from free HBM x memory_utilization (the vLLM
     ``gpu_memory_utilization`` pattern; replaces the reference's Metal
-    buffer-cache limits, reference engine/batched.py:513-541)."""
+    buffer-cache limits, reference engine/batched.py:513-541).
+
+    ``max_cached_tokens``: optional cap on pool capacity in tokens
+    (active sequences + prefix-cache headroom) — without it, a tiny
+    model on a big chip gets a pool sized at millions of blocks, which
+    both wastes HBM and (for toy head_dim/kv_heads) can exceed HBM
+    outright because the estimate below is in LOGICAL bytes while the
+    device pads the pool's trailing dims to its (sublane, 128-lane)
+    tiles."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -65,12 +76,16 @@ def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
         "bfloat16": 2, "float32": 4,
         "fp8_e4m3": 1, "fp8_e5m2": 1, "int8": 1,
     }.get(cache_cfg.kv_dtype, 2)
+    # physical pool layout is [pages, page, 2*kv_heads, head_dim]
+    # (core/model_runner.py) — the device tiles the last two dims, so
+    # estimate with them padded to (8, 128) multiples
+    padded_pair = -(-2 * cfg.num_key_value_heads // 8) * 8
+    padded_hd = -(-cfg.head_dim // 128) * 128
     bytes_per_block = (
         cfg.num_hidden_layers
         * cache_cfg.block_size
-        * 2
-        * cfg.num_key_value_heads
-        * cfg.head_dim
+        * padded_pair
+        * padded_hd
         * itemsize
     )
     total = None
@@ -87,6 +102,8 @@ def _auto_num_blocks(cfg: ModelConfig, cache_cfg: CacheConfig, params) -> int:
     )
     budget = int(total * cache_cfg.memory_utilization) - param_bytes
     num = max(budget // bytes_per_block, 16)
+    if max_cached_tokens:
+        num = min(num, -(-max_cached_tokens // cache_cfg.block_size))
     logger.info(
         "auto KV pool: %d blocks (%.1f GB of %.1f GB HBM, params %.1f GB)",
         num,
@@ -583,8 +600,16 @@ class BatchedEngine(BaseEngine):
         eos = collect_eos_ids(self._tokenizer, self.model_path)
         eos.update(cfg.eos_token_ids)
         if self.cache_config.num_blocks <= 0:
+            # cap the pool at 4x the active working set (max_num_seqs
+            # full contexts) — the extra 3x is prefix-cache headroom;
+            # beyond that more blocks stop paying for their HBM
             self.cache_config.num_blocks = _auto_num_blocks(
-                cfg, self.cache_config, params
+                cfg,
+                self.cache_config,
+                params,
+                max_cached_tokens=4
+                * self.scheduler_config.max_num_seqs
+                * self.scheduler_config.max_model_len,
             )
         if self.tp_size > 1:
             # tensor-parallel serving: Megatron-style param shardings
