@@ -147,8 +147,9 @@ def test_gathered_kernel_interpret_matches_fallback(stacks, bits, t, k):
 
 
 def test_quantize_params_expert_stacks():
-    """quantize_params quantizes routed-SwiGLU stacks (contraction-axis
-    layout) but leaves fused-layout families (gpt_oss) dense."""
+    """quantize_params quantizes routed-SwiGLU stacks AND gpt_oss fused
+    stacks (each in its own contraction-axis layout) but leaves
+    unsupported layouts (granitemoe input_w/output_w) dense."""
     rng = np.random.default_rng(2)
 
     def w(*s):
@@ -165,12 +166,19 @@ def test_quantize_params_expert_stacks():
                 }
             },
             {
-                "moe": {  # gpt_oss layout: must stay dense
+                "moe": {  # gpt_oss layout: reordered + quantized
                     "router": w(E, H),
                     "gate_up_w": w(E, H, 2 * I),
                     "gate_up_b": jnp.zeros((E, 2 * I)),
                     "down_w": w(E, I, H),
                     "down_b": jnp.zeros((E, H)),
+                }
+            },
+            {
+                "moe": {  # granitemoe layout: stays dense
+                    "router": w(E, H),
+                    "input_w": w(E, H, 2 * I),
+                    "output_w": w(E, I, H),
                 }
             },
         ]
@@ -184,11 +192,16 @@ def test_quantize_params_expert_stacks():
     # contraction-axis scale layout [E, 1, N]
     assert m0["gate_w"].scale.shape == (E, 1, I)
     m1 = qp["layers"][1]["moe"]
-    assert not quant.is_quantized(m1["gate_up_w"])
-    assert not quant.is_quantized(m1["down_w"])
+    assert quant.is_quantized(m1["gate_up_w"])
+    assert quant.is_quantized(m1["down_w"])
+    assert not quant.is_quantized(m1["router"])
+    m2 = qp["layers"][2]["moe"]
+    assert not quant.is_quantized(m2["input_w"])
+    assert not quant.is_quantized(m2["output_w"])
     # opt-out leaves stacks dense
     qp2 = quant.quantize_params(params, bits=8, quantize_experts=False)
     assert not quant.is_quantized(qp2["layers"][0]["moe"]["gate_w"])
+    assert not quant.is_quantized(qp2["layers"][1]["moe"]["gate_up_w"])
 
 
 def test_moe_engine_serves_quantized(rng):
@@ -249,3 +262,189 @@ def test_gathered_kernel_real_tpu(stacks, routing, bits):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), ref, rtol=5e-2, atol=5e-2
     )
+
+
+# ------------------------------------------------------------- GPT-OSS
+class TestGptOssQuant:
+    E2, H2, I2 = 4, 256, 128  # int4-viable: K=256/128 both % 64 == 0
+
+    @pytest.fixture(scope="class")
+    def moe(self):
+        rng = np.random.default_rng(21)
+        return {
+            "router": jnp.asarray(
+                rng.standard_normal((self.E2, self.H2), dtype=np.float32)
+            ),
+            "gate_up_w": jnp.asarray(
+                rng.standard_normal(
+                    (self.E2, self.H2, 2 * self.I2), dtype=np.float32
+                )
+                * 0.1
+            ),
+            "gate_up_b": jnp.asarray(
+                rng.standard_normal(
+                    (self.E2, 2 * self.I2), dtype=np.float32
+                )
+                * 0.1
+            ),
+            "down_w": jnp.asarray(
+                rng.standard_normal(
+                    (self.E2, self.I2, self.H2), dtype=np.float32
+                )
+                * 0.1
+            ),
+            "down_b": jnp.asarray(
+                rng.standard_normal((self.E2, self.H2), dtype=np.float32)
+                * 0.1
+            ),
+        }
+
+    def _oracle(self, x, topk_p, topk_i, moe_q, limit=7.0):
+        """Dense per-token loop on the DEQUANTIZED reordered weights."""
+        gu = np.asarray(
+            dequantize_expert_stack(moe_q["gate_up_w"], jnp.float32)
+        )
+        gub = np.asarray(moe_q["gate_up_b"], np.float32)
+        dw = np.asarray(
+            dequantize_expert_stack(moe_q["down_w"], jnp.float32)
+        )
+        db = np.asarray(moe_q["down_b"], np.float32)
+        t, k = topk_i.shape
+        inter = gub.shape[-1] // 2
+        out = np.zeros((t, dw.shape[2]), np.float32)
+        xf = np.asarray(x, np.float32)
+        for ti in range(t):
+            for ki in range(k):
+                e = int(topk_i[ti, ki])
+                v = xf[ti] @ gu[e] + gub[e]
+                gate = np.minimum(v[:inter], limit)
+                up = np.clip(v[inter:], -limit, limit)
+                h = (up + 1.0) * (gate / (1 + np.exp(-gate * 1.702)))
+                out[ti] += (h @ dw[e] + db[e]) * float(topk_p[ti, ki])
+        return out
+
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_fallback_matches_oracle(self, moe, bits):
+        from vllm_mlx_tpu.ops.moe_quant_pallas import (
+            quantize_gpt_oss_experts,
+            routed_clamped_glu_quant,
+        )
+
+        rng = np.random.default_rng(3)
+        t, k = 6, 2
+        x = jnp.asarray(
+            rng.standard_normal((t, self.H2), dtype=np.float32) * 0.5
+        )
+        topk_i = jnp.asarray(
+            np.stack(
+                [rng.choice(self.E2, size=k, replace=False)
+                 for _ in range(t)]
+            )
+        ).astype(jnp.int32)
+        p = rng.random((t, k)).astype(np.float32)
+        topk_p = jnp.asarray(p / p.sum(-1, keepdims=True))
+        q = quantize_gpt_oss_experts(moe, bits=bits)
+        got = routed_clamped_glu_quant(
+            x, topk_p, topk_i, q["gate_up_w"], q["gate_up_b"],
+            q["down_w"], q["down_b"], self.E2, 7.0,
+        )
+        ref = self._oracle(x, topk_p, topk_i, q)
+        np.testing.assert_allclose(
+            np.asarray(got), ref, rtol=3e-2, atol=3e-2
+        )
+
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_kernel_interpret_matches_fallback(self, moe, bits,
+                                               monkeypatch):
+        """Pallas path (interpret) vs fallback — with the K-chunk
+        forced small so the chunked accumulator is exercised."""
+        from vllm_mlx_tpu.ops import moe_quant_pallas as mqp
+
+        monkeypatch.setattr(
+            mqp, "_pick_k_chunk",
+            lambda k, n, bits, group, budget=0: max(k // 2, group or 1),
+        )
+        rng = np.random.default_rng(9)
+        t, k = 5, 2
+        x = jnp.asarray(
+            rng.standard_normal((t, self.H2), dtype=np.float32) * 0.5
+        ).astype(jnp.bfloat16)
+        topk_i = jnp.asarray(
+            np.stack(
+                [rng.choice(self.E2, size=k, replace=False)
+                 for _ in range(t)]
+            )
+        ).astype(jnp.int32)
+        p = rng.random((t, k)).astype(np.float32)
+        topk_p = jnp.asarray(p / p.sum(-1, keepdims=True))
+        q = mqp.quantize_gpt_oss_experts(moe, bits=bits)
+        args = (
+            x, topk_p, topk_i, q["gate_up_w"], q["gate_up_b"],
+            q["down_w"], q["down_b"], self.E2, 7.0,
+        )
+        got = mqp.routed_clamped_glu_quant(*args, interpret=True)
+        ref = mqp.routed_clamped_glu_quant(*args)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref, np.float32),
+            rtol=3e-2,
+            atol=3e-2,
+        )
+
+    def test_quantize_params_gpt_oss_layout(self, moe):
+        params = {"layers": [{"moe": dict(moe)}]}
+        qp = quant.quantize_params(params, bits=4)
+        m = qp["layers"][0]["moe"]
+        assert quant.is_quantized(m["gate_up_w"])
+        assert quant.is_quantized(m["down_w"])
+        assert not quant.is_quantized(m["router"])
+        # biases reordered to [gate | up] halves, not quantized
+        assert not quant.is_quantized(m["gate_up_b"])
+        assert not quant.is_quantized(m["down_b"])
+        gub = np.asarray(moe["gate_up_b"])
+        got = np.asarray(m["gate_up_b"])
+        np.testing.assert_array_equal(got[:, : self.I2], gub[:, 0::2])
+        np.testing.assert_array_equal(got[:, self.I2 :], gub[:, 1::2])
+
+    def test_gpt_oss_decoder_dispatch(self, moe):
+        """moe_mlp_gpt_oss routes to the quantized path and stays close
+        to the dense path on the dequantized weights."""
+        from vllm_mlx_tpu.config import ModelConfig
+        from vllm_mlx_tpu.models.decoder import moe_mlp_gpt_oss
+        from vllm_mlx_tpu.ops.moe_quant_pallas import (
+            dequantize_expert_stack,
+            quantize_gpt_oss_experts,
+        )
+
+        cfg = ModelConfig(
+            model_type="gpt_oss", vocab_size=64, hidden_size=self.H2,
+            intermediate_size=2 * self.I2, num_hidden_layers=1,
+            num_attention_heads=4, num_key_value_heads=2,
+            num_experts=self.E2, num_experts_per_tok=2,
+            moe_intermediate_size=self.I2, moe_style="gpt_oss",
+            dtype="float32",
+        )
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(
+            rng.standard_normal((3, self.H2), dtype=np.float32) * 0.5
+        )
+        q = quantize_gpt_oss_experts(moe, bits=8)
+        got = moe_mlp_gpt_oss(cfg, q, x)
+        # dense run on the dequantized (reordered) weights: rebuild an
+        # interleaved dense dict matching the original layout
+        idx = np.concatenate(
+            [np.arange(0, 2 * self.I2, 2), np.arange(1, 2 * self.I2, 2)]
+        )
+        inv = np.argsort(idx)
+        dense = dict(moe)
+        dense["gate_up_w"] = jnp.asarray(
+            np.asarray(
+                dequantize_expert_stack(q["gate_up_w"], jnp.float32)
+            )[:, :, inv]
+        )
+        dense["gate_up_b"] = jnp.asarray(np.asarray(q["gate_up_b"])[:, inv])
+        dense["down_w"] = dequantize_expert_stack(q["down_w"], jnp.float32)
+        ref = moe_mlp_gpt_oss(cfg, dense, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )

@@ -425,6 +425,15 @@ def moe_mlp_gpt_oss(
     logits = linear(x, p["router"], p.get("router_bias")).astype(jnp.float32)
     topk_v, topk_i = jax.lax.top_k(logits, k)  # [T, k]
     topk_p = jax.nn.softmax(topk_v, axis=-1)
+    from ..ops.quant import is_quantized
+
+    if is_quantized(p["gate_up_w"]):
+        from ..ops.moe_quant_pallas import routed_clamped_glu_quant
+
+        return routed_clamped_glu_quant(
+            x, topk_p, topk_i, p["gate_up_w"], p["gate_up_b"],
+            p["down_w"], p["down_b"], e, cfg.swiglu_limit,
+        )
     order, sorted_expert, sorted_token, group_sizes = _sort_by_expert(
         topk_i, t, k, e
     )

@@ -79,7 +79,9 @@ def quantize_expert_stack(w: jax.Array, bits: int = 8,
         )
     assert bits == 4
     g = group_size
-    if k % g or n % 2 or (n // 2) % 128:
+    while g > 16 and k % g:
+        g //= 2  # shrink to a divisor of K (e.g. GPT-OSS K=2880 -> 64)
+    if k % g or n % 2:
         return quantize_expert_stack(w, bits=8)
     wg = wf.reshape(e, k // g, g, n)
     amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)
@@ -382,4 +384,242 @@ def routed_swiglu_quant(
     if not input_scaled:
         y = y * weights[:, None]
     out = jax.ops.segment_sum(y, sorted_token, num_segments=t)
+    return out.astype(x.dtype)
+
+
+# ------------------------------------------------- generic chunked matmul
+# A K-chunked gathered grouped matmul for expert geometries whose full
+# per-expert weights exceed VMEM in the fused SwiGLU kernel (GPT-OSS
+# 2880x5760 gate_up stacks), and for non-SwiGLU expert layouts. One
+# pallas call computes y[b] = x[b] @ W[expert(b)] (+ bias[expert(b)]),
+# accumulating over K chunks in a VMEM scratch.
+
+
+def _gmm_kernel(
+    be_ref,  # scalar prefetch [NB]
+    x_ref,  # [B, Kc]
+    wq_ref,  # int8 [1, Kc, N] / int4-packed [1, Kc, N/2]
+    s_ref,  # int8 [1, 1, N] / int4 [1, Kc/g, N]
+    b_ref,  # [1, N] f32 bias (zeros when absent)
+    o_ref,  # [B, N] bf16
+    acc_ref,  # VMEM scratch [B, N] f32
+    *,
+    bits: int,
+    group: int,
+    n_chunks: int,
+):
+    kc = pl.program_id(1)
+
+    @pl.when(kc == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    if bits == 8:
+        acc_ref[...] += jax.lax.dot_general(
+            x, wq_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc_ref[...] += _group_dot_int4(x, wq_ref[0], s_ref[0], group)
+
+    @pl.when(kc == n_chunks - 1)
+    def _():
+        acc = acc_ref[...]
+        if bits == 8:
+            acc = acc * s_ref[0, 0].astype(jnp.float32)[None, :]
+        o_ref[...] = (acc + b_ref[0].astype(jnp.float32)[None, :]).astype(
+            o_ref.dtype
+        )
+
+
+def _pick_k_chunk(k: int, n: int, bits: int, group: int,
+                  budget=6 * 2**20) -> int:
+    """Largest K chunk that (a) divides K, (b) is a multiple of the
+    int4 group, and (c) keeps the double-buffered weight block (+ int4
+    unpack temps) within ``budget`` bytes of VMEM."""
+    per_row = n if bits == 8 else n // 2 + 4 * n  # codes + bf16 lo/hi
+    last = k
+    for d in range(1, k + 1):
+        if k % d:
+            continue
+        kc = k // d
+        if group and kc % group:
+            continue
+        last = kc
+        if kc * per_row * 2 <= budget:
+            return kc
+    return last
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _gathered_matmul_call(
+    be, xs_pad, wq, s, bias, *, block: int, interpret: bool = False
+):
+    nb = be.shape[0]
+    k = xs_pad.shape[1]
+    bits = 8 if wq.dtype == jnp.int8 else 4
+    n = s.shape[-1]
+    group = (k // s.shape[1]) if bits == 4 else 0
+    kc = _pick_k_chunk(k, n, bits, group)
+    n_chunks = k // kc
+    if bits == 8:
+        w_spec = pl.BlockSpec((1, kc, n), lambda b, c, be: (be[b], c, 0))
+        s_spec = pl.BlockSpec((1, 1, n), lambda b, c, be: (be[b], 0, 0))
+    else:
+        w_spec = pl.BlockSpec(
+            (1, kc, n // 2), lambda b, c, be: (be[b], c, 0)
+        )
+        s_spec = pl.BlockSpec(
+            (1, kc // group, n), lambda b, c, be: (be[b], c, 0)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, n_chunks),
+        in_specs=[
+            pl.BlockSpec((block, kc), lambda b, c, be: (b, c)),
+            w_spec,
+            s_spec,
+            pl.BlockSpec((1, n), lambda b, c, be: (be[b], 0)),
+        ],
+        out_specs=pl.BlockSpec((block, n), lambda b, c, be: (b, 0)),
+        scratch_shapes=[pltpu.VMEM((block, n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _gmm_kernel, bits=bits, group=group, n_chunks=n_chunks
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * block, n), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(be, xs_pad, wq, s, bias)
+
+
+def gathered_expert_matmul(
+    xs_pad: jax.Array,  # [NB*B, K] bf16 (block-padded sorted rows)
+    be: jax.Array,  # [NB] i32
+    q: QuantizedTensor,  # [E, K, N]
+    bias: jax.Array | None = None,  # [E, N]
+    *,
+    block: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """One gathered quantized grouped matmul over block-padded rows."""
+    e = q.w_q.shape[0]
+    n = q.scale.shape[-1]
+    b = (
+        bias.astype(jnp.float32)
+        if bias is not None
+        else jnp.zeros((e, n), jnp.float32)
+    )
+    return _gathered_matmul_call(
+        be, xs_pad, q.w_q, q.scale, b, block=block, interpret=interpret
+    )
+
+
+# ------------------------------------------------------------ GPT-OSS MoE
+def quantize_gpt_oss_experts(moe: dict, bits: int = 4,
+                             group_size: int = 128) -> dict:
+    """Quantize a GPT-OSS expert dict for the gathered kernels.
+
+    HF stores ``gate_up_proj`` with gate/up INTERLEAVED along the
+    output axis (models/decoder.py moe_mlp_gpt_oss slices 0::2/1::2);
+    reorder to contiguous [gate | up] halves first so (a) the kernel
+    epilogue slices halves, and (b) the int4 half-split nibble packing
+    puts gate in the low nibble and up in the high nibble of the same
+    byte. ``gate_up_b`` is reordered to match. Biases stay dense."""
+    gu = moe["gate_up_w"]  # [E, H, 2I]
+    e, h, i2 = gu.shape
+    idx = jnp.concatenate(
+        [jnp.arange(0, i2, 2), jnp.arange(1, i2, 2)]
+    )  # interleaved -> [gate | up]
+    out = dict(moe)
+    out["gate_up_w"] = quantize_expert_stack(
+        gu[:, :, idx], bits=bits, group_size=group_size
+    )
+    out["gate_up_b"] = moe["gate_up_b"][:, idx]
+    out["down_w"] = quantize_expert_stack(
+        moe["down_w"], bits=bits, group_size=group_size
+    )
+    return out
+
+
+def routed_clamped_glu_quant(
+    x: jax.Array,  # [T, H]
+    topk_p: jax.Array,  # [T, k]
+    topk_i: jax.Array,  # [T, k]
+    gate_up_q: QuantizedTensor,  # [E, H, 2I], [gate | up] halves
+    gate_up_b: jax.Array,  # [E, 2I], [gate | up] halves
+    down_q: QuantizedTensor,  # [E, I, H]
+    down_b: jax.Array,  # [E, H]
+    num_experts: int,
+    limit: float,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """GPT-OSS quantized experts: gathered gate_up matmul (+bias),
+    clamped GLU epilogue in XLA, gathered down matmul (+bias), output
+    weighting + segment sum (decoder.moe_mlp_gpt_oss semantics)."""
+    t, h = x.shape
+    k = topk_i.shape[1]
+    m = t * k
+    i2 = gate_up_b.shape[-1]
+    inter = i2 // 2
+    use_pallas = interpret or jax.default_backend() == "tpu"
+    if not use_pallas:
+        from jax.lax import ragged_dot
+
+        flat_expert = topk_i.reshape(-1)
+        order = jnp.argsort(flat_expert)
+        sorted_expert = flat_expert[order]
+        sorted_token = jnp.repeat(jnp.arange(t), k)[order]
+        group_sizes = jnp.bincount(sorted_expert, length=num_experts)
+        xs = x[sorted_token]
+        gu = ragged_dot(
+            xs, dequantize_expert_stack(gate_up_q, x.dtype), group_sizes
+        ).astype(jnp.float32) + gate_up_b[sorted_expert].astype(jnp.float32)
+        gate, up = gu[..., :inter], gu[..., inter:]
+        gate = jnp.minimum(gate, limit)
+        up = jnp.clip(up, -limit, limit)
+        hidden = ((up + 1.0) * (gate * jax.nn.sigmoid(gate * 1.702))).astype(
+            x.dtype
+        )
+        y = ragged_dot(
+            hidden, dequantize_expert_stack(down_q, x.dtype), group_sizes
+        ).astype(jnp.float32) + down_b[sorted_expert].astype(jnp.float32)
+        weights = topk_p.reshape(-1)[order].astype(jnp.float32)
+        out = jax.ops.segment_sum(
+            y * weights[:, None], sorted_token, num_segments=t
+        )
+        return out.astype(x.dtype)
+
+    block = _pick_block(m)
+    be, gather, order, sorted_token = _block_map(
+        topk_i, t, k, num_experts, block
+    )
+    xs = x[sorted_token].astype(jnp.bfloat16)
+    xs_pad = jnp.concatenate([xs, jnp.zeros((1, h), xs.dtype)])[gather]
+    gu = gathered_expert_matmul(
+        xs_pad, be, gate_up_q, gate_up_b, block=block, interpret=interpret
+    ).astype(jnp.float32)
+    gate, up = gu[..., :inter], gu[..., inter:]
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    hidden = ((up + 1.0) * (gate * jax.nn.sigmoid(gate * 1.702))).astype(
+        jnp.bfloat16
+    )
+    y = gathered_expert_matmul(
+        hidden, be, down_q, down_b, block=block, interpret=interpret
+    )
+    inv = jnp.zeros((m + 1,), jnp.int32).at[gather].set(
+        jnp.arange(gather.shape[0], dtype=jnp.int32)
+    )
+    yv = y[inv[:m]].astype(jnp.float32)
+    weights = topk_p.reshape(-1)[order].astype(jnp.float32)
+    out = jax.ops.segment_sum(
+        yv * weights[:, None], sorted_token, num_segments=t
+    )
     return out.astype(x.dtype)

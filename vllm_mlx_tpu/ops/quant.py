@@ -266,13 +266,14 @@ def quantize_params(
 
     def walk(node, name=""):
         if isinstance(node, dict):
-            # routed-SwiGLU expert dict (separate gate/up/down stacks):
-            # quantize the stacks over the CONTRACTION axis for the
-            # gathered dequant kernel (ops.moe_quant_pallas) — the only
-            # way 30B-class MoE fits a 16 GB chip. ragged_dot can't
-            # consume quantized operands, so families with OTHER expert
-            # layouts (gpt_oss gate_up_w, granitemoe input_w) keep bf16
-            # stacks; their "down_w" (gpt_oss) must then stay bf16 too.
+            # MoE expert dicts: quantize the stacks over the
+            # CONTRACTION axis for the gathered dequant kernels
+            # (ops.moe_quant_pallas) — the only way 30B-class MoE fits
+            # a 16 GB chip. Two supported layouts: routed-SwiGLU
+            # (separate gate/up/down stacks) and GPT-OSS (fused
+            # gate_up_w + biases, reordered to contiguous halves).
+            # granitemoe's input_w/output_w layout keeps bf16 stacks
+            # (ragged_dot can't consume quantized operands).
             is_swiglu_moe = (
                 quantize_experts
                 and all(k in node for k in _EXPERT_STACKS)
@@ -281,12 +282,26 @@ def quantize_params(
                     getattr(node[k], "ndim", 0) == 3 for k in _EXPERT_STACKS
                 )
             )
+            is_gpt_oss_moe = (
+                quantize_experts
+                and "gate_up_w" in node
+                and "down_w" in node
+                and getattr(node["gate_up_w"], "ndim", 0) == 3
+            )
+            if is_gpt_oss_moe:
+                from .moe_quant_pallas import quantize_gpt_oss_experts
+
+                node = quantize_gpt_oss_experts(node, bits, group_size)
             out = {}
             for k, v in node.items():
                 if is_swiglu_moe and k in _EXPERT_STACKS:
                     from .moe_quant_pallas import quantize_expert_stack
 
                     out[k] = quantize_expert_stack(v, bits, group_size)
+                elif is_gpt_oss_moe and k in (
+                    "gate_up_w", "down_w", "gate_up_b", "down_b"
+                ):
+                    out[k] = v  # stacks handled above; biases stay dense
                 else:
                     out[k] = walk(v, k)
             return out
