@@ -448,3 +448,36 @@ class TestGptOssQuant:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
         )
+
+
+def test_quantize_params_mixed_w8e4():
+    """bits=8 dense + expert_bits=4 stacks (--quantization w8e4)."""
+    rng = np.random.default_rng(6)
+    params = {
+        "layers": [
+            {
+                "q_proj": jnp.asarray(
+                    rng.standard_normal((H, H), dtype=np.float32)
+                ),
+                "moe": {
+                    "router": jnp.asarray(
+                        rng.standard_normal((E, H), dtype=np.float32)
+                    ),
+                    "gate_w": jnp.asarray(
+                        rng.standard_normal((E, H, I), dtype=np.float32)
+                    ),
+                    "up_w": jnp.asarray(
+                        rng.standard_normal((E, H, I), dtype=np.float32)
+                    ),
+                    "down_w": jnp.asarray(
+                        rng.standard_normal((E, I, H), dtype=np.float32)
+                    ),
+                },
+            }
+        ]
+    }
+    qp = quant.quantize_params(params, bits=8, expert_bits=4)
+    l0 = qp["layers"][0]
+    assert l0["q_proj"].bits == 8
+    assert l0["moe"]["gate_w"].bits == 4
+    assert l0["moe"]["down_w"].bits == 4

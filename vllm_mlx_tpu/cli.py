@@ -110,9 +110,12 @@ def _add_serve_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--specprefill-keep-pct", type=float, default=0.3)
     p.add_argument("--specprefill-min-tokens", type=int, default=512)
-    p.add_argument("--quantization", choices=["none", "int8", "int4"],
+    p.add_argument("--quantization",
+                   choices=["none", "int8", "int4", "w8e4"],
                    default="none",
-                   help="quantize weights at load time")
+                   help="quantize weights at load time (w8e4 = int8 "
+                        "dense + int4 MoE experts, the per-chip "
+                        "capacity point for 30B-class MoE)")
     # api behavior
     p.add_argument("--max-tokens-default", type=int, default=32768)
     p.add_argument("--stream-interval", type=int, default=1)

@@ -581,15 +581,20 @@ class BatchedEngine(BaseEngine):
                     )
             except (OSError, ValueError):
                 pass
-        if self.quantization in ("int8", "int4"):
+        if self.quantization in ("int8", "int4", "w8e4"):
             if prequantized:
                 logger.info("artifact is pre-quantized; --quantization ignored")
             else:
                 from ..ops.quant import quantize_params
 
-                bits = 8 if self.quantization == "int8" else 4
-                logger.info("quantizing weights to int%d", bits)
-                params = quantize_params(params, bits=bits)
+                bits = 4 if self.quantization == "int4" else 8
+                ebits = 4 if self.quantization == "w8e4" else None
+                logger.info(
+                    "quantizing weights to int%d%s", bits,
+                    " (experts int4)" if ebits else "",
+                )
+                params = quantize_params(params, bits=bits,
+                                         expert_bits=ebits)
                 if self.tp_size == 1:
                     # single-chip decode: fuse q/k/v and gate/up into
                     # one kernel launch each (ops/quant.py)

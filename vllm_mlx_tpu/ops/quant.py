@@ -256,11 +256,20 @@ _QUANT_BIAS_SUFFIX = "_bias"
 def quantize_params(
     params: Any, bits: int = 8, group_size: int = DEFAULT_GROUP,
     quantize_embedding: bool = False, quantize_experts: bool = True,
+    expert_bits: Optional[int] = None,
 ) -> Any:
-    """Quantize all 2-D+ projection weights in a decoder param tree."""
+    """Quantize all 2-D+ projection weights in a decoder param tree.
+
+    ``expert_bits``: width for MoE expert stacks (defaults to ``bits``).
+    The sweet spot for big MoE on one chip is dense int8 + expert int4
+    (``bits=8, expert_bits=4``): dense int4 loses to int8 on dispatch
+    tax (NOTES_TPU_ENV round-5), while experts are 95%+ of MoE bytes and
+    the gathered kernel's group-dot keeps int4 dequant off the hot path.
+    """
     fn = quantize_int8 if bits == 8 else (
         lambda w: quantize_int4(w, group_size)
     )
+    ebits = expert_bits or bits
 
     _EXPERT_STACKS = ("gate_w", "up_w", "down_w")
 
@@ -291,13 +300,13 @@ def quantize_params(
             if is_gpt_oss_moe:
                 from .moe_quant_pallas import quantize_gpt_oss_experts
 
-                node = quantize_gpt_oss_experts(node, bits, group_size)
+                node = quantize_gpt_oss_experts(node, ebits, group_size)
             out = {}
             for k, v in node.items():
                 if is_swiglu_moe and k in _EXPERT_STACKS:
                     from .moe_quant_pallas import quantize_expert_stack
 
-                    out[k] = quantize_expert_stack(v, bits, group_size)
+                    out[k] = quantize_expert_stack(v, ebits, group_size)
                 elif is_gpt_oss_moe and k in (
                     "gate_up_w", "down_w", "gate_up_b", "down_b"
                 ):
