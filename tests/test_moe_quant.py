@@ -481,3 +481,29 @@ def test_quantize_params_mixed_w8e4():
     assert l0["q_proj"].bits == 8
     assert l0["moe"]["gate_w"].bits == 4
     assert l0["moe"]["down_w"].bits == 4
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_swiglu_chunked_path_matches_fused(stacks, routing, bits,
+                                           monkeypatch):
+    """Force the three-call K-chunked path (big-expert geometries) and
+    check it agrees with the fused kernel (both interpret mode)."""
+    from vllm_mlx_tpu.ops import moe_quant_pallas as mqp
+
+    gate, up, down = stacks
+    x, topk_p, topk_i = routing
+    xb = x.astype(jnp.bfloat16)
+    qg = quantize_expert_stack(gate, bits=bits)
+    qu = quantize_expert_stack(up, bits=bits)
+    qd = quantize_expert_stack(down, bits=bits)
+    fused = routed_swiglu_quant(xb, topk_p, topk_i, qg, qu, qd, E,
+                                interpret=True)
+    monkeypatch.setattr(mqp, "_FUSED_VMEM_BUDGET", 1)
+    chunked = mqp.routed_swiglu_quant(xb, topk_p, topk_i, qg, qu, qd, E,
+                                      interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(chunked, np.float32),
+        np.asarray(fused, np.float32),
+        rtol=3e-2,
+        atol=3e-2,
+    )

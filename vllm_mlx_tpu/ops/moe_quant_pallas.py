@@ -293,6 +293,11 @@ def _gathered_swiglu_call(
     )(be, xs_pad, gq, gs, uq, us, dq, ds)
 
 
+# double-buffered per-expert weight budget for the fused SwiGLU kernel;
+# geometries past this run as three K-chunked gathered matmuls
+_FUSED_VMEM_BUDGET = 12 * 2**20
+
+
 def _pick_block(m: int) -> int:
     if m <= 256:
         return 8
@@ -365,15 +370,33 @@ def routed_swiglu_quant(
             jnp.bfloat16
         )
     xs_pad = jnp.concatenate([xs, jnp.zeros((1, h), xs.dtype)])[gather]
-    y_pad = _gathered_swiglu_call(
-        be,
-        xs_pad,
-        gate_q.w_q, gate_q.scale,
-        up_q.w_q, up_q.scale,
-        down_q.w_q, down_q.scale,
-        block=block,
-        interpret=interpret,
-    )  # [NB*B, H] bf16
+    # fused whole-SwiGLU kernel holds gate+up+down for one expert in
+    # VMEM (double-buffered); geometries past ~12 MB per expert
+    # (Mixtral-class intermediate widths) run as three K-chunked
+    # gathered matmuls instead
+    i_log = gate_q.scale.shape[-1]
+    per_expert = 3 * h * i_log * (1 if gate_q.bits == 8 else 0.5)
+    if per_expert * 2 > _FUSED_VMEM_BUDGET:
+        g = gathered_expert_matmul(
+            xs_pad, be, gate_q, block=block, interpret=interpret
+        ).astype(jnp.float32)
+        u = gathered_expert_matmul(
+            xs_pad, be, up_q, block=block, interpret=interpret
+        ).astype(jnp.float32)
+        hid = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+        y_pad = gathered_expert_matmul(
+            hid, be, down_q, block=block, interpret=interpret
+        )
+    else:
+        y_pad = _gathered_swiglu_call(
+            be,
+            xs_pad,
+            gate_q.w_q, gate_q.scale,
+            up_q.w_q, up_q.scale,
+            down_q.w_q, down_q.scale,
+            block=block,
+            interpret=interpret,
+        )  # [NB*B, H] bf16
     # padded blocks -> sorted rows: each valid sorted row appears in
     # exactly one block lane; invalid lanes all collide on index M and
     # are discarded
